@@ -1,0 +1,259 @@
+"""TriplesMap IR → DataFrame planner.
+
+This replaces the reference's execution loop (reference:
+rdfizer/rdfizer/semantify.py:9957-15037 — per-source row-at-a-time
+executors) with a compiler that emits one declarative DataFrame plan per
+TriplesMap and unions them into the dataset. Catalyst then handles column
+pruning, predicate pushdown, join strategy (broadcast vs sort-merge via
+AQE) and whole-stage codegen.
+
+Compile-time rewrites carried over from the reference because Catalyst
+cannot see RML semantics:
+  * self-join elimination (same source + child==parent keys ⇒ object is the
+    parent's subject template over the child row, semantify.py:1450-1523);
+  * join-without-condition on the same logical source ⇒ pure projection
+    (inner_functions.py:139-679);
+  * parent (key, subject) DataFrame caching shared across joins
+    (the reference's global join_table, semantify.py:523-931).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..ir import (
+    CONSTANT, FUNCTION, GATHER, PARENT, QUOTED, REFERENCE, TEMPLATE,
+    TriplesMap, TermMap,
+)
+from ..sources import read_source
+from .terms import (
+    CompiledValue, canonical_string, compile_term_map, compile_template,
+    valid_value,
+)
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+TRIPLE_COLS = ("s", "p", "o", "g")
+
+# parent sides smaller than this (bytes on disk) get an explicit broadcast
+# hint; larger sides are left to AQE's own broadcast/skew decisions.
+BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+class MappingPlanner:
+    """Compiles a list of TriplesMap into triple DataFrames.
+
+    One planner instance per materialization run: it owns the scan cache and
+    the parent-(key,subject) join cache so repeated joins against the same
+    parent reuse one persisted DataFrame (the reference builds its
+    ``join_table`` hash once per (parentTM, child-attrs) and shares it
+    globally, semantify.py:523-931 + 6902-6996).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples_maps: list[TriplesMap],
+        *,
+        base: str | None = None,
+        remove_duplicates: bool = True,
+        infer_datatypes: bool = False,
+        dedup_scope: str = "spog",
+    ) -> None:
+        self.spark = spark
+        self.tms = triples_maps
+        self.tm_by_id = {tm.tm_id: tm for tm in triples_maps}
+        self.base = base
+        self.remove_duplicates = remove_duplicates
+        self.infer_datatypes = infer_datatypes
+        self.dedup_scope = dedup_scope
+        self._scan_cache: dict[tuple, DataFrame] = {}
+        self._parent_cache: dict[tuple, DataFrame] = {}
+        self._parent_refcount: dict[tuple, int] = {}
+        self._count_parent_refs()
+
+    # ------------------------------------------------------------------
+    def _count_parent_refs(self) -> None:
+        for tm in self.tms:
+            for pom in tm.poms:
+                om = pom.obj
+                if om.kind == PARENT and om.join:
+                    key = (om.parent_tm, tuple(om.join.parent))
+                    self._parent_refcount[key] = self._parent_refcount.get(key, 0) + 1
+
+    def scan(self, tm: TriplesMap) -> DataFrame:
+        key = tm.source.cache_key()
+        if key not in self._scan_cache:
+            self._scan_cache[key] = read_source(self.spark, tm.source)
+        return self._scan_cache[key]
+
+    # ------------------------------------------------------------------
+    def compile_all(self) -> DataFrame:
+        """Union of all asserted TriplesMap outputs (+ global dedup).
+
+        Dedup is one shuffle-based ``dropDuplicates`` over the union — the
+        distributed equivalent of the reference's PTT/DTT in-memory dedup
+        tables (semantify.py:53-54, 6580-6605); eviction/compression
+        (semantify.py:212-265) are unnecessary because the shuffle spills.
+        """
+        parts = [
+            self.compile_tm(tm)
+            for tm in self.tms
+            if tm.kind != "NonAssertedTriplesMap"
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], "s string, p string, o string, g string")
+        out = reduce(DataFrame.union, parts)
+        if self.remove_duplicates:
+            out = out.dropDuplicates(list(TRIPLE_COLS))
+        return out
+
+    # ------------------------------------------------------------------
+    def compile_tm(self, tm: TriplesMap) -> DataFrame:
+        df = self.scan(tm)
+        subj = compile_term_map(df, tm.subject.term, "subject",
+                                base=self.base, infer_datatypes=self.infer_datatypes)
+        graph = self._graph_expr(df, tm.subject.graphs)
+
+        base_df = df.where(subj.valid).withColumn("__s", subj.expr)
+
+        branches: list[DataFrame] = []
+        # rdf:type triples from rr:class (semantify.py:6556-6563)
+        for cls in tm.subject.rdf_classes:
+            branches.append(
+                base_df.select(
+                    F.col("__s").alias("s"),
+                    F.lit(RDF_TYPE).alias("p"),
+                    F.lit(f"<{cls}>").alias("o"),
+                    graph.alias("g"),
+                )
+            )
+        for pom in tm.poms:
+            branches.extend(self._compile_pom(tm, df, base_df, pom, graph))
+        if not branches:
+            return self.spark.createDataFrame([], "s string, p string, o string, g string")
+        return reduce(DataFrame.union, branches)
+
+    # ------------------------------------------------------------------
+    def _graph_expr(self, df: DataFrame, graphs: list[TermMap]):
+        if not graphs:
+            return F.lit(None).cast("string")
+        g = graphs[0]
+        if g.kind == CONSTANT and "defaultGraph" in g.value:
+            return F.lit(None).cast("string")
+        return compile_term_map(df, g, "graph", base=self.base).expr
+
+    def _compile_pom(self, tm, df, base_df, pom, subj_graph) -> list[DataFrame]:
+        pred = compile_term_map(df, pom.predicate, "predicate", base=self.base)
+        graph = self._graph_expr(df, pom.graphs) if pom.graphs else subj_graph
+        om = pom.obj
+
+        if om.kind in (TEMPLATE, REFERENCE, CONSTANT):
+            obj = compile_term_map(df, om, "object", base=self.base,
+                                   infer_datatypes=self.infer_datatypes)
+            return [
+                base_df.where(pred.valid & obj.valid).select(
+                    F.col("__s").alias("s"),
+                    pred.expr.alias("p"),
+                    obj.expr.alias("o"),
+                    graph.alias("g"),
+                )
+            ]
+        if om.kind == PARENT:
+            return [self._compile_join(tm, df, base_df, pred, om, graph)]
+        raise NotImplementedError(f"object-map kind {om.kind} not implemented yet")
+
+    # ------------------------------------------------------------------
+    def _compile_join(self, tm, df, base_df, pred, om, graph) -> DataFrame:
+        parent_tm = self.tm_by_id[om.parent_tm]
+        same_source = parent_tm.source.cache_key() == tm.source.cache_key()
+
+        if om.join is None or not om.join.child:
+            if not same_source:
+                raise ValueError(
+                    f"join without condition requires the same logical source "
+                    f"({tm.tm_id} → {om.parent_tm})"
+                )
+            # join-as-projection (inner_functions.py:139-679): parent subject
+            # evaluated over the current row — no join at all.
+            pobj = compile_term_map(df, parent_tm.subject.term, "subject", base=self.base)
+            return base_df.where(pred.valid & pobj.valid).select(
+                F.col("__s").alias("s"), pred.expr.alias("p"),
+                pobj.expr.alias("o"), graph.alias("g"),
+            )
+
+        if same_source and om.join.child == om.join.parent:
+            # self-join elimination (semantify.py:1450-1523): equal keys on
+            # the same source ⇒ the parent row IS the child row.
+            pobj = compile_term_map(df, parent_tm.subject.term, "subject", base=self.base)
+            return base_df.where(pred.valid & pobj.valid).select(
+                F.col("__s").alias("s"), pred.expr.alias("p"),
+                pobj.expr.alias("o"), graph.alias("g"),
+            )
+
+        pairs = self._parent_pairs(parent_tm, tuple(om.join.parent))
+        child = base_df.where(pred.valid).select(
+            "__s",
+            pred.expr.alias("__p"),
+            graph.alias("__g"),
+            *[
+                self._join_key_expr(df, c).alias(f"__ck{i}")
+                for i, c in enumerate(om.join.child)
+            ],
+        )
+        # NULL join keys never match (functions.py:1882-1912) — inner join
+        # gives that for free, but filtering early avoids shuffling them.
+        for i in range(len(om.join.child)):
+            child = child.where(valid_value(F.col(f"__ck{i}")))
+        cond = reduce(
+            lambda a, b: a & b,
+            [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(len(om.join.child))],
+        )
+        joined = child.join(pairs, cond, "inner")
+        return joined.select(
+            F.col("__s").alias("s"),
+            F.col("__p").alias("p"),
+            F.col("__po").alias("o"),
+            F.col("__g").alias("g"),
+        )
+
+    def _join_key_expr(self, df: DataFrame, key: str):
+        """Join keys may be plain column references or templates
+        (templated join conditions, semantify.py:528-535)."""
+        if "{" in key:
+            return compile_template(df, key, encode=False).expr
+        return canonical_string(df, key)
+
+    def _parent_pairs(self, parent_tm: TriplesMap, parent_keys: tuple) -> DataFrame:
+        """Distinct (key…, subject) pairs of the parent TM — the Spark
+        analogue of the reference's ``hash_maker`` join table
+        (semantify.py:523-931), cached per (parentTM, keys) and persisted
+        when probed by more than one join."""
+        cache_key = (parent_tm.tm_id, parent_keys)
+        if cache_key in self._parent_cache:
+            return self._parent_cache[cache_key]
+        pdf = self.scan(parent_tm)
+        psub = compile_term_map(pdf, parent_tm.subject.term, "subject", base=self.base)
+        sel = pdf.where(psub.valid).select(
+            psub.expr.alias("__po"),
+            *[
+                self._join_key_expr(pdf, k).alias(f"__pk{i}")
+                for i, k in enumerate(parent_keys)
+            ],
+        )
+        for i in range(len(parent_keys)):
+            sel = sel.where(valid_value(F.col(f"__pk{i}")))
+        pairs = sel.dropDuplicates()
+        src = parent_tm.source.source
+        if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:
+            pairs = F.broadcast(pairs)
+        elif self._parent_refcount.get(cache_key, 0) > 1:
+            pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        self._parent_cache[cache_key] = pairs
+        return pairs

@@ -1,0 +1,301 @@
+"""Term-map → native Spark Column compilation.
+
+This is the replacement for the reference's row-at-a-time
+``string_substitution`` interpreter (reference:
+rdfizer/rdfizer/functions.py:1775-1965) and the term-type/datatype
+decoration logic (reference: rdfizer/rdfizer/semantify.py:6328-6381,
+6794-6885). Everything compiles to built-in Column expressions so Catalyst
+sees the whole plan and whole-stage codegen applies — no Python in the hot
+path.
+
+Semantics preserved from the reference:
+  * NULL-ish values — ``None``/``"nan"``/``"N/A"``/``"None"``/``"NULL"`` or
+    whitespace-only — invalidate the term and drop the triple
+    (functions.py:1882-1912).
+  * Template values are trimmed and percent-encoded (safe set
+    ``'_-.~:@=+%'``, functions.py:580-582) when they land inside an IRI and
+    don't themselves contain "http".
+  * Reference-valued literals replace ``"`` with ``'`` (functions.py:1950).
+  * Float-looking values are canonicalized like Python ``repr(float(v))``
+    (functions.py:1884-1890) — e.g. ``"150.00"`` → ``"150.0"``.
+  * Blank nodes: ``/``→``2F``, percent signs stripped, ``.``→``2E``
+    (semantify.py:6354-6367).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..ir import CONSTANT, REFERENCE, TEMPLATE, TermMap, TT_BLANKNODE, TT_IRI, TT_LITERAL, TT_UNSAFE_IRI
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+DEFAULT_BASE = "http://example.com/base/"
+
+_NULLISH = ("nan", "N/A", "None", "NULL")
+
+_TEMPLATE_REF_RE = re.compile(r"(?<!\\)\{(.+?)(?<!\\)\}")
+
+
+def template_references(template: str) -> list[str]:
+    """Column references inside a ``{...}`` template."""
+    return _TEMPLATE_REF_RE.findall(template)
+
+
+def canonical_string(df: DataFrame, ref: str) -> Column:
+    """A column rendered to its canonical string form.
+
+    Matches the reference's row model where every value is a string
+    (CSV is read with dtype=str, semantify.py:10227) and float-like values
+    go through ``repr(float(v))`` (functions.py:1884-1890): typed parquet
+    doubles become shortest-decimal strings without scientific notation and
+    with at least one fractional digit.
+    """
+    dtype = dict(df.dtypes).get(ref)
+    col = F.col(ref) if "." not in ref else F.col(ref)  # nested access works via dots
+    if dtype in ("double", "float"):
+        # decimal-cast → trim trailing zeros, keep >=1 fractional digit:
+        # 1234.5600 → "1234.56", 150.0 → "150.0", 12345678.9 stays plain
+        # notation (Spark's native double→string cast would give E-notation
+        # for |v|>=1e7, which diverges from Python repr()).
+        s = F.col(ref).cast(T.DecimalType(38, 10)).cast("string")
+        s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+        return F.regexp_replace(s, r"\.$", ".0")
+    if dtype == "boolean":
+        return F.when(col, F.lit("True")).when(~col, F.lit("False"))
+    if dtype == "string":
+        # float-string canonicalization: "^-?\d+(?:\.\d+)$" → repr(float())
+        floatish = col.rlike(r"^-?\d+\.\d+$")
+        canon = F.regexp_replace(col, r"(\.\d*?)0+$", r"$1")
+        canon = F.regexp_replace(canon, r"\.$", ".0")
+        return F.when(floatish, canon).otherwise(col)
+    return col.cast("string")
+
+
+def valid_value(col: Column) -> Column:
+    """True when the value is usable (reference NULL semantics,
+    functions.py:1882-1912): non-null, not a NULL-marker string, not
+    whitespace-only."""
+    return col.isNotNull() & ~col.isin(*_NULLISH) & (F.trim(col) != "")
+
+
+def encode_iri_component(col: Column) -> Column:
+    """Percent-encode like ``urllib.parse.quote(v, safe='_-.~:@=+%')``
+    (reference functions.py:580-582) using only JVM-side expressions.
+
+    ``F.url_encode`` is java.net.URLEncoder (form encoding); we post-fix the
+    differences: space→%20 (not '+'), keep ``~ : @ = + %`` unencoded,
+    encode ``*``.
+    """
+    c = F.url_encode(col)
+    c = F.replace(c, F.lit("+"), F.lit("%20"))      # URLEncoder space → '+'
+    c = F.replace(c, F.lit("%2B"), F.lit("+"))
+    c = F.replace(c, F.lit("%7E"), F.lit("~"))
+    c = F.replace(c, F.lit("%3A"), F.lit(":"))
+    c = F.replace(c, F.lit("%40"), F.lit("@"))
+    c = F.replace(c, F.lit("%3D"), F.lit("="))
+    c = F.replace(c, F.lit("*"), F.lit("%2A"))
+    c = F.replace(c, F.lit("%25"), F.lit("%"))      # last: un-encode literal '%'
+    return c
+
+
+@dataclass
+class CompiledValue:
+    """A lexical value expression + its row-validity condition."""
+
+    expr: Column
+    valid: Column
+
+
+def compile_template(df: DataFrame, template: str, *, encode: bool = True) -> CompiledValue:
+    """Expand ``"http://x/{a}/{b}"`` into concat + validity condition.
+
+    Encoding rule mirrors functions.py:1896-1899: a substituted value is
+    percent-encoded iff the template text before the placeholder contains
+    "http" and the value itself doesn't.
+    """
+    parts: list[Column] = []
+    valid = F.lit(True)
+    pos = 0
+    seen_http = False
+    for m in _TEMPLATE_REF_RE.finditer(template):
+        lit = template[pos : m.start()].replace(r"\{", "{").replace(r"\}", "}")
+        if lit:
+            parts.append(F.lit(lit))
+        seen_http = seen_http or ("http" in template[: m.start()])
+        ref = m.group(1).split("[")[0] if "[" not in m.group(1) else m.group(1)
+        raw = canonical_string(df, ref)
+        valid = valid & valid_value(raw)
+        v = F.trim(raw)
+        if encode and seen_http:
+            v = F.when(v.contains("http"), v).otherwise(encode_iri_component(v))
+        parts.append(v)
+        pos = m.end()
+    tail = template[pos:].replace(r"\{", "{").replace(r"\}", "}")
+    if tail:
+        parts.append(F.lit(tail))
+    if not parts:
+        parts = [F.lit("")]
+    return CompiledValue(expr=F.concat(*parts), valid=valid)
+
+
+def compile_reference(df: DataFrame, ref: str, *, for_literal: bool = True) -> CompiledValue:
+    raw = canonical_string(df, ref)
+    valid = valid_value(raw)
+    v = F.trim(raw)
+    if for_literal:
+        v = F.replace(v, F.lit('"'), F.lit("'"))   # functions.py:1950
+    return CompiledValue(expr=v, valid=valid)
+
+
+def _nt_escape_literal(col: Column) -> Column:
+    """Escape backslash/newline/CR/tab for N-Triples literal bodies.
+
+    The reference emits raw strings (only ``"``→``'``); we additionally
+    escape control characters so the output is always valid N-Triples —
+    a strict superset of valid outputs on clean data.
+    """
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
+def wrap_iri(value: Column, *, base: str | None = None) -> Column:
+    """IRI term completion (semantify.py:6334-6350): values without "http"
+    get the base IRI prepended (encoded under the default base)."""
+    b = base if base else DEFAULT_BASE
+    completed = F.when(value.contains("http"), value).otherwise(
+        F.concat(F.lit(b), value if base else encode_iri_component(value))
+    )
+    return F.concat(F.lit("<"), completed, F.lit(">"))
+
+
+def wrap_blank(value: Column) -> Column:
+    """Blank-node term (semantify.py:6354-6367)."""
+    v = F.replace(value, F.lit("/"), F.lit("2F"))
+    v = encode_iri_component(v)
+    v = F.replace(v, F.lit("%"), F.lit(""))
+    v = F.replace(v, F.lit("."), F.lit("2E"))
+    return F.concat(F.lit("_:"), v)
+
+
+def wrap_literal(value: Column, datatype: Column | None, language: Column | None) -> Column:
+    """Literal term with optional datatype/language decoration
+    (semantify.py:6794-6885)."""
+    body = F.concat(F.lit('"'), _nt_escape_literal(value), F.lit('"'))
+    if language is not None:
+        return F.concat(body, F.lit("@"), language)
+    if datatype is not None:
+        return F.concat(body, F.lit("^^<"), datatype, F.lit(">"))
+    return body
+
+
+_NATURAL_DT = {
+    "tinyint": XSD + "integer", "smallint": XSD + "integer",
+    "int": XSD + "integer", "bigint": XSD + "integer",
+    "float": XSD + "double", "double": XSD + "double",
+    "decimal": XSD + "decimal", "boolean": XSD + "boolean",
+    "date": XSD + "date", "timestamp": XSD + "dateTime",
+}
+
+
+def natural_datatype(df: DataFrame, ref: str) -> str | None:
+    """xsd datatype inferred from the source column's Spark type (the
+    natural-mapping analogue of value sniffing at functions.py:16-65,
+    applied at semantify.py:8537-8546 for typed DB sources)."""
+    dtype = dict(df.dtypes).get(ref)
+    if dtype is None:
+        return None
+    base = dtype.split("(")[0]
+    return _NATURAL_DT.get(base)
+
+
+def compile_term_map(
+    df: DataFrame,
+    tm: TermMap,
+    position: str,
+    *,
+    base: str | None = None,
+    infer_datatypes: bool = False,
+) -> CompiledValue:
+    """Compile a non-join term map into an N-Triples term Column.
+
+    ``position`` ∈ {subject, predicate, object, graph, datatype, language}.
+    Returns the fully-wrapped term (``<iri>`` / ``_:b`` / ``"lit"...``).
+    """
+    if tm.kind == CONSTANT:
+        return _compile_constant(tm, position)
+
+    if tm.kind == TEMPLATE:
+        cv = compile_template(df, tm.value)
+    elif tm.kind == REFERENCE:
+        is_lit = _is_literal_position(tm, position)
+        cv = compile_reference(df, tm.value, for_literal=is_lit)
+    else:
+        raise NotImplementedError(f"term map kind {tm.kind} must be handled by the planner")
+
+    if position in ("datatype", "language"):
+        return cv
+
+    tt = tm.term_type
+    if tt is None:
+        if position in ("subject", "predicate", "graph"):
+            tt = TT_IRI
+        else:
+            tt = TT_LITERAL if tm.kind == REFERENCE else TT_IRI
+
+    if tt == TT_BLANKNODE:
+        return CompiledValue(wrap_blank(cv.expr), cv.valid)
+    if tt == TT_UNSAFE_IRI:
+        return CompiledValue(F.concat(F.lit("<"), F.url_decode(cv.expr), F.lit(">")), cv.valid)
+    if tt == TT_IRI:
+        return CompiledValue(wrap_iri(cv.expr, base=base), cv.valid)
+
+    # Literal: resolve datatype / language (constant or map-valued)
+    dt_col = lang_col = None
+    valid = cv.valid
+    if tm.language is not None:
+        lang_col = F.lit(tm.language)
+    elif tm.language_map is not None:
+        lcv = compile_term_map(df, tm.language_map, "language", base=base)
+        lang_col, valid = lcv.expr, valid & lcv.valid
+    elif tm.datatype is not None:
+        dt_col = F.lit(tm.datatype)
+    elif tm.datatype_map is not None:
+        dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base)
+        dt_col, valid = dcv.expr, valid & dcv.valid
+    elif infer_datatypes and tm.kind == REFERENCE:
+        nd = natural_datatype(df, tm.value)
+        if nd:
+            dt_col = F.lit(nd)
+    return CompiledValue(wrap_literal(cv.expr, dt_col, lang_col), valid)
+
+
+def _is_literal_position(tm: TermMap, position: str) -> bool:
+    if position != "object":
+        return False
+    return tm.term_type in (None, TT_LITERAL) or tm.term_type == TT_LITERAL
+
+
+def _compile_constant(tm: TermMap, position: str) -> CompiledValue:
+    v = tm.value
+    if position in ("datatype", "language"):
+        return CompiledValue(F.lit(v), F.lit(True))
+    if tm.constant_is_iri or position in ("subject", "predicate", "graph"):
+        term = f"<{v}>"
+    else:
+        # constant-shortcut literal, possibly with "...@lang" suffix
+        # (reference parses it at semantify.py:6695-6713)
+        if tm.language:
+            term = f'"{v}"@{tm.language}'
+        elif tm.datatype:
+            term = f'"{v}"^^<{tm.datatype}>'
+        else:
+            term = f'"{v}"'
+    return CompiledValue(F.lit(term), F.lit(True))

@@ -1,0 +1,59 @@
+"""Run configuration (config.ini) parsing.
+
+Mirrors the reference's ConfigParser-driven entry (reference:
+rdfizer/rdfizer/semantify.py:9912-9947): datasets, output folder,
+remove_duplicate, all_in_one_file, output_format, ordered, enrichment.
+Flags that only exist to manage single-process memory (mapping_partitions,
+ordered eviction scheduling, enrichment toggle) are accepted but are
+no-ops here — Spark's shuffle/spill machinery replaces them.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DatasetConfig:
+    name: str
+    mapping_path: str
+
+
+@dataclass
+class RunConfig:
+    datasets: list[DatasetConfig] = field(default_factory=list)
+    output_folder: str = "output"
+    remove_duplicates: bool = True
+    all_in_one_file: bool = False
+    output_format: str = "n-triples"   # n-triples | turtle
+    base: str | None = None
+    infer_datatypes: bool = False
+
+
+def load_config(path_or_dict) -> RunConfig:
+    if isinstance(path_or_dict, dict):
+        cp = configparser.ConfigParser()
+        cp.read_dict(path_or_dict)
+        base_dir = "."
+    else:
+        cp = configparser.ConfigParser(interpolation=configparser.ExtendedInterpolation())
+        cp.read(path_or_dict)
+        base_dir = os.path.dirname(os.path.abspath(path_or_dict))
+
+    ds_sec = cp["datasets"]
+    cfg = RunConfig(
+        output_folder=ds_sec.get("output_folder", "output"),
+        remove_duplicates=ds_sec.get("remove_duplicate", "yes").lower() in ("yes", "true"),
+        all_in_one_file=ds_sec.get("all_in_one_file", "no").lower() in ("yes", "true"),
+        output_format=ds_sec.get("output_format", "n-triples").lower(),
+    )
+    n = int(ds_sec.get("number_of_datasets", "1"))
+    for i in range(1, n + 1):
+        sec = cp[f"dataset{i}"]
+        mp = sec["mapping"]
+        if not os.path.isabs(mp):
+            mp = os.path.join(base_dir, mp)
+        cfg.datasets.append(DatasetConfig(name=sec.get("name", f"dataset{i}"), mapping_path=mp))
+    return cfg

@@ -1,0 +1,88 @@
+"""Top-level entry points.
+
+``semantify(config)`` is the drop-in analogue of the reference's
+``rdfizer.semantify(config_path)`` (reference:
+rdfizer/rdfizer/semantify.py:9908): parse config → parse mappings → compile
+→ execute on Spark → write outputs.
+
+``materialize(spark, mapping_text, ...)`` is the library-first API: give it
+RML Turtle, get back the triples DataFrame (lazily planned — callers
+compose further or write via sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler.plan import MappingPlanner
+from .config import RunConfig, load_config
+from .rml_parser import parse_mapping, parse_mapping_file
+from .sinks import to_turtle, write_ntriples
+from .turtle import parse as parse_turtle
+
+
+def default_session(app: str = "sdm-rdfizer-spark", cpus: str | int = "*") -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def materialize(
+    spark: SparkSession,
+    mapping_text: str,
+    *,
+    base_dir: str | None = None,
+    remove_duplicates: bool = True,
+    infer_datatypes: bool = False,
+) -> DataFrame:
+    """Compile an RML mapping document into its triples DataFrame."""
+    g = parse_turtle(mapping_text)
+    from .rml_parser import extract_triples_maps
+
+    tms = extract_triples_maps(g, base_dir)
+    planner = MappingPlanner(
+        spark, tms, base=g.base,
+        remove_duplicates=remove_duplicates,
+        infer_datatypes=infer_datatypes,
+    )
+    return planner.compile_all()
+
+
+def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]:
+    """Run full materialization per the config; returns the triples
+    DataFrame per dataset (also written to the configured output folder)."""
+    cfg: RunConfig = load_config(config)
+    owns_spark = spark is None
+    spark = spark or default_session()
+    results: dict[str, DataFrame] = {}
+    os.makedirs(cfg.output_folder, exist_ok=True)
+    try:
+        for ds in cfg.datasets:
+            with open(ds.mapping_path, encoding="utf-8") as f:
+                text = f.read()
+            triples = materialize(
+                spark, text,
+                base_dir=os.path.dirname(os.path.abspath(ds.mapping_path)),
+                remove_duplicates=cfg.remove_duplicates,
+                infer_datatypes=cfg.infer_datatypes,
+            )
+            results[ds.name] = triples
+            if cfg.output_format in ("turtle", "ttl"):
+                out = os.path.join(cfg.output_folder, ds.name + ".ttl")
+                with open(out, "w", encoding="utf-8") as f:
+                    f.write(to_turtle(triples))
+            else:
+                out = os.path.join(cfg.output_folder, ds.name + ".nt")
+                write_ntriples(triples, out, single_file=True)
+        return results
+    finally:
+        if owns_spark:
+            pass  # leave the session to the caller/runtime to manage

@@ -1,0 +1,269 @@
+"""RML / R2RML mapping-document → IR extractor.
+
+The reference extracts TriplesMap objects by running SPARQL over the
+rdflib-parsed mapping (reference: rdfizer/rdfizer/semantify.py:2135-2483 for
+the new RML formulation, semantify.py:2486-2676 for legacy RML/R2RML, FNML
+at semantify.py:1871-1900, RML-CC at semantify.py:1901-2011). We walk our
+own parsed Turtle graph instead; both the legacy vocabularies
+(rr:/rml:/ql:/fnml:) and the unified ``http://w3id.org/rml/`` namespace are
+accepted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .ir import (
+    CONSTANT, FUNCTION, GATHER, PARENT, QUOTED, REFERENCE, TEMPLATE,
+    FunctionMap, GatherMap, JoinCondition, LogicalSource, PredicateObjectMap,
+    SubjectMap, TermMap, TriplesMap,
+)
+from .turtle import BNode, Graph, IRI, Literal, RDF, parse
+
+RR = "http://www.w3.org/ns/r2rml#"
+RML = "http://semweb.mmlab.be/ns/rml#"
+QL = "http://semweb.mmlab.be/ns/ql#"
+RML2 = "http://w3id.org/rml/"          # unified "new RML" namespace
+FNML = "http://semweb.mmlab.be/ns/fnml#"
+FNO = "https://w3id.org/function/ontology#"
+CSVW = "http://www.w3.org/ns/csvw#"
+DCAT = "http://www.w3.org/ns/dcat#"
+VOID = "http://rdfs.org/ns/void#"
+
+_NS = (RML2, RR, RML, FNML, FNO)
+
+
+def _vals(g: Graph, s, *local_names):
+    """All objects of s under any namespace variant of the given local names."""
+    out = []
+    for ln in local_names:
+        for ns in _NS:
+            out.extend(g.objects(s, IRI(ns + ln)))
+    return out
+
+
+def _val(g: Graph, s, *local_names, default=None):
+    v = _vals(g, s, *local_names)
+    return v[0] if v else default
+
+
+def _txt(v) -> str | None:
+    if v is None:
+        return None
+    return str(v)
+
+
+_FORMULATIONS = {
+    "CSV": "csv", "TSV": "tsv", "JSONPath": "json", "XPath": "xml",
+    "Parquet": "parquet", "SQL2008": "sql", "SPARQL": "sparql",
+}
+
+
+def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
+    src_node = _val(g, ls_node, "source")
+    source = None
+    delimiter = None
+    if isinstance(src_node, Literal):
+        source = str(src_node)
+    elif src_node is not None:
+        # structured source descriptors (reference: semantify.py:2148-2195)
+        for prop in ((RML2, "path"), (RML2, "root"), (RML, "path"),
+                     (CSVW, "url"), (DCAT, "downloadURL"), (VOID, "dataDump")):
+            v = g.value(src_node, IRI(prop[0] + prop[1]))
+            if v is not None and prop[1] != "root":
+                source = str(v)
+                break
+        dialect = g.value(src_node, IRI(CSVW + "dialect"))
+        if dialect is not None:
+            d = g.value(dialect, IRI(CSVW + "delimiter"))
+            if d is not None:
+                delimiter = str(d)
+    fmt_iri = _txt(_val(g, ls_node, "referenceFormulation"))
+    fmt = "csv"
+    if fmt_iri:
+        local = fmt_iri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+        fmt = _FORMULATIONS.get(local, local.lower())
+    iterator = _txt(_val(g, ls_node, "iterator"))
+    table = _txt(_val(g, ls_node, "tableName"))
+    query = _txt(_val(g, ls_node, "query", "sqlQuery"))
+    if source and base_dir and "://" not in source and not os.path.isabs(source):
+        source = os.path.join(base_dir, source)
+    # infer format from extension when unspecified
+    if fmt == "csv" and source:
+        low = source.lower()
+        if low.endswith(".parquet"):
+            fmt = "parquet"
+        elif low.endswith(".json"):
+            fmt = "json"
+        elif low.endswith(".tsv"):
+            fmt = "tsv"
+        elif low.endswith(".xml"):
+            fmt = "xml"
+        elif low.endswith(".nt"):
+            fmt = "ntriples"
+    return LogicalSource(source=source or "", fmt=fmt, iterator=iterator,
+                         table=table, query=query, delimiter=delimiter)
+
+
+def _term_type(v) -> str | None:
+    t = _txt(v)
+    if t is None:
+        return None
+    local = t.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+    return local
+
+
+def _parse_term_map(g: Graph, node, pos: str) -> TermMap:
+    """Parse one term map bnode (subject/predicate/object/graph position)."""
+    template = _txt(_val(g, node, "template"))
+    reference = _txt(_val(g, node, "reference", "column"))
+    constant = _val(g, node, "constant")
+    parent_tm = _val(g, node, "parentTriplesMap")
+    fn = _val(g, node, "functionValue", "functionExecution")
+    gather = _vals(g, node, "gather")
+
+    tt = _term_type(_val(g, node, "termType"))
+    datatype = _txt(_val(g, node, "datatype"))
+    language = _txt(_val(g, node, "language"))
+    dt_map_node = _val(g, node, "datatypeMap")
+    lang_map_node = _val(g, node, "languageMap")
+    dt_map = _parse_term_map(g, dt_map_node, "datatype") if dt_map_node is not None else None
+    lang_map = _parse_term_map(g, lang_map_node, "language") if lang_map_node is not None else None
+
+    if gather:
+        items = []
+        for head in gather:
+            for item in g.collection_items(head):
+                items.append(_parse_term_map(g, item, "object"))
+        gather_as = _txt(_val(g, node, "gatherAs")) or (RDF + "List")
+        strategy_iri = _txt(_val(g, node, "strategy"))
+        strategy = "cartesian" if (strategy_iri and "cartesian" in strategy_iri.lower()) else "append"
+        allow_empty = str(_val(g, node, "allowEmptyListAndContainer", default="false")).lower() == "true"
+        gm = GatherMap(gather=items, gather_as=gather_as, strategy=strategy, allow_empty=allow_empty)
+        base = TermMap(kind=GATHER, value="", term_type=tt, gather=gm)
+        base.template_for_gather = template  # subject of the gathered collection, if any
+        return base
+
+    if fn is not None:
+        return TermMap(kind=FUNCTION, value=str(fn), term_type=tt,
+                       datatype=datatype, datatype_map=dt_map,
+                       language=language, language_map=lang_map)
+    if parent_tm is not None:
+        children, parents = [], []
+        for jc in _vals(g, node, "joinCondition"):
+            c = _txt(_val(g, jc, "child", "childMap"))
+            p = _txt(_val(g, jc, "parent", "parentMap"))
+            if c is None:
+                cm = _val(g, jc, "childMap")
+                c = _txt(_val(g, cm, "reference", "template")) if cm is not None else None
+            if p is None:
+                pm = _val(g, jc, "parentMap")
+                p = _txt(_val(g, pm, "reference", "template")) if pm is not None else None
+            if c is not None and p is not None:
+                children.append(c)
+                parents.append(p)
+        join = JoinCondition(child=children, parent=parents) if children else None
+        return TermMap(kind=PARENT, value=str(parent_tm), parent_tm=str(parent_tm), join=join)
+    if template is not None:
+        return TermMap(kind=TEMPLATE, value=template, term_type=tt,
+                       datatype=datatype, datatype_map=dt_map,
+                       language=language, language_map=lang_map)
+    if reference is not None:
+        return TermMap(kind=REFERENCE, value=reference, term_type=tt,
+                       datatype=datatype, datatype_map=dt_map,
+                       language=language, language_map=lang_map)
+    if constant is not None:
+        is_iri = isinstance(constant, IRI)
+        return TermMap(kind=CONSTANT, value=str(constant), term_type=tt,
+                       datatype=datatype, language=language, constant_is_iri=is_iri)
+    # a bare IRI/literal used directly as a constant shortcut
+    if isinstance(node, (IRI, Literal)):
+        return TermMap(kind=CONSTANT, value=str(node), constant_is_iri=isinstance(node, IRI))
+    raise ValueError(f"cannot interpret term map {node!r} in {pos} position")
+
+
+def _parse_function_maps(g: Graph) -> dict[str, FunctionMap]:
+    """FNML function descriptors (reference: semantify.py:1871-1900)."""
+    out: dict[str, FunctionMap] = {}
+    for fn_node in set(list(g.subjects(IRI(FNO + "executes"))) +
+                       [s for s, _, _ in g.match(None, IRI(RML2 + "function"), None)]):
+        name = _txt(g.value(fn_node, IRI(FNO + "executes"))) or \
+            _txt(g.value(fn_node, IRI(RML2 + "function")))
+        params: dict = {}
+        out[str(fn_node)] = FunctionMap(func_map_id=str(fn_node), name=name or "", parameters=params)
+    return out
+
+
+def parse_mapping(text: str, base_dir: str | None = None) -> list[TriplesMap]:
+    g = parse(text)
+    return extract_triples_maps(g, base_dir)
+
+
+def parse_mapping_file(path: str) -> list[TriplesMap]:
+    with open(path, encoding="utf-8") as f:
+        return parse_mapping(f.read(), base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def extract_triples_maps(g: Graph, base_dir: str | None = None) -> list[TriplesMap]:
+    tms: list[TriplesMap] = []
+    tm_nodes = []
+    seen = set()
+    # anything with a logicalSource + subjectMap is a triples map
+    for ln in ("logicalSource",):
+        for ns in _NS:
+            for s in g.subjects(IRI(ns + ln)):
+                if s not in seen:
+                    seen.add(s)
+                    tm_nodes.append(s)
+    for node in tm_nodes:
+        ls_node = _val(g, node, "logicalSource")
+        source = _parse_source(g, ls_node, base_dir)
+
+        sm_node = _val(g, node, "subjectMap", "subject")
+        if sm_node is None:
+            continue
+        if isinstance(sm_node, IRI) and not list(g.match(sm_node, None, None)):
+            subject_term = TermMap(kind=CONSTANT, value=str(sm_node), constant_is_iri=True)
+            classes, graphs, condition = [], [], None
+        else:
+            subject_term = _parse_term_map(g, sm_node, "subject")
+            classes = [str(c) for c in _vals(g, sm_node, "class")]
+            graphs = []
+            for gm in _vals(g, sm_node, "graphMap"):
+                graphs.append(_parse_term_map(g, gm, "graph"))
+            for gc in _vals(g, sm_node, "graph"):
+                graphs.append(TermMap(kind=CONSTANT, value=str(gc), constant_is_iri=True))
+            condition = _txt(_val(g, sm_node, "condition"))
+        sm = SubjectMap(term=subject_term, rdf_classes=classes, graphs=graphs, condition=condition)
+
+        poms: list[PredicateObjectMap] = []
+        for pom_node in _vals(g, node, "predicateObjectMap"):
+            preds: list[TermMap] = []
+            for p in _vals(g, pom_node, "predicate"):
+                preds.append(TermMap(kind=CONSTANT, value=str(p), constant_is_iri=True))
+            for pm in _vals(g, pom_node, "predicateMap"):
+                preds.append(_parse_term_map(g, pm, "predicate"))
+            objs: list[TermMap] = []
+            for o in _vals(g, pom_node, "object"):
+                objs.append(TermMap(kind=CONSTANT, value=str(o),
+                                    constant_is_iri=isinstance(o, IRI),
+                                    datatype=getattr(o, "datatype", None),
+                                    language=getattr(o, "lang", None)))
+            for om in _vals(g, pom_node, "objectMap"):
+                objs.append(_parse_term_map(g, om, "object"))
+            pgraphs = []
+            for gm in _vals(g, pom_node, "graphMap"):
+                pgraphs.append(_parse_term_map(g, gm, "graph"))
+            for gc in _vals(g, pom_node, "graph"):
+                pgraphs.append(TermMap(kind=CONSTANT, value=str(gc), constant_is_iri=True))
+            for p in preds:
+                for o in objs:
+                    poms.append(PredicateObjectMap(predicate=p, obj=o, graphs=pgraphs))
+
+        kind = "TriplesMap"
+        for t in g.objects(node, IRI(RDF + "type")):
+            if "NonAssertedTriplesMap" in str(t):
+                kind = "NonAssertedTriplesMap"
+        tms.append(TriplesMap(tm_id=str(node), source=source, subject=sm,
+                              poms=poms, func_maps=_parse_function_maps(g), kind=kind))
+    return tms
