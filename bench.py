@@ -1,0 +1,75 @@
+"""Benchmark runner — one JSON line with per-query wall-clock seconds.
+
+Runs every ``queries()`` entry from ``__spark_entry__.py`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, forcing full evaluation with a noop write
+(no driver collect — measures distributed materialization throughput,
+comparable to the reference's seconds-per-materialization metric in
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sdm-rdfizer-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from sdm_rdfizer_spark.engine import tune_session
+
+    tune_session(spark)
+
+    import __spark_entry__ as entry_mod
+
+    # warmup: initialize parquet datasource, codegen, shuffle machinery so
+    # the first timed query isn't charged JVM/session init (~15 s here)
+    from pyspark.sql import functions as F
+
+    spark.range(0, 1_000_000, 1, 8).agg(F.sum("id")).collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        spark.catalog.clearCache()   # drop persisted parent-join DFs between queries
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "materialization_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,7 @@ plans, plus large-scale training-data operators (dedup, similarity search,
 text analysis) the original never had.
 """
 
-from .engine import default_session, materialize, semantify
+from .engine import default_session, materialize, semantify, tune_session
 from .rml_parser import parse_mapping, parse_mapping_file
 from .sinks import ntriples_lines, to_turtle, write_ntriples
 

@@ -116,6 +116,16 @@ class MappingPlanner:
 
     # ------------------------------------------------------------------
     def compile_tm(self, tm: TriplesMap) -> DataFrame:
+        """One TriplesMap → triples DataFrame.
+
+        Plan shape: a SINGLE scan pass computes the subject and every
+        projection-valued term once, packs (p, o, g, valid) structs into an
+        array, and ``explode``s it into triples — the source is read once
+        per TM regardless of POM count, and no term expression is
+        duplicated across union branches (each extra scan/duplication is a
+        multiplicative cost at 100 TB). Only join-valued POMs become
+        separate union branches, since their row multiplicity differs.
+        """
         df = self.scan(tm)
         subj = compile_term_map(df, tm.subject.term, "subject",
                                 base=self.base, infer_datatypes=self.infer_datatypes)
@@ -123,19 +133,36 @@ class MappingPlanner:
 
         base_df = df.where(subj.valid).withColumn("__s", subj.expr)
 
-        branches: list[DataFrame] = []
+        entries = []   # structs for the explode branch: (p, o, g, v)
         # rdf:type triples from rr:class (semantify.py:6556-6563)
         for cls in tm.subject.rdf_classes:
-            branches.append(
-                base_df.select(
-                    F.col("__s").alias("s"),
-                    F.lit(RDF_TYPE).alias("p"),
-                    F.lit(f"<{cls}>").alias("o"),
-                    graph.alias("g"),
-                )
-            )
+            entries.append((F.lit(RDF_TYPE), F.lit(f"<{cls}>"), graph, F.lit(True)))
+
+        branches: list[DataFrame] = []
         for pom in tm.poms:
-            branches.extend(self._compile_pom(tm, df, base_df, pom, graph))
+            out = self._compile_pom(tm, df, base_df, pom, graph)
+            if isinstance(out, tuple):
+                entries.append(out)
+            else:
+                branches.append(out)
+
+        if entries:
+            structs = F.array(*[
+                F.struct(
+                    p.alias("p"),
+                    o.cast("string").alias("o"),
+                    g.cast("string").alias("g"),
+                    v.alias("v"),
+                )
+                for (p, o, g, v) in entries
+            ])
+            exploded = (
+                base_df.select(F.col("__s").alias("s"), F.explode(structs).alias("__t"))
+                .where(F.col("__t.v"))
+                .select("s", F.col("__t.p").alias("p"),
+                        F.col("__t.o").alias("o"), F.col("__t.g").alias("g"))
+            )
+            branches.insert(0, exploded)
         if not branches:
             return self.spark.createDataFrame([], "s string, p string, o string, g string")
         return reduce(DataFrame.union, branches)
@@ -149,7 +176,10 @@ class MappingPlanner:
             return F.lit(None).cast("string")
         return compile_term_map(df, g, "graph", base=self.base).expr
 
-    def _compile_pom(self, tm, df, base_df, pom, subj_graph) -> list[DataFrame]:
+    def _compile_pom(self, tm, df, base_df, pom, subj_graph):
+        """Returns a (p, o, g, valid) tuple for projection-valued POMs
+        (fused into the TM's single explode pass) or a DataFrame branch
+        for join-valued POMs."""
         pred = compile_term_map(df, pom.predicate, "predicate", base=self.base)
         graph = self._graph_expr(df, pom.graphs) if pom.graphs else subj_graph
         om = pom.obj
@@ -157,16 +187,21 @@ class MappingPlanner:
         if om.kind in (TEMPLATE, REFERENCE, CONSTANT):
             obj = compile_term_map(df, om, "object", base=self.base,
                                    infer_datatypes=self.infer_datatypes)
-            return [
-                base_df.where(pred.valid & obj.valid).select(
-                    F.col("__s").alias("s"),
-                    pred.expr.alias("p"),
-                    obj.expr.alias("o"),
-                    graph.alias("g"),
-                )
-            ]
+            return (pred.expr, obj.expr, graph, pred.valid & obj.valid)
         if om.kind == PARENT:
-            return [self._compile_join(tm, df, base_df, pred, om, graph)]
+            return self._compile_join(tm, df, base_df, pred, om, graph)
+        if om.kind == GATHER:
+            from .gather import compile_gather
+
+            subj = compile_term_map(df, tm.subject.term, "subject", base=self.base)
+            node_term = None
+            if getattr(om, "template_for_gather", None):
+                node_term = TermMap(kind=TEMPLATE, value=om.template_for_gather,
+                                    term_type=om.term_type)
+            return compile_gather(
+                df, subj.expr, subj.valid & pred.valid, pred.expr, graph,
+                om.gather, base=self.base, node_term=node_term,
+            )
         raise NotImplementedError(f"object-map kind {om.kind} not implemented yet")
 
     # ------------------------------------------------------------------
@@ -181,21 +216,16 @@ class MappingPlanner:
                     f"({tm.tm_id} → {om.parent_tm})"
                 )
             # join-as-projection (inner_functions.py:139-679): parent subject
-            # evaluated over the current row — no join at all.
+            # evaluated over the current row — no join at all; fused into
+            # the TM's single explode pass.
             pobj = compile_term_map(df, parent_tm.subject.term, "subject", base=self.base)
-            return base_df.where(pred.valid & pobj.valid).select(
-                F.col("__s").alias("s"), pred.expr.alias("p"),
-                pobj.expr.alias("o"), graph.alias("g"),
-            )
+            return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid)
 
         if same_source and om.join.child == om.join.parent:
             # self-join elimination (semantify.py:1450-1523): equal keys on
             # the same source ⇒ the parent row IS the child row.
             pobj = compile_term_map(df, parent_tm.subject.term, "subject", base=self.base)
-            return base_df.where(pred.valid & pobj.valid).select(
-                F.col("__s").alias("s"), pred.expr.alias("p"),
-                pobj.expr.alias("o"), graph.alias("g"),
-            )
+            return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid)
 
         pairs = self._parent_pairs(parent_tm, tuple(om.join.parent))
         child = base_df.where(pred.valid).select(

@@ -23,8 +23,37 @@ from .sinks import to_turtle, write_ntriples
 from .turtle import parse as parse_turtle
 
 
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Session settings the engine depends on (safe to set at runtime).
+
+    The Spark 4.1 "tentative" single-pass resolver dual-runs analysis
+    (new resolver + legacy fixed-point + comparison) on every plan; with
+    the wide expression trees a compiled mapping produces, that costs tens
+    of seconds per query — disable it and keep the legacy analyzer.
+    """
+    for k, v in {
+        "spark.sql.analyzer.singlePassResolver.enabled": "false",
+        "spark.sql.analyzer.singlePassResolver.enabledTentatively": "false",
+        "spark.sql.analyzer.singlePassResolver.dualRunWithLegacy": "false",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Generated methods over ~8 KB of bytecode are never JIT-compiled
+        # by HotSpot (DontCompileHugeMethods) and would run as interpreted
+        # bytecode at ~50× slowdown; falling back to Spark's interpreted
+        # expression evaluator for those stages is far faster. Compiled
+        # RML term constructors (encode chains, canonicalization) can
+        # cross that limit on wide mappings.
+        "spark.sql.codegen.hugeMethodLimit": "8000",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def default_session(app: str = "sdm-rdfizer-spark", cpus: str | int = "*") -> SparkSession:
-    return (
+    return tune_session(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", "32")
@@ -44,6 +73,7 @@ def materialize(
     infer_datatypes: bool = False,
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
+    tune_session(spark)
     g = parse_turtle(mapping_text)
     from .rml_parser import extract_triples_maps
 

@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators beyond the reference's RML surface.
+Design notes for 100 TB scale:
+  * exact dedup is one hash-shuffle (groupBy on a digest — never on the
+    full text: the digest is 32 bytes, the text can be MBs);
+  * MinHash signatures are computed in ONE aggregation pass (k min()
+    aggregates over the exploded shingle stream — map-side partial
+    aggregation keeps the shuffle tiny: k×32 bytes per doc);
+  * LSH banding turns all-pairs O(n²) into a self-join on (band, hash)
+    buckets, which Spark executes as a shuffled hash join on a
+    high-cardinality key — no skew for natural corpora; identical-doc
+    floods can be pre-collapsed with exact dedup first;
+  * hash functions are md5-derived (not xxhash64) so results are
+    engine-portable and deterministic across platforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters by content digest.
+
+    Returns one row per distinct content: (content_hash, canonical_id =
+    min id, n_dups). Join back on content_hash to filter the corpus.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct shingles)."""
+    w = col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for seed i, min(md5(i || shingle)).
+
+    One explode + one groupBy with ``num_hashes`` min() aggregates —
+    partial (map-side) aggregation makes the shuffle k strings per doc.
+    md5-as-minhash: lexicographic min over hex digests is a uniform
+    min-hash over a 128-bit space.
+    """
+    sh = shingles(words(text_col), shingle_n)
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; a
+    pair sharing ≥1 band hash is a candidate. Returns
+    (id_a, id_b, n_shared_bands) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col,
+                             num_hashes=num_hashes, shingle_n=shingle_n)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
+        )
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
+                .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
+    shingle: |A∩B| / |A∪B| ≥ threshold.
+
+    Intersection via shingle-inverted-index self-join (shuffle on the
+    shingle — never a cartesian product); union sizes from per-doc
+    distinct-shingle counts. At scale, run AFTER LSH candidate generation
+    to bound the join fan-out.
+    """
+    sh = shingles(words(text_col), shingle_n)
+    docs = df.select(F.col(id_col), sh.alias("sh")).withColumn("sh_n", F.size("sh"))
+    inv = docs.select(id_col, "sh_n", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh_n").alias("n_a"),
+            F.col("b.sh_n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            *, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token md5-derived bit pattern, bitwise
+    majority vote over the document's tokens.
+
+    Uses 32 bits from the md5 hex digest (portable across engines).
+    Hamming-near fingerprints indicate near-duplicate documents; bucket
+    by bit-slices for a banding search, same shape as MinHash-LSH.
+    """
+    w = F.transform(words(text_col), F.lower)
+    # token hash = first 8 hex chars of md5 → 32-bit int
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    exploded = df.select(F.col(id_col), F.explode(w).alias("tok"))
+    exploded = exploded.withColumn("h", tok_hash(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))

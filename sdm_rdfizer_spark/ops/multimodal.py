@@ -1,0 +1,125 @@
+"""Multimodal-column plumbing: images/audio/video as opaque binary columns.
+
+The Spark-side structure — schema, batching, partition sizing, Arrow
+transfer — is real and tested; the actual codec work is stubbed behind
+``DECODERS`` because no image/audio libraries ship in this container
+(swap in PIL/torchaudio implementations by registering a decoder).
+
+Plan shape for 100 TB: binary payloads stay columnar (parquet binary with
+a size-capped row group); transforms run via ``mapInPandas`` so one Arrow
+batch moves per partition-chunk, not one row per call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+@dataclass
+class DecodeResult:
+    width: int | None = None
+    height: int | None = None
+    duration_ms: int | None = None
+
+
+def _fake_decode(kind: str, payload: bytes) -> DecodeResult:
+    """Deterministic fake decoder — stands in for PIL/ffmpeg.
+
+    Derives stable pseudo-dimensions from the payload so tests are
+    reproducible. Replace via ``register_decoder``.
+    """
+    h = sum(payload[:64]) if payload else 0
+    if kind == "image":
+        return DecodeResult(width=64 + h % 512, height=64 + (h * 7) % 512)
+    if kind in ("audio", "video"):
+        return DecodeResult(duration_ms=1000 + (h * 13) % 60000)
+    raise NotImplementedError(f"no decoder for media kind {kind!r}")
+
+
+DECODERS: dict[str, Callable[[str, bytes], DecodeResult]] = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def register_decoder(kind: str, fn: Callable[[str, bytes], DecodeResult]) -> None:
+    DECODERS[kind] = fn
+
+
+def extract_features(df: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
+    """Decode + feature-extract media rows via mapInPandas (Arrow batches).
+
+    Input must match MEDIA_SCHEMA columns; output is FEATURE_SCHEMA.
+    The hash digest and byte length are computed pandas-side within the
+    same pass — one data scan, one Python crossing per batch.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "digest": pdf["payload"].map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                ),
+            }
+            widths, heights, durations = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                dec = DECODERS.get(kind)
+                if dec is None or payload is None:
+                    widths.append(None); heights.append(None); durations.append(None)
+                    continue
+                r = dec(kind, bytes(payload))
+                widths.append(r.width); heights.append(r.height); durations.append(r.duration_ms)
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["duration_ms"] = pd.array(durations, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64, *, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table for tests (payload = seeded
+    bytes; no external fixtures needed)."""
+    base = spark.range(0, n, 1, partitions)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(
+        F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))), "utf-8"
+    )
+    return base.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
+    )

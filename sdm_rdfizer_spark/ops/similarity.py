@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane) variant as the scale path. Dot products use
+``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python in the loop.
+
+Scale posture: brute force is a broadcast nested-loop (queries are small:
+broadcast them; candidates stream). The LSH variant buckets both sides by
+sign-pattern so only same-bucket pairs are scored — at 1000 executors the
+bucket join shuffles instead of broadcasting the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` is a (usually tiny) DataFrame with the same id/vec columns;
+    it is broadcast so the corpus never shuffles. Self-matches excluded.
+    Returns (query_id, neighbor_id, sim, rank).
+    """
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    sim = cosine(F.col("__qv"), F.col("__cv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state — a
+    simple LCG keeps this reproducible across engines and platforms)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # ∈ [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets, score only
+    same-bucket pairs. Recall grows with repetition (run with several
+    seeds and union); this single-table variant demonstrates the plan
+    shape: bucket both sides → shuffle-join on bucket → window top-k.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def bucket(vec: Column) -> Column:
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(x) for x in p])
+            bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__bucket", bucket(F.col("__cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__bucket", bucket(F.col("__qv")))
+    scored = (
+        cand.join(q, ["__bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

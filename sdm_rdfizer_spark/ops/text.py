@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These go beyond the reference's RML surface (SURVEY §2 lists none of
+these) — they are the document-pipeline operators a 100 TB corpus job
+needs: token counting, quality scoring, language ID, fingerprinting.
+Everything is built-in Column expressions (JVM-side, codegen-friendly);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small, fixed stopword inventory per language — enough for a
+# ratio-feature and an n-gram-free language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "es": ["el", "la", "y", "los", "de", "que", "un", "una", "es", "para"],
+}
+
+# BPE-ish tokenization: word pieces OR single non-space punctuation.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace-split word array (empty array for blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace word count + BPE-ish regex token count per document."""
+    return df.select(
+        "*",
+        F.size(words(text_col)).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)).alias("n_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    A cheap quality prior in the spirit of C4/Gopher-style heuristics:
+    documents with pathological punctuation density or near-zero stopword
+    ratio are usually boilerplate or non-linguistic.
+    """
+    w = words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(F.transform(w, F.lower), lambda x: F.array_contains(sw, x)))
+    avg_word_len = F.when(n_words > 0, F.round((n_chars - n_words + 1) / n_words, 4)).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("q_punct_ratio"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 6).alias("q_stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID over a fixed 4-language inventory.
+
+    Scores each language by stopword hits in the document and picks the
+    argmax (ties broken by language-code order); documents with zero hits
+    get 'und'. A full n-gram model would use the same plan shape with a
+    broadcast n-gram table.
+    """
+    w = F.transform(words(text_col), F.lower)
+
+    def _hits(lang: str):
+        sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        # NB: the lambda must be unary — PySpark binds a second parameter
+        # to the element index.
+        return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        scores.append(F.struct(_hits(lang).alias("hits"), F.lit(lang).alias("lang")))
+    # argmax by (hits, reversed-lang) — array_max picks lexicographically
+    # greatest struct; to break hit-ties toward the alphabetically first
+    # language we compare on (hits, negated-lang-rank).
+    ranked = []
+    for i, sc in enumerate(scores):
+        ranked.append(F.struct(sc["hits"].alias("hits"), F.lit(-i).alias("rank"), sc["lang"].alias("lang")))
+    best = F.array_max(F.array(*ranked))
+    return df.select(
+        "*",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercased, whitespace collapsed). Identical-content detection that
+    survives whitespace/case jitter."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select("*", F.md5(norm).alias("fp_md5"))

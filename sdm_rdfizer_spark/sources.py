@@ -32,7 +32,7 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         )
         return df
     if fmt == "parquet":
-        return spark.read.parquet(ls.source)
+        return read_parquet(spark, ls.source)
     if fmt == "json":
         return _read_json(spark, ls)
     if fmt in ("sql", "jdbc"):
@@ -52,6 +52,45 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     if fmt == "xml":
         return _read_xml(spark, ls)
     raise NotImplementedError(f"reference formulation {fmt!r} not supported yet")
+
+
+# ---------------------------------------------------------------------------
+# Parquet (nanos-timestamp tolerant)
+# ---------------------------------------------------------------------------
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark rejects nanosecond parquet timestamps ([PARQUET_TYPE_ILLEGAL]);
+    with ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as LongType
+    nanos, which we cast back to proper timestamps using the file footer
+    schema (via pyarrow) to know which columns were nanos.
+    """
+    from .engine import tune_session
+
+    tune_session(spark)
+    df = spark.read.parquet(path)
+    ns_cols = _nanos_timestamp_columns(path)
+    for c in ns_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            # integer division — double division loses precision for
+            # epoch-nanos (> 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []
 
 
 # ---------------------------------------------------------------------------

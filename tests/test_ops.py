@@ -1,0 +1,163 @@
+"""Training-data pipeline operators over the sf0.001 testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return read_parquet(spark, f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return read_parquet(spark, f"{SF}/embeddings.parquet")
+
+
+def test_token_count(docs):
+    from sdm_rdfizer_spark.ops.text import token_count
+
+    out = token_count(docs).select("doc_id", "text", "n_words", "n_tokens").collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        assert r["n_words"] == len(r["text"].split())
+        assert r["n_tokens"] >= r["n_words"]
+
+
+def test_quality_features(docs):
+    from sdm_rdfizer_spark.ops.text import quality_features
+
+    out = quality_features(docs)
+    row = out.where(F.col("q_words") > 0).first()
+    assert 0.0 <= row["q_punct_ratio"] <= 1.0
+    assert 0.0 <= row["q_stopword_ratio"] <= 1.0
+    assert row["q_chars"] == len(row["text"])
+
+
+def test_language_id(spark):
+    from sdm_rdfizer_spark.ops.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is that for"),
+            (2, "le chat est dans la maison et les des pour"),
+            (3, "der hund ist nicht mit der und das für auf"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_exact_dedup(spark):
+    from sdm_rdfizer_spark.ops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello   World"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["canonical_id"]: r["n_dups"] for r in exact_dedup(df).collect()}
+    # case/whitespace-normalized: docs 1 and 2 collapse
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from sdm_rdfizer_spark.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " ok"),                      # near-dup of 1
+            (3, "completely unrelated text with other words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),    # identical → jaccard 1.0
+            (3, "x y z w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_simhash_near_dup_close(spark):
+    from sdm_rdfizer_spark.ops.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river side"),
+            (3, "entirely different content about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_brute_force_topk_against_numpy(emb):
+    import numpy as np
+
+    from sdm_rdfizer_spark.ops.similarity import brute_force_topk
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = brute_force_topk(emb, queries, k=3).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in (0, 1, 2):
+        sims = {
+            nid: float(np.dot(vecs[qid], v) / (np.linalg.norm(vecs[qid]) * np.linalg.norm(v)))
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        expect = sorted(sims, key=lambda n: (-round(sims[n], 6), n))[:3]
+        got_q = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert got_q == expect
+
+
+def test_lsh_bucket_topk_shape(emb):
+    from sdm_rdfizer_spark.ops.similarity import lsh_bucket_topk
+
+    queries = emb.where(F.col("vec_id") < 2)
+    out = lsh_bucket_topk(emb, queries, k=3).collect()
+    # buckets may prune, but each query returns ≤ k ranked neighbors
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_multimodal_features(spark):
+    from sdm_rdfizer_spark.ops.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_kind = {}
+    for r in feats:
+        by_kind.setdefault(r["kind"], r)
+        assert r["n_bytes"] > 0 and r["digest"] is not None
+    assert by_kind["image"]["width"] is not None
+    assert by_kind["audio"]["duration_ms"] is not None

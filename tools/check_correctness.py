@@ -1,0 +1,78 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry via Spark and its ``oracle_sql()`` via DuckDB
+on the same parquet tables, then compares row count, schema width, and an
+order-insensitive multiset of stringified rows.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from sdm_rdfizer_spark import default_session
+
+    spark = default_session(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple("" if v is None else str(v) for v in r) for r in sdf.collect()]
+        scols = sorted(sdf.columns)
+        # driver sorts columns by name before hashing
+        idx = [sdf.columns.index(c) for c in scols]
+        s_multi = Counter(tuple(r[i] for i in idx) for r in srows)
+        if name not in oracles:
+            print(f"{name:32s} rows={len(srows)}  (no oracle — rows-only check)")
+            continue
+        ores = con.execute(oracles[name])
+        ocols_raw = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        oidx = [ocols_raw.index(c) for c in sorted(ocols_raw)]
+        o_multi = Counter(
+            tuple("" if r[i] is None else str(r[i]) for i in oidx) for r in orows
+        )
+        ok_rows = len(srows) == len(orows)
+        ok_cols = scols == sorted(ocols_raw)
+        ok_vals = s_multi == o_multi
+        status = "OK " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        print(f"{name:32s} {status} spark={len(srows)} duck={len(orows)} cols={scols}")
+        if not ok_vals:
+            failures += 1
+            s_only = list((s_multi - o_multi).items())[:5]
+            o_only = list((o_multi - s_multi).items())[:5]
+            for r, n in s_only:
+                print(f"   spark-only ×{n}: {r}")
+            for r, n in o_only:
+                print(f"   duck-only  ×{n}: {r}")
+        elif not (ok_rows and ok_cols):
+            failures += 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
