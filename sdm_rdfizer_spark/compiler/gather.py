@@ -79,8 +79,14 @@ def compile_gather(
             )
         )
     else:
-        # per-row collection with a deterministic blank node
-        node = F.concat(F.lit("_:g"), F.md5(F.concat(subject, pred)))
+        # per-row collection with a deterministic blank node; the item
+        # values participate in the id so two rows sharing a subject don't
+        # collapse into one collection (the reference mints uuid4 per row,
+        # cc_functions.py:218 — unique but not reproducible)
+        node = F.concat(
+            F.lit("_:g"),
+            F.md5(F.concat(subject, pred, F.concat_ws("\x1f", items))),
+        )
         grouped = df.where(subject_valid).select(
             subject.alias("s"), pred.alias("p"), graph.cast("string").alias("g"),
             node.alias("node"), items.alias("items"),

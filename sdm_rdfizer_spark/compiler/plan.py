@@ -127,11 +127,28 @@ class MappingPlanner:
         separate union branches, since their row multiplicity differs.
         """
         df = self.scan(tm)
-        subj = compile_term_map(df, tm.subject.term, "subject",
-                                base=self.base, infer_datatypes=self.infer_datatypes)
+        if tm.subject.term.kind == QUOTED:
+            # RML-star quoted subject — evaluated over the current row
+            # (reference: inner_semantify_file call at semantify.py:6529)
+            subj = self._quoted_term(df, self.tm_by_id[tm.subject.term.parent_tm])
+        else:
+            subj = compile_term_map(df, tm.subject.term, "subject",
+                                    base=self.base, infer_datatypes=self.infer_datatypes,
+                                    func_maps=tm.func_maps)
         graph = self._graph_expr(df, tm.subject.graphs)
 
-        base_df = df.where(subj.valid).withColumn("__s", subj.expr)
+        base_filter = subj.valid
+        if tm.subject.condition and tm.subject.condition in tm.func_maps:
+            # function-valued row filter (rml:condition on the subject map,
+            # reference: semantify.py:6383-6407)
+            from .fnml import compile_function
+
+            cond = compile_function(
+                df, tm.func_maps[tm.subject.condition], tm.func_maps,
+                base=self.base, as_condition=True,
+            )
+            base_filter = base_filter & cond.valid & cond.expr
+        base_df = df.where(base_filter).withColumn("__s", subj.expr)
 
         entries = []   # structs for the explode branch: (p, o, g, v)
         # rdf:type triples from rr:class (semantify.py:6556-6563)
@@ -180,16 +197,20 @@ class MappingPlanner:
         """Returns a (p, o, g, valid) tuple for projection-valued POMs
         (fused into the TM's single explode pass) or a DataFrame branch
         for join-valued POMs."""
-        pred = compile_term_map(df, pom.predicate, "predicate", base=self.base)
+        pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
+                                func_maps=tm.func_maps)
         graph = self._graph_expr(df, pom.graphs) if pom.graphs else subj_graph
         om = pom.obj
 
-        if om.kind in (TEMPLATE, REFERENCE, CONSTANT):
+        if om.kind in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
             obj = compile_term_map(df, om, "object", base=self.base,
-                                   infer_datatypes=self.infer_datatypes)
+                                   infer_datatypes=self.infer_datatypes,
+                                   func_maps=tm.func_maps)
             return (pred.expr, obj.expr, graph, pred.valid & obj.valid)
         if om.kind == PARENT:
             return self._compile_join(tm, df, base_df, pred, om, graph)
+        if om.kind == QUOTED:
+            return self._compile_quoted(tm, df, base_df, pred, om, graph)
         if om.kind == GATHER:
             from .gather import compile_gather
 
@@ -251,6 +272,73 @@ class MappingPlanner:
             F.col("__p").alias("p"),
             F.col("__po").alias("o"),
             F.col("__g").alias("g"),
+        )
+
+    # ------------------------------------------------------------------
+    def _quoted_term(self, df: DataFrame, qtm: TriplesMap) -> CompiledValue:
+        """``<< s p o >>`` term from a quoted TriplesMap's first POM,
+        evaluated over ``df`` rows (RML-star; formatting per the
+        reference's quoted output, semantify.py:6518-6529)."""
+        subj = compile_term_map(df, qtm.subject.term, "subject",
+                                base=self.base, func_maps=qtm.func_maps)
+        if not qtm.poms:
+            raise ValueError(f"quoted triples map {qtm.tm_id} has no predicateObjectMap")
+        pom = qtm.poms[0]
+        pred = compile_term_map(df, pom.predicate, "predicate",
+                                base=self.base, func_maps=qtm.func_maps)
+        om = pom.obj
+        if om.kind == PARENT:
+            parent_tm = self.tm_by_id[om.parent_tm]
+            obj = compile_term_map(df, parent_tm.subject.term, "subject",
+                                   base=self.base, func_maps=parent_tm.func_maps)
+        else:
+            obj = compile_term_map(df, om, "object", base=self.base,
+                                   infer_datatypes=self.infer_datatypes,
+                                   func_maps=qtm.func_maps)
+        expr = F.concat(F.lit("<< "), subj.expr, F.lit(" "), pred.expr,
+                        F.lit(" "), obj.expr, F.lit(" >>"))
+        return CompiledValue(expr, subj.valid & pred.valid & obj.valid)
+
+    def _compile_quoted(self, tm, df, base_df, pred, om, graph):
+        """Quoted-triples-map object: same source ⇒ fused projection;
+        join-conditioned ⇒ join against (key…, quoted-term) pairs (the
+        reference's ``hash_maker(quoted=...)``, semantify.py:523)."""
+        qtm = self.tm_by_id[om.parent_tm]
+        same_source = qtm.source.cache_key() == tm.source.cache_key()
+        if om.join is None or not om.join.child:
+            if not same_source:
+                raise ValueError(
+                    f"quoted triples map without join condition requires the "
+                    f"same logical source ({tm.tm_id} → {om.parent_tm})"
+                )
+            qcv = self._quoted_term(df, qtm)
+            return (pred.expr, qcv.expr, graph, pred.valid & qcv.valid)
+
+        qdf = self.scan(qtm)
+        qcv = self._quoted_term(qdf, qtm)
+        pairs = qdf.where(qcv.valid).select(
+            qcv.expr.alias("__po"),
+            *[
+                self._join_key_expr(qdf, k).alias(f"__pk{i}")
+                for i, k in enumerate(om.join.parent)
+            ],
+        ).dropDuplicates()
+        child = base_df.where(pred.valid).select(
+            "__s", pred.expr.alias("__p"), graph.alias("__g"),
+            *[
+                self._join_key_expr(df, c).alias(f"__ck{i}")
+                for i, c in enumerate(om.join.child)
+            ],
+        )
+        for i in range(len(om.join.child)):
+            child = child.where(valid_value(F.col(f"__ck{i}")))
+        cond = reduce(
+            lambda a, b: a & b,
+            [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(len(om.join.child))],
+        )
+        return child.join(pairs, cond, "inner").select(
+            F.col("__s").alias("s"), F.col("__p").alias("p"),
+            F.col("__po").alias("o"), F.col("__g").alias("g"),
         )
 
     def _join_key_expr(self, df: DataFrame, key: str):

@@ -223,6 +223,7 @@ def compile_term_map(
     *,
     base: str | None = None,
     infer_datatypes: bool = False,
+    func_maps: dict | None = None,
 ) -> CompiledValue:
     """Compile a non-join term map into an N-Triples term Column.
 
@@ -237,6 +238,13 @@ def compile_term_map(
     elif tm.kind == REFERENCE:
         is_lit = _is_literal_position(tm, position)
         cv = compile_reference(df, tm.value, for_literal=is_lit)
+    elif tm.kind == "function":
+        from .fnml import compile_function
+
+        fm = (func_maps or {}).get(tm.value)
+        if fm is None:
+            raise ValueError(f"unresolved function map {tm.value!r}")
+        cv = compile_function(df, fm, func_maps or {}, base=base)
     else:
         raise NotImplementedError(f"term map kind {tm.kind} must be handled by the planner")
 
@@ -248,7 +256,7 @@ def compile_term_map(
         if position in ("subject", "predicate", "graph"):
             tt = TT_IRI
         else:
-            tt = TT_LITERAL if tm.kind == REFERENCE else TT_IRI
+            tt = TT_LITERAL if tm.kind in (REFERENCE, "function") else TT_IRI
 
     if tt == TT_BLANKNODE:
         return CompiledValue(wrap_blank(cv.expr), cv.valid)
@@ -263,12 +271,12 @@ def compile_term_map(
     if tm.language is not None:
         lang_col = F.lit(tm.language)
     elif tm.language_map is not None:
-        lcv = compile_term_map(df, tm.language_map, "language", base=base)
+        lcv = compile_term_map(df, tm.language_map, "language", base=base, func_maps=func_maps)
         lang_col, valid = lcv.expr, valid & lcv.valid
     elif tm.datatype is not None:
         dt_col = F.lit(tm.datatype)
     elif tm.datatype_map is not None:
-        dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base)
+        dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base, func_maps=func_maps)
         dt_col, valid = dcv.expr, valid & dcv.valid
     elif infer_datatypes and tm.kind == REFERENCE:
         nd = natural_datatype(df, tm.value)

@@ -42,9 +42,48 @@ class LogicalSource:
     query: str | None = None
     delimiter: str | None = None
     options: dict = field(default_factory=dict)
+    view: "LogicalView | None" = None
 
     def cache_key(self) -> tuple:
-        return (self.source, self.fmt, self.iterator, self.table, self.query, self.delimiter)
+        return (self.source, self.fmt, self.iterator, self.table, self.query,
+                self.delimiter, self.view.view_id if self.view else None)
+
+
+@dataclass
+class ViewField:
+    """RML-LV field (reference: TriplesMap.py:194-201 ViewSource, parsed
+    at semantify.py:2012-2060). ``kind`` ∈ reference|template|constant|
+    iterator; iterator fields carry nested sub-fields."""
+
+    name: str
+    kind: str
+    value: str | None = None
+    iterator: str | None = None
+    fields: "list[ViewField]" = field(default_factory=list)
+
+
+@dataclass
+class ViewJoin:
+    """rml:innerJoin / rml:leftJoin between views (semantify.py:2086-2133):
+    equality condition + the parent fields surfaced under new names."""
+
+    kind: str                     # inner | left
+    parent: "LogicalView"
+    child_key: str                # reference or {template}
+    parent_key: str
+    fields: list[tuple] = field(default_factory=list)   # (new_name, parent_field)
+
+
+@dataclass
+class LogicalView:
+    """An RML logical view: projection/flatten/join over a base source or
+    another view (reference: lv_functions.py:271-551 view_projection)."""
+
+    view_id: str
+    base_source: "LogicalSource | None" = None
+    base_view: "LogicalView | None" = None
+    fields: list[ViewField] = field(default_factory=list)
+    joins: list[ViewJoin] = field(default_factory=list)
 
 
 @dataclass
@@ -105,6 +144,7 @@ class FunctionMap:
     func_map_id: str
     name: str
     parameters: dict = field(default_factory=dict)
+    return_iri: str | None = None
 
 
 @dataclass

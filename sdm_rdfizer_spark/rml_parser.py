@@ -59,7 +59,80 @@ _FORMULATIONS = {
 }
 
 
+def _parse_view_field(g: Graph, fnode) -> "ViewField":
+    from .ir import ViewField
+
+    name = _txt(_val(g, fnode, "fieldName")) or ""
+    iterator = _txt(_val(g, fnode, "iterator"))
+    if iterator is not None:
+        subs = [_parse_view_field(g, f) for f in _vals(g, fnode, "field")]
+        return ViewField(name=name, kind="iterator", iterator=iterator, fields=subs)
+    ref = _txt(_val(g, fnode, "reference"))
+    if ref is not None:
+        return ViewField(name=name, kind="reference", value=ref)
+    tpl = _txt(_val(g, fnode, "template"))
+    if tpl is not None:
+        return ViewField(name=name, kind="template", value=tpl)
+    const = _val(g, fnode, "constant")
+    return ViewField(name=name, kind="constant",
+                     value=str(const) if const is not None else None)
+
+
+def _parse_view(g: Graph, node, base_dir: str | None) -> "LogicalView":
+    """A logical-view node: rml:viewOn (base source or nested view) +
+    rml:field list + rml:innerJoin/rml:leftJoin (reference query shape:
+    semantify.py:2012-2133)."""
+    from .ir import LogicalView, ViewJoin
+
+    base_node = _val(g, node, "viewOn")
+    base_source = base_view = None
+    if base_node is not None:
+        if _val(g, base_node, "viewOn") is not None or _vals(g, base_node, "field"):
+            base_view = _parse_view(g, base_node, base_dir)
+        else:
+            base_source = _parse_source_descriptor(g, base_node, base_dir)
+    fields = [_parse_view_field(g, f) for f in _vals(g, node, "field")]
+    joins = []
+    for kind, prop in (("inner", "innerJoin"), ("left", "leftJoin")):
+        for jn in _vals(g, node, prop):
+            parent_node = _val(g, jn, "parentLogicalView")
+            if parent_node is None:
+                continue
+            parent = _parse_view(g, parent_node, base_dir)
+            jc = _val(g, jn, "joinCondition")
+            child_key = parent_key = None
+            if jc is not None:
+                child_key = _txt(_val(g, jc, "child"))
+                parent_key = _txt(_val(g, jc, "parent"))
+                if child_key is None:
+                    cm = _val(g, jc, "childMap")
+                    child_key = _txt(_val(g, cm, "reference", "template")) if cm is not None else None
+                if parent_key is None:
+                    pm = _val(g, jc, "parentMap")
+                    parent_key = _txt(_val(g, pm, "reference", "template")) if pm is not None else None
+            jfields = []
+            for f in _vals(g, jn, "field"):
+                new_name = _txt(_val(g, f, "fieldName"))
+                src = _txt(_val(g, f, "reference", "template", "constant"))
+                if new_name and src:
+                    jfields.append((new_name, src))
+            joins.append(ViewJoin(kind=kind, parent=parent,
+                                  child_key=child_key or "",
+                                  parent_key=parent_key or "",
+                                  fields=jfields))
+    return LogicalView(view_id=str(node), base_source=base_source,
+                       base_view=base_view, fields=fields, joins=joins)
+
+
+def _parse_source_descriptor(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
+    """The plain (non-view) part of a logical-source node."""
+    return _parse_source(g, ls_node, base_dir)
+
+
 def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
+    if _val(g, ls_node, "viewOn") is not None:
+        view = _parse_view(g, ls_node, base_dir)
+        return LogicalSource(source=f"view:{ls_node}", fmt="view", view=view)
     src_node = _val(g, ls_node, "source")
     source = None
     delimiter = None
@@ -119,6 +192,7 @@ def _parse_term_map(g: Graph, node, pos: str) -> TermMap:
     reference = _txt(_val(g, node, "reference", "column"))
     constant = _val(g, node, "constant")
     parent_tm = _val(g, node, "parentTriplesMap")
+    quoted_tm = _val(g, node, "quotedTriplesMap")
     fn = _val(g, node, "functionValue", "functionExecution")
     gather = _vals(g, node, "gather")
 
@@ -148,7 +222,7 @@ def _parse_term_map(g: Graph, node, pos: str) -> TermMap:
         return TermMap(kind=FUNCTION, value=str(fn), term_type=tt,
                        datatype=datatype, datatype_map=dt_map,
                        language=language, language_map=lang_map)
-    if parent_tm is not None:
+    if parent_tm is not None or quoted_tm is not None:
         children, parents = [], []
         for jc in _vals(g, node, "joinCondition"):
             c = _txt(_val(g, jc, "child", "childMap"))
@@ -163,6 +237,10 @@ def _parse_term_map(g: Graph, node, pos: str) -> TermMap:
                 children.append(c)
                 parents.append(p)
         join = JoinCondition(child=children, parent=parents) if children else None
+        if quoted_tm is not None:
+            # RML-star quoted triples map (reference: semantify.py:2209-2215)
+            return TermMap(kind=QUOTED, value=str(quoted_tm),
+                           parent_tm=str(quoted_tm), join=join)
         return TermMap(kind=PARENT, value=str(parent_tm), parent_tm=str(parent_tm), join=join)
     if template is not None:
         return TermMap(kind=TEMPLATE, value=template, term_type=tt,
@@ -182,15 +260,88 @@ def _parse_term_map(g: Graph, node, pos: str) -> TermMap:
     raise ValueError(f"cannot interpret term map {node!r} in {pos} position")
 
 
+def _parse_function_node(g: Graph, node) -> FunctionMap:
+    """One fnml:functionValue / rml:functionExecution node → FunctionMap.
+
+    Legacy FNML (fnml:functionValue): the node carries POMs — predicate
+    fno:executes names the function, every other predicate is a parameter
+    (reference: mapping_functions.py:106-199 interprets this shape).
+    New RML-FNML: rml:function + rml:input [rml:parameter;
+    rml:inputValue | rml:inputValueMap] (reference query:
+    semantify.py:1871-1899).
+    """
+    name = None
+    params: dict = {}
+
+    # new-style
+    fn = _val(g, node, "function")
+    if fn is not None:
+        name = str(fn)
+    for inp in _vals(g, node, "input"):
+        param = _txt(_val(g, inp, "parameter"))
+        if param is None:
+            continue
+        const = _val(g, inp, "inputValue")
+        if const is not None:
+            params[param] = {"type": "constant", "value": str(const)}
+            continue
+        ivm = _val(g, inp, "inputValueMap")
+        if ivm is not None:
+            params[param] = _param_descriptor(g, ivm)
+
+    # legacy-style: POMs on the functionValue node
+    for pom in _vals(g, node, "predicateObjectMap"):
+        preds = [str(x) for x in _vals(g, pom, "predicate")]
+        oms = _vals(g, pom, "objectMap") + _vals(g, pom, "object")
+        if not preds or not oms:
+            continue
+        pred = preds[0]
+        om = oms[0]
+        if pred == FNO + "executes" or pred.endswith("/executes"):
+            if isinstance(om, (IRI, Literal)):
+                name = str(om)
+            else:
+                name = _txt(_val(g, om, "constant")) or name
+            continue
+        if isinstance(om, (IRI, Literal)):
+            params[pred] = {"type": "constant", "value": str(om)}
+        else:
+            params[pred] = _param_descriptor(g, om)
+
+    ret = _txt(_val(g, node, "return", "returnMap"))
+    fm = FunctionMap(func_map_id=str(node), name=name or "", parameters=params)
+    fm.return_iri = ret
+    return fm
+
+
+def _param_descriptor(g: Graph, om) -> dict:
+    nested = _val(g, om, "functionValue", "functionExecution")
+    if nested is not None:
+        return {"type": "function", "value": str(nested),
+                "nested": _parse_function_node(g, nested)}
+    ref = _txt(_val(g, om, "reference", "column"))
+    if ref is not None:
+        return {"type": "reference", "value": ref}
+    tpl = _txt(_val(g, om, "template"))
+    if tpl is not None:
+        return {"type": "template", "value": tpl}
+    const = _val(g, om, "constant")
+    if const is not None:
+        return {"type": "constant", "value": str(const)}
+    return {"type": "constant", "value": str(om)}
+
+
 def _parse_function_maps(g: Graph) -> dict[str, FunctionMap]:
-    """FNML function descriptors (reference: semantify.py:1871-1900)."""
+    """All function descriptors in the mapping, keyed by node id."""
     out: dict[str, FunctionMap] = {}
-    for fn_node in set(list(g.subjects(IRI(FNO + "executes"))) +
-                       [s for s, _, _ in g.match(None, IRI(RML2 + "function"), None)]):
-        name = _txt(g.value(fn_node, IRI(FNO + "executes"))) or \
-            _txt(g.value(fn_node, IRI(RML2 + "function")))
-        params: dict = {}
-        out[str(fn_node)] = FunctionMap(func_map_id=str(fn_node), name=name or "", parameters=params)
+    nodes = set()
+    for prop in ("functionValue", "functionExecution"):
+        for ns in _NS:
+            for _, _, o in g.match(None, IRI(ns + prop), None):
+                nodes.add(o)
+    for node in nodes:
+        fm = _parse_function_node(g, node)
+        out[str(node)] = fm
     return out
 
 

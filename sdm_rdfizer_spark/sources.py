@@ -51,7 +51,95 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         return _read_ntriples(spark, ls.source)
     if fmt == "xml":
         return _read_xml(spark, ls)
+    if fmt == "view":
+        return read_view(spark, ls.view)
     raise NotImplementedError(f"reference formulation {fmt!r} not supported yet")
+
+
+# ---------------------------------------------------------------------------
+# RML Logical Views (reference: lv_functions.py:271-551 view_projection)
+# ---------------------------------------------------------------------------
+
+def _clean_path(path: str) -> str:
+    p = path.strip()
+    if p.startswith("$"):
+        p = p[1:]
+    p = p.lstrip(".")
+    return p.replace("[*]", "")
+
+
+def _ref_expr(df: DataFrame, ref: str):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return F.col(_clean_path(ref))
+
+
+def read_view(spark: SparkSession, view) -> DataFrame:
+    """Compile a LogicalView to a DataFrame: base scan → field projection
+    (+ iterator explodes) → inner/left joins with parent views.
+
+    The reference evaluates views row-at-a-time with driver-side hash
+    tables (lv_functions.py:102-206); here a view is just a subplan, so
+    Catalyst fuses the projection and picks the join strategy. Multi-match
+    joins duplicate rows (relational semantics) instead of packing value
+    lists into one cell like the reference does (lv_functions.py:357-361)
+    — a documented deviation that keeps the view columnar.
+    """
+    from .compiler.terms import compile_template
+
+    if view.base_view is not None:
+        df = read_view(spark, view.base_view)
+    else:
+        df = read_source(spark, view.base_source)
+
+    sel = []
+    it_fields = []
+    for f in view.fields:
+        if f.kind == "iterator":
+            it_fields.append(f)
+        elif f.kind == "reference":
+            sel.append(_ref_expr(df, f.value).cast("string").alias(f.name))
+        elif f.kind == "template":
+            sel.append(compile_template(df, f.value, encode=False).expr.alias(f.name))
+        else:
+            sel.append(F.lit(f.value).alias(f.name))
+    for itf in it_fields:
+        sel.append(F.col(_clean_path(itf.iterator)).alias(f"__it_{itf.name}"))
+    cur = df.select(*sel)
+
+    for itf in it_fields:
+        cur = cur.withColumn(f"__e_{itf.name}", F.explode_outer(f"__it_{itf.name}")) \
+                 .drop(f"__it_{itf.name}")
+        el = F.col(f"__e_{itf.name}")
+        if itf.fields:
+            for sub in itf.fields:
+                if sub.kind == "reference":
+                    cur = cur.withColumn(sub.name, el.getField(_clean_path(sub.value)).cast("string"))
+                elif sub.kind == "constant":
+                    cur = cur.withColumn(sub.name, F.lit(sub.value))
+            cur = cur.drop(f"__e_{itf.name}")
+        else:
+            cur = cur.withColumnRenamed(f"__e_{itf.name}", itf.name)
+
+    for j in view.joins:
+        pdf = read_view(spark, j.parent)
+        pkey = _view_key(pdf, j.parent_key)
+        pairs = pdf.select(
+            pkey.cast("string").alias("__jk"),
+            *[F.col(src).alias(new) for new, src in j.fields],
+        ).dropDuplicates()
+        ckey = _view_key(cur, j.child_key).cast("string")
+        how = "inner" if j.kind == "inner" else "left"
+        cur = cur.join(pairs, ckey == pairs["__jk"], how).drop("__jk")
+    return cur
+
+
+def _view_key(df: DataFrame, key: str):
+    from .compiler.terms import compile_template
+
+    if "{" in key:
+        return compile_template(df, key, encode=False).expr
+    return F.col(key)
 
 
 # ---------------------------------------------------------------------------

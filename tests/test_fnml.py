@@ -1,0 +1,132 @@
+"""FNML/FnO functions: registry builders, nested composition, conditions."""
+
+import textwrap
+
+from sdm_rdfizer_spark import materialize
+from tests.conftest import triple_set
+
+PFX = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+@prefix ex: <http://x.org/> .
+"""
+
+
+def _write_people(tmp_path):
+    (tmp_path / "people.csv").write_text(
+        "pid,name,city\n"
+        "1,Ada Lovelace,London\n"
+        "2,Alan Turing,London\n"
+        "3,Grace Hopper,NYC\n"
+    )
+
+
+def test_to_upper_legacy_fnml(spark, tmp_path):
+    _write_people(tmp_path)
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/people.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{pid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:shout; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ];
+              rr:predicateObjectMap [ rr:predicate grel:valueParam; rr:objectMap [ rml:reference "name" ] ];
+            ] ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/p/1>", "<http://x.org/shout>", '"ADA LOVELACE"') in got
+    assert ("<http://x.org/p/3>", "<http://x.org/shout>", '"GRACE HOPPER"') in got
+
+
+def test_concat_and_md5(spark, tmp_path):
+    _write_people(tmp_path)
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/people.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{pid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:tag; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:concat2 ];
+              rr:predicateObjectMap [ rr:predicate grel:value1; rr:objectMap [ rml:reference "name" ] ];
+              rr:predicateObjectMap [ rr:predicate grel:value2; rr:objectMap [ rr:constant "!" ] ];
+            ] ] ];
+          rr:predicateObjectMap [ rr:predicate ex:digest; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:string_md5 ];
+              rr:predicateObjectMap [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "city" ] ];
+            ] ] ] .
+    """)
+    import hashlib
+
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/p/1>", "<http://x.org/tag>", '"Ada Lovelace!"') in got
+    london = hashlib.md5(b"London").hexdigest()
+    assert ("<http://x.org/p/2>", "<http://x.org/digest>", f'"{london}"') in got
+
+
+def test_nested_composition(spark, tmp_path):
+    """toUpperCase(slugify(name)) — function parameter is another function
+    (reference: mapping_functions.py:10-103)."""
+    _write_people(tmp_path)
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/people.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{pid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:slug; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ];
+              rr:predicateObjectMap [ rr:predicate grel:valueParam; rr:objectMap [
+                fnml:functionValue [
+                  rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:slugify ];
+                  rr:predicateObjectMap [ rr:predicate grel:str; rr:objectMap [ rml:reference "name" ] ];
+                ] ] ];
+            ] ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/p/1>", "<http://x.org/slug>", '"ADA-LOVELACE"') in got
+
+
+def test_equal_as_bool_term_and_condition(spark, tmp_path):
+    _write_people(tmp_path)
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/people.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{pid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:isLondoner; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:equal ];
+              rr:predicateObjectMap [ rr:predicate grel:valueParam; rr:objectMap [ rml:reference "city" ] ];
+              rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:constant "London" ] ];
+            ] ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/p/1>", "<http://x.org/isLondoner>", '"True"') in got
+    assert ("<http://x.org/p/3>", "<http://x.org/isLondoner>", '"False"') in got
+
+
+def test_controls_if(spark, tmp_path):
+    _write_people(tmp_path)
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/people.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{pid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:controls_if ];
+              rr:predicateObjectMap [ rr:predicate grel:bool_b; rr:objectMap [
+                fnml:functionValue [
+                  rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:string_contains ];
+                  rr:predicateObjectMap [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "city" ] ];
+                  rr:predicateObjectMap [ rr:predicate grel:string_sub; rr:objectMap [ rr:constant "NYC" ] ];
+                ] ] ];
+              rr:predicateObjectMap [ rr:predicate grel:any_true; rr:objectMap [ rr:constant "east-coast" ] ];
+              rr:predicateObjectMap [ rr:predicate grel:any_false; rr:objectMap [ rr:constant "elsewhere" ] ];
+            ] ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/p/3>", "<http://x.org/label>", '"east-coast"') in got
+    assert ("<http://x.org/p/1>", "<http://x.org/label>", '"elsewhere"') in got

@@ -1,0 +1,83 @@
+"""RML-star: quoted triples maps (asserted and non-asserted)."""
+
+import textwrap
+
+from sdm_rdfizer_spark import materialize
+from tests.conftest import triple_set
+
+PFX = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://x.org/> .
+"""
+
+
+def test_quoted_object_same_source(spark, tmp_path):
+    (tmp_path / "conf.csv").write_text(
+        "s_name,o_name,score\nalice,bob,0.9\ncarol,dan,0.7\n"
+    )
+    m = PFX + textwrap.dedent(f"""
+        <#Statement> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/conf.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/stmt/{{s_name}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:confidence; rr:objectMap [
+              rml:quotedTriplesMap <#Knows> ] ];
+          rr:predicateObjectMap [ rr:predicate ex:score; rr:objectMap [ rml:reference "score" ] ] .
+
+        <#Knows> a rml:NonAssertedTriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/conf.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{s_name}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:knows; rr:objectMap [
+              rr:template "http://x.org/p/{{o_name}}" ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    q = "<< <http://x.org/p/alice> <http://x.org/knows> <http://x.org/p/bob> >>"
+    assert ("<http://x.org/stmt/alice>", "<http://x.org/confidence>", q) in got
+    # NonAsserted: the Knows TM itself is not materialized
+    assert not any(p == "<http://x.org/knows>" for _, p, _ in got)
+    # score literal canonicalized (0.9 floatish)
+    assert ("<http://x.org/stmt/alice>", "<http://x.org/score>", '"0.9"') in got
+
+
+def test_quoted_subject(spark, tmp_path):
+    (tmp_path / "conf2.csv").write_text("s_name,o_name,src\nalice,bob,wiki\n")
+    m = PFX + textwrap.dedent(f"""
+        <#Meta> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/conf2.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rml:quotedTriplesMap <#Knows2> ];
+          rr:predicateObjectMap [ rr:predicate ex:source; rr:objectMap [ rml:reference "src" ] ] .
+
+        <#Knows2> a rml:NonAssertedTriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/conf2.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{s_name}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:knows; rr:objectMap [
+              rr:template "http://x.org/p/{{o_name}}" ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    q = "<< <http://x.org/p/alice> <http://x.org/knows> <http://x.org/p/bob> >>"
+    assert (q, "<http://x.org/source>", '"wiki"') in got
+
+
+def test_quoted_object_with_join(spark, tmp_path):
+    (tmp_path / "facts.csv").write_text("fid,person\nf1,alice\nf2,zed\n")
+    (tmp_path / "rel.csv").write_text("who,whom\nalice,bob\n")
+    m = PFX + textwrap.dedent(f"""
+        <#Fact> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/facts.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/fact/{{fid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:states; rr:objectMap [
+              rml:quotedTriplesMap <#Rel>;
+              rr:joinCondition [ rr:child "person"; rr:parent "who" ] ] ] .
+
+        <#Rel> a rml:NonAssertedTriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/rel.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{who}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:knows; rr:objectMap [
+              rr:template "http://x.org/p/{{whom}}" ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    q = "<< <http://x.org/p/alice> <http://x.org/knows> <http://x.org/p/bob> >>"
+    assert ("<http://x.org/fact/f1>", "<http://x.org/states>", q) in got
+    # f2 (zed) has no matching quoted parent → no triple
+    assert not any(s == "<http://x.org/fact/f2>" for s, _, _ in got)
