@@ -274,6 +274,152 @@ SELECT s, p, o FROM (
 """
 
 
+def _q_gather_seq(spark: SparkSession, sf: str) -> DataFrame:
+    """RML-CC grouped gather: one rdf:Seq of order IRIs per customer."""
+    mapping = _PREFIXES + f"""
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/orders.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/customer/{{o_custkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:orders; rr:objectMap [
+      rr:template "http://ex.org/orderlist/{{o_custkey}}";
+      rml:gather ( [ rr:template "http://ex.org/order/{{o_orderkey}}" ] );
+      rml:gatherAs rdf:Seq ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_GATHER_SEQ_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT
+    '<http://ex.org/customer/' || o_custkey || '>' AS su,
+    '<http://ex.org/orderlist/' || o_custkey || '>' AS nd,
+    '<http://ex.org/order/' || o_orderkey || '>' AS item
+  FROM orders
+), ranked AS (
+  SELECT nd, item, row_number() OVER (PARTITION BY nd ORDER BY item) AS rn FROM items
+)
+SELECT s, p, o FROM (
+  SELECT DISTINCT su AS s, '<http://ex.org/vocab/orders>' AS p, nd AS o FROM items
+  UNION
+  SELECT DISTINCT nd, '<{RDF_TYPE}>',
+         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq>' FROM items
+  UNION
+  SELECT nd, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_' || rn || '>', item FROM ranked
+)
+"""
+
+
+def _q_fnml_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """FnO functions in object position: toUpperCase, string_md5, slugify."""
+    mapping = _PREFIXES + f"""
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/customer.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/customer/{{c_custkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:upper; rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ];
+      rr:predicateObjectMap [ rr:predicate grel:valueParam; rr:objectMap [ rml:reference "c_name" ] ];
+  ] ] ];
+  rr:predicateObjectMap [ rr:predicate ex:digest; rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:string_md5 ];
+      rr:predicateObjectMap [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "c_mktsegment" ] ];
+  ] ] ];
+  rr:predicateObjectMap [ rr:predicate ex:slug; rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:slugify ];
+      rr:predicateObjectMap [ rr:predicate grel:str; rr:objectMap [ rml:reference "c_name" ] ];
+  ] ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_FNML_ORACLE = """
+SELECT s, p, o FROM (
+  SELECT '<http://ex.org/customer/' || c_custkey || '>' AS s,
+         '<http://ex.org/vocab/upper>' AS p, '"' || upper(c_name) || '"' AS o
+  FROM customer
+  UNION
+  SELECT '<http://ex.org/customer/' || c_custkey || '>',
+         '<http://ex.org/vocab/digest>', '"' || md5(c_mktsegment) || '"'
+  FROM customer
+  UNION
+  SELECT '<http://ex.org/customer/' || c_custkey || '>', '<http://ex.org/vocab/slug>',
+         '"' || regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'), '(^-+|-+$)', '', 'g') || '"'
+  FROM customer
+)
+"""
+
+
+def _q_rml_star(spark: SparkSession, sf: str) -> DataFrame:
+    """RML-star: quoted-triple objects from a NonAsserted triples map."""
+    mapping = _PREFIXES + f"""
+@prefix rml2: <http://w3id.org/rml/> .
+<#Stmt> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/orders.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/stmt/{{o_orderkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:says; rr:objectMap [ rml2:quotedTriplesMap <#Rel> ] ];
+  rr:predicateObjectMap [ rr:predicate ex:priority; rr:objectMap [ rml:reference "o_orderpriority" ] ] .
+
+<#Rel> a rml2:NonAssertedTriplesMap;
+  rml:logicalSource [ rml:source "{sf}/orders.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/order/{{o_orderkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:by; rr:objectMap [
+      rr:template "http://ex.org/customer/{{o_custkey}}" ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_RML_STAR_ORACLE = """
+SELECT s, p, o FROM (
+  SELECT '<http://ex.org/stmt/' || o_orderkey || '>' AS s, '<http://ex.org/vocab/says>' AS p,
+         '<< <http://ex.org/order/' || o_orderkey || '> <http://ex.org/vocab/by> ' ||
+         '<http://ex.org/customer/' || o_custkey || '> >>' AS o
+  FROM orders
+  UNION
+  SELECT '<http://ex.org/stmt/' || o_orderkey || '>', '<http://ex.org/vocab/priority>',
+         '"' || o_orderpriority || '"'
+  FROM orders
+)
+"""
+
+
+def _q_logical_view(spark: SparkSession, sf: str) -> DataFrame:
+    """RML-LV: view over customer inner-joined with a nation view."""
+    mapping = _PREFIXES + f"""
+@prefix rml2: <http://w3id.org/rml/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [
+    rml2:viewOn [ rml2:source [ rml2:path "{sf}/customer.parquet" ];
+                  rml2:referenceFormulation ql:Parquet ];
+    rml2:field [ rml2:fieldName "ck"; rml2:reference "c_custkey" ];
+    rml2:field [ rml2:fieldName "nk"; rml2:reference "c_nationkey" ];
+    rml2:innerJoin [
+      rml2:parentLogicalView [
+        rml2:viewOn [ rml2:source [ rml2:path "{sf}/nation.parquet" ];
+                      rml2:referenceFormulation ql:Parquet ];
+        rml2:field [ rml2:fieldName "did"; rml2:reference "n_nationkey" ];
+        rml2:field [ rml2:fieldName "nm"; rml2:reference "n_name" ];
+      ];
+      rml2:joinCondition [ rml2:child "nk"; rml2:parent "did" ];
+      rml2:field [ rml2:fieldName "nname"; rml2:reference "nm" ];
+    ];
+  ];
+  rr:subjectMap [ rr:template "http://ex.org/customer/{{ck}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:nationName; rr:objectMap [ rml:reference "nname" ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_LOGICAL_VIEW_ORACLE = """
+SELECT DISTINCT '<http://ex.org/customer/' || c_custkey || '>' AS s,
+       '<http://ex.org/vocab/nationName>' AS p,
+       '"' || n_name || '"' AS o
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -535,6 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_orders_quads": _q_orders_quads,
         "rml_supplier_bnode": _q_supplier_bnode,
         "rml_events_timestamps": _q_events_timestamps,
+        "rml_gather_seq": _q_gather_seq,
+        "fnml_string_funcs": _q_fnml_funcs,
+        "rml_star_quoted": _q_rml_star,
+        "rml_logical_view": _q_logical_view,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -557,6 +707,10 @@ def oracle_sql() -> dict[str, str]:
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,
         "rml_supplier_bnode": _SUPPLIER_BNODE_ORACLE,
         "rml_events_timestamps": _EVENTS_ORACLE,
+        "rml_gather_seq": _GATHER_SEQ_ORACLE,
+        "fnml_string_funcs": _FNML_ORACLE,
+        "rml_star_quoted": _RML_STAR_ORACLE,
+        "rml_logical_view": _LOGICAL_VIEW_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
