@@ -550,14 +550,14 @@ def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _docs(spark, sf), num_hashes=16, bands=8, shingle_n=1
+        _docs(spark, sf), num_hashes=16, bands=4, shingle_n=3
     ).select(
         F.col("id_a"), F.col("id_b"),
         F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 1) -> str:
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
     rows = num_hashes // bands
     mins = ",\n         ".join(
         f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
@@ -594,17 +594,22 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf), shingle_n=1, threshold=0.5
+        _docs(spark, sf), shingle_n=3, threshold=0.2
     ).select("id_a", "id_b", "jaccard")
 
 
 _NGRAM_JACCARD_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, list_distinct({_WORDS_SQL}) AS shs FROM documents
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
 ), d AS (
-  SELECT doc_id, shs, len(shs) AS sh_n FROM w
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        FOR i IN range(0, greatest(len(words)-3, 0)+1)]) AS shs
+  FROM w
+), sized AS (
+  SELECT doc_id, shs, len(shs) AS sh_n FROM d
 ), inv AS (
-  SELECT doc_id, sh_n, unnest(shs) AS shingle FROM d
+  SELECT doc_id, sh_n, unnest(shs) AS shingle FROM sized
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh_n AS n_a, b.sh_n AS n_b,
          count(*) AS n_inter
@@ -612,7 +617,7 @@ WITH w AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
-FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+FROM inter WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= 0.2
 """
 
 

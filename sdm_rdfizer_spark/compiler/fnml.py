@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from ..functions import FUNCTION_BUILDERS, bool_to_term, local_name
 from ..ir import FunctionMap
-from .terms import CompiledValue, canonical_string, compile_template, valid_value
+from .terms import (
+    CompiledValue, ExprLayers, _canon, compile_template, valid_value,
+)
 
 # functions whose result is boolean (term position renders "True"/"False")
 BOOL_FUNCS = {"string_contains", "equal", "notEqual", "isNull", "listContainsElement"}
@@ -27,6 +29,7 @@ def compile_function(
     *,
     base: str | None = None,
     as_condition: bool = False,
+    layers: ExprLayers | None = None,
 ) -> CompiledValue:
     params: dict = {}
     for param_iri, desc in fm.parameters.items():
@@ -38,14 +41,14 @@ def compile_function(
             if key == "pattern":
                 params["__pattern_const"] = value
         elif kind == "reference":
-            raw = canonical_string(df, value)
+            raw = _canon(df, value, layers)
             params[key] = (raw, valid_value(raw))
         elif kind == "template":
-            cv = compile_template(df, value, encode=False)
+            cv = compile_template(df, value, encode=False, layers=layers)
             params[key] = (cv.expr, cv.valid)
         elif kind == "function":
             nested = desc.get("nested") or func_maps.get(value)
-            ncv = compile_function(df, nested, func_maps, base=base)
+            ncv = compile_function(df, nested, func_maps, base=base, layers=layers)
             params[key] = (ncv.expr, ncv.valid)
         else:
             params[key] = (F.lit(value), F.lit(True))

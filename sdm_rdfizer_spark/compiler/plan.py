@@ -32,8 +32,8 @@ from ..ir import (
 )
 from ..sources import read_source
 from .terms import (
-    CompiledValue, canonical_string, compile_term_map, compile_template,
-    valid_value,
+    CompiledValue, ExprLayers, canonical_string, compile_term_map,
+    compile_template, valid_value,
 )
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -127,15 +127,17 @@ class MappingPlanner:
         separate union branches, since their row multiplicity differs.
         """
         df = self.scan(tm)
+        layers = ExprLayers()
         if tm.subject.term.kind == QUOTED:
             # RML-star quoted subject — evaluated over the current row
             # (reference: inner_semantify_file call at semantify.py:6529)
-            subj = self._quoted_term(df, self.tm_by_id[tm.subject.term.parent_tm])
+            subj = self._quoted_term(df, self.tm_by_id[tm.subject.term.parent_tm],
+                                     layers=layers)
         else:
             subj = compile_term_map(df, tm.subject.term, "subject",
                                     base=self.base, infer_datatypes=self.infer_datatypes,
-                                    func_maps=tm.func_maps)
-        graph = self._graph_expr(df, tm.subject.graphs)
+                                    func_maps=tm.func_maps, layers=layers)
+        graph = self._graph_expr(df, tm.subject.graphs, layers)
 
         base_filter = subj.valid
         if tm.subject.condition and tm.subject.condition in tm.func_maps:
@@ -145,10 +147,9 @@ class MappingPlanner:
 
             cond = compile_function(
                 df, tm.func_maps[tm.subject.condition], tm.func_maps,
-                base=self.base, as_condition=True,
+                base=self.base, as_condition=True, layers=layers,
             )
             base_filter = base_filter & cond.valid & cond.expr
-        base_df = df.where(base_filter).withColumn("__s", subj.expr)
 
         entries = []   # structs for the explode branch: (p, o, g, v)
         # rdf:type triples from rr:class (semantify.py:6556-6563)
@@ -156,12 +157,20 @@ class MappingPlanner:
             entries.append((F.lit(RDF_TYPE), F.lit(f"<{cls}>"), graph, F.lit(True)))
 
         branches: list[DataFrame] = []
+        deferred = []  # join-valued POMs: closures over the layered base_df
         for pom in tm.poms:
-            out = self._compile_pom(tm, df, base_df, pom, graph)
+            out = self._compile_pom(tm, df, pom, graph, layers)
             if isinstance(out, tuple):
                 entries.append(out)
+            elif callable(out):
+                deferred.append(out)
             else:
                 branches.append(out)
+
+        # every term above referenced named layer columns; materialize the
+        # layered projections once, then filter + compute the subject
+        base_df = layers.apply(df).where(base_filter).withColumn("__s", subj.expr)
+        branches.extend(build(base_df) for build in deferred)
 
         if entries:
             structs = F.array(*[
@@ -185,35 +194,27 @@ class MappingPlanner:
         return reduce(DataFrame.union, branches)
 
     # ------------------------------------------------------------------
-    def _graph_expr(self, df: DataFrame, graphs: list[TermMap]):
+    def _graph_expr(self, df: DataFrame, graphs: list[TermMap], layers=None):
         if not graphs:
             return F.lit(None).cast("string")
         g = graphs[0]
         if g.kind == CONSTANT and "defaultGraph" in g.value:
             return F.lit(None).cast("string")
-        return compile_term_map(df, g, "graph", base=self.base).expr
+        return compile_term_map(df, g, "graph", base=self.base, layers=layers).expr
 
-    def _compile_pom(self, tm, df, base_df, pom, subj_graph):
+    def _compile_pom(self, tm, df, pom, subj_graph, layers):
         """Returns a (p, o, g, valid) tuple for projection-valued POMs
-        (fused into the TM's single explode pass) or a DataFrame branch
-        for join-valued POMs."""
-        pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
-                                func_maps=tm.func_maps)
-        graph = self._graph_expr(df, pom.graphs) if pom.graphs else subj_graph
+        (fused into the TM's single explode pass), a DataFrame branch
+        (gathers, built from the raw scan), or a closure over the layered
+        base_df for join-valued POMs."""
         om = pom.obj
-
-        if om.kind in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
-            obj = compile_term_map(df, om, "object", base=self.base,
-                                   infer_datatypes=self.infer_datatypes,
-                                   func_maps=tm.func_maps)
-            return (pred.expr, obj.expr, graph, pred.valid & obj.valid)
-        if om.kind == PARENT:
-            return self._compile_join(tm, df, base_df, pred, om, graph)
-        if om.kind == QUOTED:
-            return self._compile_quoted(tm, df, base_df, pred, om, graph)
         if om.kind == GATHER:
+            # gathers build their own plan from the raw scan — layer-free
             from .gather import compile_gather
 
+            pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
+                                    func_maps=tm.func_maps)
+            graph = self._graph_expr(df, pom.graphs or tm.subject.graphs)
             subj = compile_term_map(df, tm.subject.term, "subject", base=self.base)
             node_term = None
             if getattr(om, "template_for_gather", None):
@@ -223,10 +224,24 @@ class MappingPlanner:
                 df, subj.expr, subj.valid & pred.valid, pred.expr, graph,
                 om.gather, base=self.base, node_term=node_term,
             )
+
+        pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
+                                func_maps=tm.func_maps, layers=layers)
+        graph = self._graph_expr(df, pom.graphs, layers) if pom.graphs else subj_graph
+
+        if om.kind in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
+            obj = compile_term_map(df, om, "object", base=self.base,
+                                   infer_datatypes=self.infer_datatypes,
+                                   func_maps=tm.func_maps, layers=layers)
+            return (pred.expr, obj.expr, graph, pred.valid & obj.valid)
+        if om.kind == PARENT:
+            return self._compile_join(tm, df, pred, om, graph, layers)
+        if om.kind == QUOTED:
+            return self._compile_quoted(tm, df, pred, om, graph, layers)
         raise NotImplementedError(f"object-map kind {om.kind} not implemented yet")
 
     # ------------------------------------------------------------------
-    def _compile_join(self, tm, df, base_df, pred, om, graph) -> DataFrame:
+    def _compile_join(self, tm, df, pred, om, graph, layers):
         parent_tm = self.tm_by_id[om.parent_tm]
         same_source = parent_tm.source.cache_key() == tm.source.cache_key()
 
@@ -239,67 +254,75 @@ class MappingPlanner:
             # join-as-projection (inner_functions.py:139-679): parent subject
             # evaluated over the current row — no join at all; fused into
             # the TM's single explode pass.
-            pobj = compile_term_map(df, parent_tm.subject.term, "subject", base=self.base)
+            pobj = compile_term_map(df, parent_tm.subject.term, "subject",
+                                    base=self.base, layers=layers)
             return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid)
 
         if same_source and om.join.child == om.join.parent:
             # self-join elimination (semantify.py:1450-1523): equal keys on
             # the same source ⇒ the parent row IS the child row.
-            pobj = compile_term_map(df, parent_tm.subject.term, "subject", base=self.base)
+            pobj = compile_term_map(df, parent_tm.subject.term, "subject",
+                                    base=self.base, layers=layers)
             return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid)
 
         pairs = self._parent_pairs(parent_tm, tuple(om.join.parent))
-        child = base_df.where(pred.valid).select(
-            "__s",
-            pred.expr.alias("__p"),
-            graph.alias("__g"),
-            *[
-                self._join_key_expr(df, c).alias(f"__ck{i}")
-                for i, c in enumerate(om.join.child)
-            ],
-        )
-        # NULL join keys never match (functions.py:1882-1912) — inner join
-        # gives that for free, but filtering early avoids shuffling them.
-        for i in range(len(om.join.child)):
-            child = child.where(valid_value(F.col(f"__ck{i}")))
-        cond = reduce(
-            lambda a, b: a & b,
-            [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(len(om.join.child))],
-        )
-        joined = child.join(pairs, cond, "inner")
-        return joined.select(
-            F.col("__s").alias("s"),
-            F.col("__p").alias("p"),
-            F.col("__po").alias("o"),
-            F.col("__g").alias("g"),
-        )
+        key_exprs = [
+            self._join_key_expr(df, c, layers) for c in om.join.child
+        ]
+        nkeys = len(om.join.child)
+        pred_expr, pred_valid = pred.expr, pred.valid
+
+        def build(base_df: DataFrame) -> DataFrame:
+            child = base_df.where(pred_valid).select(
+                "__s",
+                pred_expr.alias("__p"),
+                graph.alias("__g"),
+                *[k.alias(f"__ck{i}") for i, k in enumerate(key_exprs)],
+            )
+            # NULL join keys never match (functions.py:1882-1912) — inner
+            # join gives that free, but filtering early avoids shuffling.
+            for i in range(nkeys):
+                child = child.where(valid_value(F.col(f"__ck{i}")))
+            cond = reduce(
+                lambda a, b: a & b,
+                [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(nkeys)],
+            )
+            return child.join(pairs, cond, "inner").select(
+                F.col("__s").alias("s"),
+                F.col("__p").alias("p"),
+                F.col("__po").alias("o"),
+                F.col("__g").alias("g"),
+            )
+
+        return build
 
     # ------------------------------------------------------------------
-    def _quoted_term(self, df: DataFrame, qtm: TriplesMap) -> CompiledValue:
+    def _quoted_term(self, df: DataFrame, qtm: TriplesMap, layers=None) -> CompiledValue:
         """``<< s p o >>`` term from a quoted TriplesMap's first POM,
         evaluated over ``df`` rows (RML-star; formatting per the
         reference's quoted output, semantify.py:6518-6529)."""
         subj = compile_term_map(df, qtm.subject.term, "subject",
-                                base=self.base, func_maps=qtm.func_maps)
+                                base=self.base, func_maps=qtm.func_maps, layers=layers)
         if not qtm.poms:
             raise ValueError(f"quoted triples map {qtm.tm_id} has no predicateObjectMap")
         pom = qtm.poms[0]
         pred = compile_term_map(df, pom.predicate, "predicate",
-                                base=self.base, func_maps=qtm.func_maps)
+                                base=self.base, func_maps=qtm.func_maps, layers=layers)
         om = pom.obj
         if om.kind == PARENT:
             parent_tm = self.tm_by_id[om.parent_tm]
             obj = compile_term_map(df, parent_tm.subject.term, "subject",
-                                   base=self.base, func_maps=parent_tm.func_maps)
+                                   base=self.base, func_maps=parent_tm.func_maps,
+                                   layers=layers)
         else:
             obj = compile_term_map(df, om, "object", base=self.base,
                                    infer_datatypes=self.infer_datatypes,
-                                   func_maps=qtm.func_maps)
+                                   func_maps=qtm.func_maps, layers=layers)
         expr = F.concat(F.lit("<< "), subj.expr, F.lit(" "), pred.expr,
                         F.lit(" "), obj.expr, F.lit(" >>"))
         return CompiledValue(expr, subj.valid & pred.valid & obj.valid)
 
-    def _compile_quoted(self, tm, df, base_df, pred, om, graph):
+    def _compile_quoted(self, tm, df, pred, om, graph, layers):
         """Quoted-triples-map object: same source ⇒ fused projection;
         join-conditioned ⇒ join against (key…, quoted-term) pairs (the
         reference's ``hash_maker(quoted=...)``, semantify.py:523)."""
@@ -311,42 +334,50 @@ class MappingPlanner:
                     f"quoted triples map without join condition requires the "
                     f"same logical source ({tm.tm_id} → {om.parent_tm})"
                 )
-            qcv = self._quoted_term(df, qtm)
+            qcv = self._quoted_term(df, qtm, layers=layers)
             return (pred.expr, qcv.expr, graph, pred.valid & qcv.valid)
 
         qdf = self.scan(qtm)
-        qcv = self._quoted_term(qdf, qtm)
-        pairs = qdf.where(qcv.valid).select(
+        qlayers = ExprLayers()
+        qcv = self._quoted_term(qdf, qtm, layers=qlayers)
+        pkey_exprs = [
+            self._join_key_expr(qdf, k, qlayers) for k in om.join.parent
+        ]
+        pairs = qlayers.apply(qdf).where(qcv.valid).select(
             qcv.expr.alias("__po"),
-            *[
-                self._join_key_expr(qdf, k).alias(f"__pk{i}")
-                for i, k in enumerate(om.join.parent)
-            ],
+            *[k.alias(f"__pk{i}") for i, k in enumerate(pkey_exprs)],
         ).dropDuplicates()
-        child = base_df.where(pred.valid).select(
-            "__s", pred.expr.alias("__p"), graph.alias("__g"),
-            *[
-                self._join_key_expr(df, c).alias(f"__ck{i}")
-                for i, c in enumerate(om.join.child)
-            ],
-        )
-        for i in range(len(om.join.child)):
-            child = child.where(valid_value(F.col(f"__ck{i}")))
-        cond = reduce(
-            lambda a, b: a & b,
-            [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(len(om.join.child))],
-        )
-        return child.join(pairs, cond, "inner").select(
-            F.col("__s").alias("s"), F.col("__p").alias("p"),
-            F.col("__po").alias("o"), F.col("__g").alias("g"),
-        )
+        key_exprs = [self._join_key_expr(df, c, layers) for c in om.join.child]
+        nkeys = len(om.join.child)
+        pred_expr, pred_valid = pred.expr, pred.valid
 
-    def _join_key_expr(self, df: DataFrame, key: str):
+        def build(base_df: DataFrame) -> DataFrame:
+            child = base_df.where(pred_valid).select(
+                "__s", pred_expr.alias("__p"), graph.alias("__g"),
+                *[k.alias(f"__ck{i}") for i, k in enumerate(key_exprs)],
+            )
+            for i in range(nkeys):
+                child = child.where(valid_value(F.col(f"__ck{i}")))
+            cond = reduce(
+                lambda a, b: a & b,
+                [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(nkeys)],
+            )
+            return child.join(pairs, cond, "inner").select(
+                F.col("__s").alias("s"), F.col("__p").alias("p"),
+                F.col("__po").alias("o"), F.col("__g").alias("g"),
+            )
+
+        return build
+
+    def _join_key_expr(self, df: DataFrame, key: str, layers=None):
         """Join keys may be plain column references or templates
         (templated join conditions, semantify.py:528-535)."""
         if "{" in key:
-            return compile_template(df, key, encode=False).expr
-        return canonical_string(df, key)
+            return compile_template(df, key, encode=False, layers=layers).expr
+        raw = canonical_string(df, key)
+        if layers is not None:
+            raw = layers.add(0, ("canon", key), raw)
+        return raw
 
     def _parent_pairs(self, parent_tm: TriplesMap, parent_keys: tuple) -> DataFrame:
         """Distinct (key…, subject) pairs of the parent TM — the Spark
@@ -357,13 +388,13 @@ class MappingPlanner:
         if cache_key in self._parent_cache:
             return self._parent_cache[cache_key]
         pdf = self.scan(parent_tm)
-        psub = compile_term_map(pdf, parent_tm.subject.term, "subject", base=self.base)
-        sel = pdf.where(psub.valid).select(
+        players = ExprLayers()
+        psub = compile_term_map(pdf, parent_tm.subject.term, "subject",
+                                base=self.base, layers=players)
+        pkey_exprs = [self._join_key_expr(pdf, k, players) for k in parent_keys]
+        sel = players.apply(pdf).where(psub.valid).select(
             psub.expr.alias("__po"),
-            *[
-                self._join_key_expr(pdf, k).alias(f"__pk{i}")
-                for i, k in enumerate(parent_keys)
-            ],
+            *[k.alias(f"__pk{i}") for i, k in enumerate(pkey_exprs)],
         )
         for i in range(len(parent_keys)):
             sel = sel.where(valid_value(F.col(f"__pk{i}")))

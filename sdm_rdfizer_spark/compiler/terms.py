@@ -111,7 +111,53 @@ class CompiledValue:
     valid: Column
 
 
-def compile_template(df: DataFrame, template: str, *, encode: bool = True) -> CompiledValue:
+class ExprLayers:
+    """Named-subexpression builder.
+
+    Term constructors branch on their own inputs (``when(v.contains(
+    "http"), v).otherwise(encode(v))``), which at the Column level
+    DUPLICATES the input expression in every branch — nested over
+    templates and IRI completion this grows combinatorially (observed:
+    a 2-ref subject template expanded to >20 copies of the per-ref
+    expression, blowing generated code past the JIT limit). Registering
+    each intermediate as a named column in layered projections makes
+    every reuse a cheap attribute reference; Catalyst's CollapseProject
+    keeps non-trivial aliases that are referenced more than once.
+    """
+
+    def __init__(self) -> None:
+        self.layers: list[dict[str, Column]] = [{}, {}, {}]
+        self._memo: dict = {}
+        self._n = 0
+
+    def add(self, level: int, key, col: Column) -> Column:
+        memo_key = (level, key)
+        if memo_key in self._memo:
+            return F.col(self._memo[memo_key])
+        self._n += 1
+        name = f"__x{level}_{self._n}"
+        self.layers[level][name] = col
+        self._memo[memo_key] = name
+        return F.col(name)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for layer in self.layers:
+            if layer:
+                df = df.withColumns(layer)
+        return df
+
+
+def _canon(df: DataFrame, ref: str, layers: ExprLayers | None) -> Column:
+    raw = canonical_string(df, ref)
+    if layers is not None:
+        raw = layers.add(0, ("canon", ref), raw)
+    return raw
+
+
+def compile_template(
+    df: DataFrame, template: str, *, encode: bool = True,
+    layers: ExprLayers | None = None,
+) -> CompiledValue:
     """Expand ``"http://x/{a}/{b}"`` into concat + validity condition.
 
     Encoding rule mirrors functions.py:1896-1899: a substituted value is
@@ -128,11 +174,14 @@ def compile_template(df: DataFrame, template: str, *, encode: bool = True) -> Co
             parts.append(F.lit(lit))
         seen_http = seen_http or ("http" in template[: m.start()])
         ref = m.group(1).split("[")[0] if "[" not in m.group(1) else m.group(1)
-        raw = canonical_string(df, ref)
+        raw = _canon(df, ref, layers)
         valid = valid & valid_value(raw)
+        do_encode = encode and seen_http
         v = F.trim(raw)
-        if encode and seen_http:
+        if do_encode:
             v = F.when(v.contains("http"), v).otherwise(encode_iri_component(v))
+        if layers is not None:
+            v = layers.add(1, ("tv", ref, do_encode), v)
         parts.append(v)
         pos = m.end()
     tail = template[pos:].replace(r"\{", "{").replace(r"\}", "}")
@@ -143,12 +192,17 @@ def compile_template(df: DataFrame, template: str, *, encode: bool = True) -> Co
     return CompiledValue(expr=F.concat(*parts), valid=valid)
 
 
-def compile_reference(df: DataFrame, ref: str, *, for_literal: bool = True) -> CompiledValue:
-    raw = canonical_string(df, ref)
+def compile_reference(
+    df: DataFrame, ref: str, *, for_literal: bool = True,
+    layers: ExprLayers | None = None,
+) -> CompiledValue:
+    raw = _canon(df, ref, layers)
     valid = valid_value(raw)
     v = F.trim(raw)
     if for_literal:
         v = F.replace(v, F.lit('"'), F.lit("'"))   # functions.py:1950
+    if layers is not None:
+        v = layers.add(1, ("rv", ref, for_literal), v)
     return CompiledValue(expr=v, valid=valid)
 
 
@@ -224,6 +278,7 @@ def compile_term_map(
     base: str | None = None,
     infer_datatypes: bool = False,
     func_maps: dict | None = None,
+    layers: ExprLayers | None = None,
 ) -> CompiledValue:
     """Compile a non-join term map into an N-Triples term Column.
 
@@ -234,17 +289,17 @@ def compile_term_map(
         return _compile_constant(tm, position)
 
     if tm.kind == TEMPLATE:
-        cv = compile_template(df, tm.value)
+        cv = compile_template(df, tm.value, layers=layers)
     elif tm.kind == REFERENCE:
         is_lit = _is_literal_position(tm, position)
-        cv = compile_reference(df, tm.value, for_literal=is_lit)
+        cv = compile_reference(df, tm.value, for_literal=is_lit, layers=layers)
     elif tm.kind == "function":
         from .fnml import compile_function
 
         fm = (func_maps or {}).get(tm.value)
         if fm is None:
             raise ValueError(f"unresolved function map {tm.value!r}")
-        cv = compile_function(df, fm, func_maps or {}, base=base)
+        cv = compile_function(df, fm, func_maps or {}, base=base, layers=layers)
     else:
         raise NotImplementedError(f"term map kind {tm.kind} must be handled by the planner")
 
@@ -257,6 +312,14 @@ def compile_term_map(
             tt = TT_IRI
         else:
             tt = TT_LITERAL if tm.kind in (REFERENCE, "function") else TT_IRI
+
+    if layers is not None:
+        # name the lexical value so the term wrappers below (whose branches
+        # repeat it, e.g. wrap_iri's 3 uses) reference one computed column
+        expr = layers.add(
+            2, ("cv", tm.kind, tm.value, _is_literal_position(tm, position)), cv.expr
+        )
+        cv = CompiledValue(expr, cv.valid)
 
     if tt == TT_BLANKNODE:
         return CompiledValue(wrap_blank(cv.expr), cv.valid)
@@ -271,12 +334,14 @@ def compile_term_map(
     if tm.language is not None:
         lang_col = F.lit(tm.language)
     elif tm.language_map is not None:
-        lcv = compile_term_map(df, tm.language_map, "language", base=base, func_maps=func_maps)
+        lcv = compile_term_map(df, tm.language_map, "language", base=base,
+                               func_maps=func_maps, layers=layers)
         lang_col, valid = lcv.expr, valid & lcv.valid
     elif tm.datatype is not None:
         dt_col = F.lit(tm.datatype)
     elif tm.datatype_map is not None:
-        dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base, func_maps=func_maps)
+        dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base,
+                               func_maps=func_maps, layers=layers)
         dt_col, valid = dcv.expr, valid & dcv.valid
     elif infer_datatypes and tm.kind == REFERENCE:
         nd = natural_datatype(df, tm.value)
