@@ -668,6 +668,116 @@ def _q_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=5)
 
 
+def _q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from sdm_rdfizer_spark.ops.dedup import embedding_neardup_pairs
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.35, method="exact")
+
+
+_EMBEDDING_NEARDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from sdm_rdfizer_spark.ops.similarity import ivf_topk
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# IVF-flat with deterministic centroids (first 16 corpus vectors by id):
+# assignment = argmax of round(cos,9) with lowest-centroid-id tie-break;
+# queries probe their 4 best cells; final top-5 on round(cos,6).
+_IVF_TOPK_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), vsim AS (
+  SELECT v.vec_id, v.embedding::DOUBLE[] AS vec, c.cid,
+         round(list_cosine_similarity(v.embedding::DOUBLE[], c.cvec), 9) AS csim
+  FROM embeddings v CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM vsim) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, vec AS qv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM vsim WHERE vec_id < 10) WHERE rn <= 4
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM probe JOIN asg USING (cell)
+  WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing over real parquet: documents.text re-encoded as
+    an opaque binary payload (stand-in for image/audio/video bytes), typed
+    by doc_id%3, then decoded/feature-extracted via the mapInPandas path.
+    The fake decoder is deterministic, so DuckDB can oracle the features."""
+    from sdm_rdfizer_spark.ops.multimodal import extract_features
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "digest",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+# the fake decoder hashes the first 64 payload bytes: h = sum(bytes);
+# image → (64 + h%512, 64 + 7h%512); audio/video → 1000 + 13h%60000
+# (documents.text is pure ASCII, so byte values == code points)
+_MULTIMODAL_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         text,
+         list_sum(list_transform(str_split(substr(text, 1, 64), ''), c -> ord(c))) AS h
+  FROM documents
+)
+SELECT media_id, kind,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS digest,
+       CASE WHEN kind = 'image' THEN 64 + h % 512 END::BIGINT AS width,
+       CASE WHEN kind = 'image' THEN 64 + (h * 7) % 512 END::BIGINT AS height,
+       CASE WHEN kind != 'image' THEN 1000 + (h * 13) % 60000 END::BIGINT AS duration_ms
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -700,6 +810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "similarity_topk_cosine": _q_similarity_topk,
         "similarity_lsh_topk": _q_lsh_bucket_topk,
+        "similarity_ivf_topk": _q_ivf_topk,
+        "dedup_embedding_cosine": _q_embedding_neardup,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -724,4 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _language_id_oracle(),
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "similarity_topk_cosine": _SIMILARITY_TOPK_ORACLE,
+        "similarity_ivf_topk": _IVF_TOPK_ORACLE,
+        "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
+        "multimodal_features": _MULTIMODAL_ORACLE,
     }

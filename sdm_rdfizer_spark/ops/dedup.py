@@ -160,6 +160,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "exact",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    ``round(cos, 6) >= threshold`` and ``id_a < id_b``.
+
+    ``method="exact"`` is the all-pairs baseline (id_a < id_b halves the
+    candidate space; fine up to ~10^5 vectors — the correctness oracle).
+    ``method="lsh"`` is the scale path: random-hyperplane sign buckets
+    prune candidates to same-bucket pairs before scoring, turning the
+    O(n²) cross join into a shuffled equi-join on the bucket key — near
+    pairs almost always share the bucket at high thresholds; recall can
+    be raised by unioning several seeds.
+    """
+    from .similarity import cosine, random_hyperplanes, _dot
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, n_planes, seed)
+        bits = [
+            F.when(_dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
+        v = v.withColumn("__bucket", F.concat(*bits))
+        cond = [F.col("a.__bucket") == F.col("b.__bucket")]
+    else:
+        cond = []
+    a, b = v.alias("a"), v.alias("b")
+    join_cond = F.col("a.__id") < F.col("b.__id")
+    for c in cond:
+        join_cond = join_cond & c
+    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             *, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-token md5-derived bit pattern, bitwise

@@ -133,3 +133,84 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into ``n_cells``
+    inverted lists by nearest centroid, probe only the ``n_probe`` cells
+    closest to each query.
+
+    Centroids are the first ``n_cells`` corpus vectors by id — a
+    deterministic sample standing in for a k-means fit (swap in
+    ``pyspark.ml.clustering.KMeans`` centers for production; the plan
+    shape is identical). Assignment happens corpus-side with the centroid
+    set broadcast as literals, so the only shuffle is the equi-join on
+    the cell id — at 1000 executors each probe touches n_probe/n_cells
+    of the data instead of all of it.
+
+    Tie-breaks are made engine-portable by rounding: cell assignment uses
+    round(cos, 9) with lowest-centroid-id wins; final ranking uses
+    round(cos, 6) with lowest-neighbor-id wins.
+    """
+    cent_rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+    def cell_sims(vec: Column) -> Column:
+        # array<struct<sim,negcid,cid>> — struct ordering gives argmax
+        # with lowest-cid tie-break via the negated id field
+        return F.array(*[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 9).alias("sim"),
+                F.lit(-cid).alias("negcid"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ])
+
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("cell", F.array_max(cell_sims(F.col("__cv"))).getField("cid"))
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(cell_sims(F.col("__qv")), asc=False), 1, n_probe),
+                lambda s: s.getField("cid"),
+            )
+        ),
+    )
+
+    scored = (
+        cand.join(F.broadcast(probes), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
