@@ -778,6 +778,28 @@ FROM m
 """
 
 
+def _q_streaming_events_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming path: events.parquet consumed as a file stream,
+    watermarked tumbling-window aggregation, drained with an availableNow
+    trigger — availableNow batch-parity makes this oracle-checkable."""
+    from sdm_rdfizer_spark.streaming import stream_events_window
+
+    return stream_events_window(spark, sf)
+
+
+# Spark tumbling windows align to the 1970 epoch; DuckDB time_bucket to
+# 2000-01-01 — both are 5-minute-aligned so the buckets coincide. The sum
+# is DECIMAL so it is exact and aggregation-order-independent.
+_STREAMING_EVENTS_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       (sum(value::DECIMAL(18,2)))::VARCHAR AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -813,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_ivf_topk,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
+        "streaming_events_window": _q_streaming_events_window,
     }
 
 
@@ -840,4 +863,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
+        "streaming_events_window": _STREAMING_EVENTS_ORACLE,
     }

@@ -40,7 +40,13 @@ def main() -> None:
         # compilation of those burns minutes of CPU across a 20-query run
         # while hot paths limp along interpreted. C1 compiles ~100x
         # faster at ~2x steady-state cost — a large net win here.
-        .config("spark.driver.extraJavaOptions", "-XX:TieredStopAtLevel=1")
+        # 512m code cache: ~25k generated-class methods across a 20+ query
+        # run overflow the 48m default, which silently DISABLES the JIT
+        # ("CodeCache is full") and leaves later queries interpreted
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -93,6 +93,12 @@ class MappingPlanner:
             self._scan_cache[key] = read_source(self.spark, tm.source)
         return self._scan_cache[key]
 
+    def parent_scan(self, tm: TriplesMap) -> DataFrame:
+        """Scan for the build side of a join. Same as ``scan`` in batch;
+        the streaming planner overrides this to keep parents static
+        (stream-static joins need a batch build side)."""
+        return self.scan(tm)
+
     # ------------------------------------------------------------------
     def compile_all(self) -> DataFrame:
         """Union of all asserted TriplesMap outputs (+ global dedup).
@@ -103,9 +109,11 @@ class MappingPlanner:
         (semantify.py:212-265) are unnecessary because the shuffle spills.
         """
         parts = [
-            self.compile_tm(tm)
+            part
             for tm in self.tms
             if tm.kind != "NonAssertedTriplesMap"
+            for part in [self.compile_tm(tm)]
+            if part is not None
         ]
         if not parts:
             return self.spark.createDataFrame([], "s string, p string, o string, g string")
@@ -190,7 +198,10 @@ class MappingPlanner:
             )
             branches.insert(0, exploded)
         if not branches:
-            return self.spark.createDataFrame([], "s string, p string, o string, g string")
+            # a TM with no classes and no POMs emits nothing (it may still
+            # serve as a join parent) — drop it from the union rather than
+            # scanning for zero columns
+            return None
         return reduce(DataFrame.union, branches)
 
     # ------------------------------------------------------------------
@@ -337,7 +348,7 @@ class MappingPlanner:
             qcv = self._quoted_term(df, qtm, layers=layers)
             return (pred.expr, qcv.expr, graph, pred.valid & qcv.valid)
 
-        qdf = self.scan(qtm)
+        qdf = self.parent_scan(qtm)
         qlayers = ExprLayers()
         qcv = self._quoted_term(qdf, qtm, layers=qlayers)
         pkey_exprs = [
@@ -387,7 +398,7 @@ class MappingPlanner:
         cache_key = (parent_tm.tm_id, parent_keys)
         if cache_key in self._parent_cache:
             return self._parent_cache[cache_key]
-        pdf = self.scan(parent_tm)
+        pdf = self.parent_scan(parent_tm)
         players = ExprLayers()
         psub = compile_term_map(pdf, parent_tm.subject.term, "subject",
                                 base=self.base, layers=players)

@@ -181,12 +181,15 @@ def embedding_neardup_pairs(
     pairs almost always share the bucket at high thresholds; recall can
     be raised by unioning several seeds.
     """
-    from .similarity import cosine, random_hyperplanes, _dot
+    from .similarity import random_hyperplanes, _dot, _norm
 
+    # norms are precomputed per vector (n of them, not n²) — the per-pair
+    # work is then a single higher-order-function dot product; the result
+    # is bit-identical to dot(a,b)/(|a|·|b|) computed inline
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", _norm(F.col("__v")))
     if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         planes = random_hyperplanes(dim, n_planes, seed)
@@ -203,7 +206,9 @@ def embedding_neardup_pairs(
     join_cond = F.col("a.__id") < F.col("b.__id")
     for c in cond:
         join_cond = join_cond & c
-    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    sim = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
+    )
     return (
         a.join(b, join_cond)
         .select(

@@ -12,6 +12,8 @@ bucket join shuffles instead of broadcasting the corpus.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -48,15 +50,18 @@ def brute_force_topk(
     it is broadcast so the corpus never shuffles. Self-matches excluded.
     Returns (query_id, neighbor_id, sim, rank).
     """
+    # norms are computed once per vector, not once per pair; the per-pair
+    # expression is then a single dot product — bit-identical to the
+    # inline cosine since dot/(|q|·|c|) has the same operation order
     cand = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", _norm(F.col("__cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    sim = cosine(F.col("__qv"), F.col("__cv"))
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = (
@@ -169,12 +174,26 @@ def ivf_topk(
     )
     centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
 
-    def cell_sims(vec: Column) -> Column:
+    def py_norm(vec: list[float]) -> float:
+        # same sequential accumulation as _norm so the constant is
+        # bit-identical to what Spark would compute
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    cnorms = {cid: py_norm(cvec) for cid, cvec in centroids}
+
+    def cell_sims(vec: Column, norm: Column) -> Column:
         # array<struct<sim,negcid,cid>> — struct ordering gives argmax
-        # with lowest-cid tie-break via the negated id field
+        # with lowest-cid tie-break via the negated id field; the vector
+        # norm is computed once, centroid norms are plan constants
         return F.array(*[
             F.struct(
-                F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 9).alias("sim"),
+                F.round(
+                    _dot(vec, F.array(*[F.lit(x) for x in cvec]))
+                    / (norm * F.lit(cnorms[cid])), 9
+                ).alias("sim"),
                 F.lit(-cid).alias("negcid"),
                 F.lit(cid).alias("cid"),
             )
@@ -184,16 +203,21 @@ def ivf_topk(
     cand = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("cell", F.array_max(cell_sims(F.col("__cv"))).getField("cid"))
+    ).withColumn("__cn", _norm(F.col("__cv"))).withColumn(
+        "cell", F.array_max(cell_sims(F.col("__cv"), F.col("__cn"))).getField("cid")
+    )
 
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn(
+    ).withColumn("__qn", _norm(F.col("__qv"))).withColumn(
         "cell",
         F.explode(
             F.transform(
-                F.slice(F.sort_array(cell_sims(F.col("__qv")), asc=False), 1, n_probe),
+                F.slice(
+                    F.sort_array(cell_sims(F.col("__qv"), F.col("__qn")), asc=False),
+                    1, n_probe,
+                ),
                 lambda s: s.getField("cid"),
             )
         ),
@@ -205,7 +229,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

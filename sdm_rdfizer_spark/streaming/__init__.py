@@ -1,0 +1,206 @@
+"""Structured Streaming execution of the same compiled mapping plan.
+
+The reference is strictly batch — no watermarks, windows, or stateful
+operators exist anywhere in it (SURVEY §2.7). This module is the
+beyond-reference scale path: the mapping compiler's DataFrame plan is
+declarative, so pointing the driving TriplesMap scans at
+``spark.readStream`` sources turns materialization into a continuous
+pipeline with zero operator changes — joins become stream-static joins
+(the parent/build side stays a batch scan, exactly like the reference's
+prebuilt in-memory hash tables, semantify.py:523-931), term constructors
+are stateless column expressions, and triple dedup becomes streaming
+``dropDuplicates`` state.
+
+At 100 TB posture the streaming scan is a file-arrival feed (or Kafka —
+swap the reader; the plan is source-agnostic): each micro-batch
+materializes only new rows, so a continuously-updated KG costs O(new
+data) instead of O(full re-materialization) per refresh.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compiler.plan import MappingPlanner
+from ..ir import LogicalSource, TriplesMap
+from ..sources import read_source
+
+
+def stream_scan(spark: SparkSession, ls: LogicalSource) -> DataFrame:
+    """Streaming scan of a file-based logical source.
+
+    The schema comes from a driver-side static read (file-stream sources
+    require a declared schema); CSV keeps all-string columns like the
+    batch path, so downstream term compilation is identical.
+    """
+    fmt = ls.fmt
+    static = read_source(spark, ls)
+
+    # file-stream sources reject a literal single-file path ("basePath
+    # must be a directory") but accept globs; a one-member {name} glob
+    # makes a mapping's typical single-file rml:source streamable
+    path = ls.source
+    if os.path.isfile(path):
+        p = os.path.abspath(path)
+        path = os.path.join(os.path.dirname(p), "{" + os.path.basename(p) + "}")
+
+    def reader():
+        return spark.readStream.schema(static.schema)
+
+    if fmt in ("csv", "tsv"):
+        sep = ls.delimiter or ("\t" if fmt == "tsv" else ",")
+        return (
+            reader()
+            .option("header", True)
+            .option("sep", sep)
+            .csv(path)
+        )
+    if fmt == "parquet":
+        return reader().parquet(path)
+    if fmt == "json":
+        sdf = reader().json(path)
+        from ..sources import apply_json_iterator
+
+        return apply_json_iterator(sdf, ls.iterator)
+    raise NotImplementedError(
+        f"streaming scan not supported for reference formulation {fmt!r}"
+    )
+
+
+class StreamingMappingPlanner(MappingPlanner):
+    """Same compilation, streaming driving scans, static join builds."""
+
+    def scan(self, tm: TriplesMap) -> DataFrame:
+        key = ("stream",) + tm.source.cache_key()
+        if key not in self._scan_cache:
+            self._scan_cache[key] = stream_scan(self.spark, tm.source)
+        return self._scan_cache[key]
+
+    def parent_scan(self, tm: TriplesMap) -> DataFrame:
+        # build sides stay batch: stream-static join, no state on the
+        # parent, and the planner's broadcast/persist logic still applies
+        key = tm.source.cache_key()
+        if key not in self._scan_cache:
+            self._scan_cache[key] = read_source(self.spark, tm.source)
+        return self._scan_cache[key]
+
+
+def materialize_stream(
+    spark: SparkSession,
+    mapping_text: str,
+    *,
+    base_dir: str | None = None,
+    remove_duplicates: bool = False,
+    infer_datatypes: bool = False,
+) -> DataFrame:
+    """Compile an RML mapping into a **streaming** triples DataFrame.
+
+    ``remove_duplicates`` defaults off: on a stream it is stateful
+    (unbounded dedup state, the price of the reference's global PTT
+    semantics in a never-ending job). Leave it off and dedup per
+    micro-batch downstream, or bound state with
+    ``dropDuplicatesWithinWatermark`` after attaching an event-time
+    column, when the source has one.
+    """
+    from ..engine import tune_session
+    from ..rml_parser import extract_triples_maps
+    from ..turtle import parse as parse_turtle
+
+    tune_session(spark)
+    g = parse_turtle(mapping_text)
+    tms = extract_triples_maps(g, base_dir)
+    planner = StreamingMappingPlanner(
+        spark, tms, base=g.base,
+        remove_duplicates=remove_duplicates,
+        infer_datatypes=infer_datatypes,
+    )
+    return planner.compile_all()
+
+
+def run_available_now(
+    sdf: DataFrame,
+    *,
+    name: str = "stream_result",
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame with an available-now trigger into an
+    in-memory table and return it as a batch DataFrame.
+
+    This is the batch-parity harness: availableNow processes everything
+    currently in the source then stops, so the result must equal the
+    batch plan's output — used by tests and the driver contract. For a
+    real deployment use ``sdf.writeStream.format("parquet")`` (or a
+    Kafka/Delta sink) with a durable checkpoint location instead.
+    """
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window event statistics with late-data watermarking.
+
+    Works on both a streaming and a batch ``events`` DataFrame (the
+    watermark is a no-op in batch — that is Spark's own batch-parity
+    guarantee, and what makes this oracle-checkable). The value sum is
+    decimal so it is exact and aggregation-order-independent across
+    engines.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col(type_col),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("string").alias("sum_value"),
+        )
+    )
+
+
+def stream_events_window(
+    spark: SparkSession, sf_dir: str, *, window: str = "5 minutes"
+) -> DataFrame:
+    """Driver-contract entry: stream events.parquet through a watermarked
+    tumbling-window aggregation, drain with availableNow, return batch."""
+    from ..engine import tune_session
+    from ..sources import _nanos_timestamp_columns
+
+    tune_session(spark)  # nanosAsLong: testdata has TIMESTAMP(NANOS) parquet
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)), "{events.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    for c in _nanos_timestamp_columns(path):
+        if dict(sdf.dtypes).get(c) == "bigint":
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    agg = windowed_event_stats(sdf, window=window)
+    # complete mode: every window is re-emitted on the final trigger, so
+    # the memory table holds the full aggregation result
+    name = "events_window_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(agg, name=name, output_mode="complete")
