@@ -62,6 +62,13 @@ def main() -> None:
 
     spark.range(0, 1_000_000, 1, 8).agg(F.sum("id")).collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+    # spin up the Python worker pool (forks + pandas/pyarrow imports):
+    # mapInPandas queries shouldn't be charged interpreter cold-start
+    def _warm(batches):
+        for b in batches:
+            yield b
+    spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(_warm, "id long") \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

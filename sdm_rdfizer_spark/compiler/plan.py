@@ -14,7 +14,13 @@ cannot see RML semantics:
   * join-without-condition on the same logical source ⇒ pure projection
     (inner_functions.py:139-679);
   * parent (key, subject) DataFrame caching shared across joins
-    (the reference's global join_table, semantify.py:523-931).
+    (the reference's global join_table, semantify.py:523-931);
+  * unique-parent-key join fusion (the reference's is_key_unique /
+    type_join 1:1-join detection, semantify.py:1403-1422): when each
+    parent key maps to exactly one parent subject, the join is N:1 and is
+    fused as a LEFT join into the TM's single explode pass — the source
+    is scanned once total instead of once per join POM, and the matched
+    parent subject becomes just another projected term.
 """
 
 from __future__ import annotations
@@ -76,6 +82,9 @@ class MappingPlanner:
         self._scan_cache: dict[tuple, DataFrame] = {}
         self._parent_cache: dict[tuple, DataFrame] = {}
         self._parent_refcount: dict[tuple, int] = {}
+        self._parent_unique: dict[tuple, bool] = {}
+        self._parent_broadcast: dict[tuple, bool] = {}
+        self._fuse_counter = 0
         self._count_parent_refs()
 
     # ------------------------------------------------------------------
@@ -166,9 +175,13 @@ class MappingPlanner:
 
         branches: list[DataFrame] = []
         deferred = []  # join-valued POMs: closures over the layered base_df
+        fusers = []    # N:1 joins fused into the explode pass as left joins
         for pom in tm.poms:
             out = self._compile_pom(tm, df, pom, graph, layers)
-            if isinstance(out, tuple):
+            if (isinstance(out, tuple) and len(out) == 2
+                    and isinstance(out[0], str) and out[0] == "fuse"):
+                fusers.append(out[1])
+            elif isinstance(out, tuple):
                 entries.append(out)
             elif callable(out):
                 deferred.append(out)
@@ -178,7 +191,13 @@ class MappingPlanner:
         # every term above referenced named layer columns; materialize the
         # layered projections once, then filter + compute the subject
         base_df = layers.apply(df).where(base_filter).withColumn("__s", subj.expr)
-        branches.extend(build(base_df) for build in deferred)
+        # non-fusable (1:N) joins branch from the pre-fuse frame so they
+        # don't pay for left joins whose columns they never read
+        pre_fuse_df = base_df
+        for fuse in fusers:
+            base_df, entry = fuse(base_df)
+            entries.append(entry)
+        branches.extend(build(pre_fuse_df) for build in deferred)
 
         if entries:
             structs = F.array(*[
@@ -283,6 +302,38 @@ class MappingPlanner:
         nkeys = len(om.join.child)
         pred_expr, pred_valid = pred.expr, pred.valid
 
+        if self._parent_key_unique(parent_tm, tuple(om.join.parent)):
+            # N:1 join — fuse as a left join into the single explode pass
+            # (reference: is_key_unique/type_join, semantify.py:1403-1422).
+            # Row multiplicity is preserved, so other POMs are unaffected;
+            # an unmatched or NULL-ish child key just yields a NULL parent
+            # subject, which the per-entry validity drops.
+            self._fuse_counter += 1
+            tag = self._fuse_counter
+
+            def fuse(base_df: DataFrame):
+                renamed = pairs.select(
+                    F.col("__po").alias(f"__fpo{tag}"),
+                    *[F.col(f"__pk{i}").alias(f"__fpk{tag}_{i}")
+                      for i in range(nkeys)],
+                )
+                if self._parent_broadcast.get((parent_tm.tm_id, tuple(om.join.parent))):
+                    renamed = F.broadcast(renamed)
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [key_exprs[i] == renamed[f"__fpk{tag}_{i}"] for i in range(nkeys)],
+                )
+                joined = base_df.join(renamed, cond, "left")
+                entry = (
+                    pred_expr,
+                    F.col(f"__fpo{tag}"),
+                    graph,
+                    pred_valid & F.col(f"__fpo{tag}").isNotNull(),
+                )
+                return joined, entry
+
+            return ("fuse", fuse)
+
         def build(base_df: DataFrame) -> DataFrame:
             child = base_df.where(pred_valid).select(
                 "__s",
@@ -380,6 +431,23 @@ class MappingPlanner:
 
         return build
 
+    def _parent_key_unique(self, parent_tm: TriplesMap, parent_keys: tuple) -> bool:
+        """True when every parent join key maps to exactly one parent
+        subject — the N:1 case where the join can fuse into the child's
+        projection pass. One tiny aggregation over the (already cached /
+        broadcast-sized) parent pairs decides the plan shape; the result
+        is memoized per (parentTM, keys)."""
+        cache_key = (parent_tm.tm_id, parent_keys)
+        if cache_key not in self._parent_unique:
+            pairs = self._parent_pairs(parent_tm, cache_key[1])
+            kcols = [f"__pk{i}" for i in range(len(parent_keys))]
+            row = pairs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(c) for c in kcols]).alias("k"),
+            ).first()
+            self._parent_unique[cache_key] = row["n"] == row["k"]
+        return self._parent_unique[cache_key]
+
     def _join_key_expr(self, df: DataFrame, key: str, layers=None):
         """Join keys may be plain column references or templates
         (templated join conditions, semantify.py:528-535)."""
@@ -413,6 +481,7 @@ class MappingPlanner:
         src = parent_tm.source.source
         if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:
             pairs = F.broadcast(pairs)
+            self._parent_broadcast[cache_key] = True
         elif self._parent_refcount.get(cache_key, 0) > 1:
             pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         self._parent_cache[cache_key] = pairs

@@ -164,7 +164,39 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             # integer division — double division loses precision for
             # epoch-nanos (> 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+
+    # Parquet parallelism is bounded by row groups, not byte splits: a
+    # single-row-group file decodes in ONE task, and whole-stage codegen
+    # runs every downstream term expression in that same task — 1/Nth of
+    # the cluster does all the work. When the footer says the file can't
+    # feed the cores, add an explicit round-robin exchange (a few MB of
+    # shuffle buys full parallelism for the expensive string pipeline).
+    # Well-chunked production data (row groups ≥ cores) skips this.
+    rg, rows = _row_group_stats(path)
+    cores = spark.sparkContext.defaultParallelism
+    if rows > 1000 and rg < max(cores // 2, 1):
+        df = df.repartition(cores)
     return df
+
+
+def _row_group_stats(path: str) -> tuple[int, int]:
+    """(row_groups, rows) from parquet footers — driver-side, no Spark job."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            f = pq.ParquetFile(path)
+            return f.num_row_groups, f.metadata.num_rows
+        import glob as _glob
+
+        groups = rows = 0
+        for part in _glob.glob(os.path.join(path, "*.parquet")):
+            f = pq.ParquetFile(part)
+            groups += f.num_row_groups
+            rows += f.metadata.num_rows
+        return groups, rows
+    except Exception:
+        return (1 << 30), 0  # unknown layout: leave the scan alone
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
