@@ -52,6 +52,27 @@ TRIPLE_COLS = ("s", "p", "o", "g")
 BROADCAST_BYTES = 64 * 1024 * 1024
 
 
+def _tset(*term_maps) -> set:
+    """Union of the logical-target ids of the given term maps (incl. their
+    datatype/language maps) — static at compile time."""
+    out: set[str] = set()
+    for tm in term_maps:
+        if tm is None:
+            continue
+        out.update(getattr(tm, "targets", ()) or ())
+        for sub in (getattr(tm, "datatype_map", None),
+                    getattr(tm, "language_map", None)):
+            if sub is not None:
+                out.update(sub.targets or ())
+    return out
+
+
+def _target_array(tset: set):
+    if not tset:
+        return F.array().cast("array<string>")
+    return F.array(*[F.lit(t) for t in sorted(tset)])
+
+
 class MappingPlanner:
     """Compiles a list of TriplesMap into triple DataFrames.
 
@@ -71,6 +92,7 @@ class MappingPlanner:
         remove_duplicates: bool = True,
         infer_datatypes: bool = False,
         dedup_scope: str = "spog",
+        collect_targets: bool = False,
     ) -> None:
         self.spark = spark
         self.tms = triples_maps
@@ -79,6 +101,11 @@ class MappingPlanner:
         self.remove_duplicates = remove_duplicates
         self.infer_datatypes = infer_datatypes
         self.dedup_scope = dedup_scope
+        # RML-IO logical targets: emit a static array<string> __targets
+        # column naming the targets each triple routes to (the reference
+        # re-runs the whole TM per target file, semantify.py:10013-10088 —
+        # one tagged pass + filtered writes replaces that)
+        self.collect_targets = collect_targets
         self._scan_cache: dict[tuple, DataFrame] = {}
         self._parent_cache: dict[tuple, DataFrame] = {}
         self._parent_refcount: dict[tuple, int] = {}
@@ -127,7 +154,9 @@ class MappingPlanner:
         if not parts:
             return self.spark.createDataFrame([], "s string, p string, o string, g string")
         out = reduce(DataFrame.union, parts)
-        if self.remove_duplicates:
+        if self.remove_duplicates and not self.collect_targets:
+            # with target tracking the caller dedups per output (the
+            # target column would otherwise make equal triples distinct)
             out = out.dropDuplicates(list(TRIPLE_COLS))
         return out
 
@@ -168,10 +197,11 @@ class MappingPlanner:
             )
             base_filter = base_filter & cond.valid & cond.expr
 
-        entries = []   # structs for the explode branch: (p, o, g, v)
+        entries = []   # structs for the explode branch: (p, o, g, v, targets)
         # rdf:type triples from rr:class (semantify.py:6556-6563)
         for cls in tm.subject.rdf_classes:
-            entries.append((F.lit(RDF_TYPE), F.lit(f"<{cls}>"), graph, F.lit(True)))
+            entries.append((F.lit(RDF_TYPE), F.lit(f"<{cls}>"), graph, F.lit(True),
+                            _tset(tm.subject.term)))
 
         branches: list[DataFrame] = []
         deferred = []  # join-valued POMs: closures over the layered base_df
@@ -200,20 +230,28 @@ class MappingPlanner:
         branches.extend(build(pre_fuse_df) for build in deferred)
 
         if entries:
-            structs = F.array(*[
-                F.struct(
+            def fields(p, o, g, v, tset):
+                fs = [
                     p.alias("p"),
                     o.cast("string").alias("o"),
                     g.cast("string").alias("g"),
                     v.alias("v"),
-                )
-                for (p, o, g, v) in entries
+                ]
+                if self.collect_targets:
+                    fs.append(_target_array(tset).alias("t"))
+                return fs
+
+            structs = F.array(*[
+                F.struct(*fields(*entry)) for entry in entries
             ])
+            out_cols = ["s", F.col("__t.p").alias("p"),
+                        F.col("__t.o").alias("o"), F.col("__t.g").alias("g")]
+            if self.collect_targets:
+                out_cols.append(F.col("__t.t").alias("__targets"))
             exploded = (
                 base_df.select(F.col("__s").alias("s"), F.explode(structs).alias("__t"))
                 .where(F.col("__t.v"))
-                .select("s", F.col("__t.p").alias("p"),
-                        F.col("__t.o").alias("o"), F.col("__t.g").alias("g"))
+                .select(*out_cols)
             )
             branches.insert(0, exploded)
         if not branches:
@@ -259,19 +297,20 @@ class MappingPlanner:
                                 func_maps=tm.func_maps, layers=layers)
         graph = self._graph_expr(df, pom.graphs, layers) if pom.graphs else subj_graph
 
+        tgs = _tset(tm.subject.term, pom.predicate, om, *(pom.graphs or []))
         if om.kind in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
             obj = compile_term_map(df, om, "object", base=self.base,
                                    infer_datatypes=self.infer_datatypes,
                                    func_maps=tm.func_maps, layers=layers)
-            return (pred.expr, obj.expr, graph, pred.valid & obj.valid)
+            return (pred.expr, obj.expr, graph, pred.valid & obj.valid, tgs)
         if om.kind == PARENT:
-            return self._compile_join(tm, df, pred, om, graph, layers)
+            return self._compile_join(tm, df, pred, om, graph, layers, tgs)
         if om.kind == QUOTED:
-            return self._compile_quoted(tm, df, pred, om, graph, layers)
+            return self._compile_quoted(tm, df, pred, om, graph, layers, tgs)
         raise NotImplementedError(f"object-map kind {om.kind} not implemented yet")
 
     # ------------------------------------------------------------------
-    def _compile_join(self, tm, df, pred, om, graph, layers):
+    def _compile_join(self, tm, df, pred, om, graph, layers, tgs=frozenset()):
         parent_tm = self.tm_by_id[om.parent_tm]
         same_source = parent_tm.source.cache_key() == tm.source.cache_key()
 
@@ -286,14 +325,14 @@ class MappingPlanner:
             # the TM's single explode pass.
             pobj = compile_term_map(df, parent_tm.subject.term, "subject",
                                     base=self.base, layers=layers)
-            return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid)
+            return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid, tgs)
 
         if same_source and om.join.child == om.join.parent:
             # self-join elimination (semantify.py:1450-1523): equal keys on
             # the same source ⇒ the parent row IS the child row.
             pobj = compile_term_map(df, parent_tm.subject.term, "subject",
                                     base=self.base, layers=layers)
-            return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid)
+            return (pred.expr, pobj.expr, graph, pred.valid & pobj.valid, tgs)
 
         pairs = self._parent_pairs(parent_tm, tuple(om.join.parent))
         key_exprs = [
@@ -329,6 +368,7 @@ class MappingPlanner:
                     F.col(f"__fpo{tag}"),
                     graph,
                     pred_valid & F.col(f"__fpo{tag}").isNotNull(),
+                    tgs,
                 )
                 return joined, entry
 
@@ -349,12 +389,15 @@ class MappingPlanner:
                 lambda a, b: a & b,
                 [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(nkeys)],
             )
-            return child.join(pairs, cond, "inner").select(
+            cols = [
                 F.col("__s").alias("s"),
                 F.col("__p").alias("p"),
                 F.col("__po").alias("o"),
                 F.col("__g").alias("g"),
-            )
+            ]
+            if self.collect_targets:
+                cols.append(_target_array(tgs).alias("__targets"))
+            return child.join(pairs, cond, "inner").select(*cols)
 
         return build
 
@@ -384,7 +427,7 @@ class MappingPlanner:
                         F.lit(" "), obj.expr, F.lit(" >>"))
         return CompiledValue(expr, subj.valid & pred.valid & obj.valid)
 
-    def _compile_quoted(self, tm, df, pred, om, graph, layers):
+    def _compile_quoted(self, tm, df, pred, om, graph, layers, tgs=frozenset()):
         """Quoted-triples-map object: same source ⇒ fused projection;
         join-conditioned ⇒ join against (key…, quoted-term) pairs (the
         reference's ``hash_maker(quoted=...)``, semantify.py:523)."""
@@ -397,7 +440,7 @@ class MappingPlanner:
                     f"same logical source ({tm.tm_id} → {om.parent_tm})"
                 )
             qcv = self._quoted_term(df, qtm, layers=layers)
-            return (pred.expr, qcv.expr, graph, pred.valid & qcv.valid)
+            return (pred.expr, qcv.expr, graph, pred.valid & qcv.valid, tgs)
 
         qdf = self.parent_scan(qtm)
         qlayers = ExprLayers()
@@ -424,10 +467,13 @@ class MappingPlanner:
                 lambda a, b: a & b,
                 [child[f"__ck{i}"] == pairs[f"__pk{i}"] for i in range(nkeys)],
             )
-            return child.join(pairs, cond, "inner").select(
+            cols = [
                 F.col("__s").alias("s"), F.col("__p").alias("p"),
                 F.col("__po").alias("o"), F.col("__g").alias("g"),
-            )
+            ]
+            if self.collect_targets:
+                cols.append(_target_array(tgs).alias("__targets"))
+            return child.join(pairs, cond, "inner").select(*cols)
 
         return build
 

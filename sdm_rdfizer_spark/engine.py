@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .compiler.plan import MappingPlanner
 from .config import RunConfig, load_config
@@ -86,6 +87,50 @@ def materialize(
     return planner.compile_all()
 
 
+def materialize_with_targets(
+    spark: SparkSession,
+    mapping_text: str,
+    *,
+    base_dir: str | None = None,
+    remove_duplicates: bool = True,
+    infer_datatypes: bool = False,
+):
+    """Compile a mapping with RML-IO logical targets.
+
+    Returns ``(triples, target_frames)``: the main triples DataFrame plus
+    ``{LogicalTarget: DataFrame}`` of the per-target subsets. One tagged
+    compilation pass feeds every output — the reference instead re-runs
+    the whole TriplesMap once per target file (semantify.py:10013-10088).
+    """
+    from .rml_parser import extract_logical_targets, extract_triples_maps
+
+    tune_session(spark)
+    g = parse_turtle(mapping_text)
+    tms = extract_triples_maps(g, base_dir)
+    targets = extract_logical_targets(g, base_dir)
+    planner = MappingPlanner(
+        spark, tms, base=g.base,
+        remove_duplicates=remove_duplicates,
+        infer_datatypes=infer_datatypes,
+        collect_targets=bool(targets),
+    )
+    raw = planner.compile_all()
+    if not targets:
+        return raw, {}
+    if len(targets) > 1 or any(tm.poms for tm in tms):
+        raw = raw.persist()
+    main = raw.drop("__targets")
+    if remove_duplicates:
+        main = main.dropDuplicates(["s", "p", "o", "g"])
+    frames = {}
+    for tid, spec in targets.items():
+        sub = raw.where(F.array_contains(F.col("__targets"), tid)).drop("__targets")
+        if remove_duplicates:
+            sub = sub.dropDuplicates(["s", "p", "o", "g"])
+        frames[spec] = sub
+    return main, frames
+
+
 def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]:
     """Run full materialization per the config; returns the triples
     DataFrame per dataset (also written to the configured output folder)."""
@@ -98,13 +143,20 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
         for ds in cfg.datasets:
             with open(ds.mapping_path, encoding="utf-8") as f:
                 text = f.read()
-            triples = materialize(
+            triples, target_frames = materialize_with_targets(
                 spark, text,
                 base_dir=os.path.dirname(os.path.abspath(ds.mapping_path)),
                 remove_duplicates=cfg.remove_duplicates,
                 infer_datatypes=cfg.infer_datatypes,
             )
             results[ds.name] = triples
+            if target_frames:
+                from .sinks import write_target
+
+                for spec, frame in target_frames.items():
+                    os.makedirs(os.path.dirname(os.path.abspath(spec.path)),
+                                exist_ok=True)
+                    write_target(frame, spec)
             if cfg.output_format in ("turtle", "ttl"):
                 out = os.path.join(cfg.output_folder, ds.name + ".ttl")
                 with open(out, "w", encoding="utf-8") as f:

@@ -116,6 +116,22 @@ class TermMap:
     gather: "GatherMap | None" = None
     # constant term is an IRI (vs literal)
     constant_is_iri: bool = False
+    # RML-IO logical target ids (reference: semantify.py:2204-2208) —
+    # triples built with this term map are also written to these targets
+    targets: list[str] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class LogicalTarget:
+    """RML-IO output target (reference parse semantify.py:2204-2208,
+    execution `logical_dump` semantify.py:10013-10088): a file path plus
+    serialization / compression / encoding post-passes."""
+
+    target_id: str
+    path: str
+    serialization: str | None = None   # ntriples|turtle|jsonld|rdfjson|rdfxml|n3
+    compression: str | None = None     # gzip|zip|targz|tarxz
+    encoding: str | None = None        # utf-8 | utf-16
 
 
 @dataclass

@@ -29,6 +29,9 @@ FNO = "https://w3id.org/function/ontology#"
 CSVW = "http://www.w3.org/ns/csvw#"
 DCAT = "http://www.w3.org/ns/dcat#"
 VOID = "http://rdfs.org/ns/void#"
+SD = "http://www.w3.org/ns/sparql-service-description#"
+HCTL = "https://www.w3.org/2019/wot/hypermedia#"
+D2RQ = "http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#"
 
 _NS = (RML2, RR, RML, FNML, FNO)
 
@@ -139,9 +142,13 @@ def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
     if isinstance(src_node, Literal):
         source = str(src_node)
     elif src_node is not None:
-        # structured source descriptors (reference: semantify.py:2148-2195)
+        # structured source descriptors (reference: semantify.py:2148-2195):
+        # rml:path, CSVW url, DCAT downloadURL, VoID dataDump, SPARQL-SD
+        # endpoint, WoT-TD hypermedia target, D2RQ jdbc descriptor
         for prop in ((RML2, "path"), (RML2, "root"), (RML, "path"),
-                     (CSVW, "url"), (DCAT, "downloadURL"), (VOID, "dataDump")):
+                     (CSVW, "url"), (DCAT, "downloadURL"), (VOID, "dataDump"),
+                     (SD, "endpoint"), (HCTL, "hasTarget"),
+                     (D2RQ, "jdbcDSN")):
             v = g.value(src_node, IRI(prop[0] + prop[1]))
             if v is not None and prop[1] != "root":
                 source = str(v)
@@ -187,7 +194,14 @@ def _term_type(v) -> str | None:
 
 
 def _parse_term_map(g: Graph, node, pos: str) -> TermMap:
-    """Parse one term map bnode (subject/predicate/object/graph position)."""
+    """Parse one term map bnode (subject/predicate/object/graph position);
+    attaches RML-IO logical-target ids (reference: semantify.py:2204-2208)."""
+    tm = _parse_term_map_inner(g, node, pos)
+    tm.targets = [str(t) for t in _vals(g, node, "logicalTarget")]
+    return tm
+
+
+def _parse_term_map_inner(g: Graph, node, pos: str) -> TermMap:
     template = _txt(_val(g, node, "template"))
     reference = _txt(_val(g, node, "reference", "column"))
     constant = _val(g, node, "constant")
@@ -353,6 +367,54 @@ def parse_mapping(text: str, base_dir: str | None = None) -> list[TriplesMap]:
 def parse_mapping_file(path: str) -> list[TriplesMap]:
     with open(path, encoding="utf-8") as f:
         return parse_mapping(f.read(), base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def extract_logical_targets(g: Graph, base_dir: str | None = None) -> dict:
+    """All RML-IO logical-target descriptors in the document, by id.
+
+    Shape (reference query semantify.py:2204-2208): ``?tm rml:logicalTarget
+    ?out . ?out rml:target ?dump . ?dump rml:path ?file`` (or
+    ``void:dataDump``), with optional rml:serialization / rml:compression /
+    rml:encoding post-passes (executed at semantify.py:10013-10088)."""
+    from .ir import LogicalTarget
+
+    targets: dict[str, LogicalTarget] = {}
+    for out in {o for s, p, o in g.match(None, None, None)
+                if isinstance(p, IRI) and str(p).endswith("logicalTarget")}:
+        tid = str(out)
+        if tid in targets:
+            continue
+        dump = _val(g, out, "target")
+        path = None
+        if dump is not None:
+            if isinstance(dump, Literal):
+                path = str(dump)
+            else:
+                path = _txt(_val(g, dump, "path", "root"))
+                if path is None:
+                    v = g.value(dump, IRI(VOID + "dataDump"))
+                    path = _txt(v)
+        if path is None:
+            continue
+        if base_dir and "://" not in path and not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+
+        def _local(v):
+            t = _txt(v)
+            return t.rsplit("/", 1)[-1].rsplit("#", 1)[-1].lower() if t else None
+
+        ser = _local(_val(g, out, "serialization"))
+        if ser:
+            ser = {"n-triples": "ntriples", "n-quads": "nquads",
+                   "rdf_xml": "rdfxml", "json-ld": "jsonld"}.get(ser, ser)
+        comp = _local(_val(g, out, "compression"))
+        enc = _txt(_val(g, out, "encoding"))
+        if enc:
+            enc = enc.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+        targets[tid] = LogicalTarget(target_id=tid, path=path,
+                                     serialization=ser, compression=comp,
+                                     encoding=enc)
+    return targets
 
 
 def extract_triples_maps(g: Graph, base_dir: str | None = None) -> list[TriplesMap]:

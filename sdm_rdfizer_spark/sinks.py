@@ -93,3 +93,200 @@ def to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None, limit:
             plines.append(f"\t{shorten(p)} {objs}")
         out.append(shorten(s) + "\n" + " ;\n".join(plines) + " .")
     return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# N-Triples term parsing + alternate serializations
+# (reference re-serializes via rdflib, semantify.py:10038-10068; no rdflib
+# in this environment, so these are small self-contained converters —
+# driver-side by design: logical targets are single whole files in the
+# reference too, and stay a post-pass, never part of the distributed plan)
+# ---------------------------------------------------------------------------
+
+def parse_term(term: str) -> dict:
+    """One N-Triples term string → {kind, value, datatype?, lang?}."""
+    if term.startswith("<") and term.endswith(">"):
+        return {"kind": "uri", "value": term[1:-1]}
+    if term.startswith("_:"):
+        return {"kind": "bnode", "value": term[2:]}
+    if term.startswith('"'):
+        end = term.rfind('"')
+        value = term[1:end].replace('\\"', '"').replace("\\n", "\n") \
+            .replace("\\r", "\r").replace("\\t", "\t").replace("\\\\", "\\")
+        rest = term[end + 1:]
+        out = {"kind": "literal", "value": value}
+        if rest.startswith("^^<") and rest.endswith(">"):
+            out["datatype"] = rest[3:-1]
+        elif rest.startswith("@"):
+            out["lang"] = rest[1:]
+        return out
+    return {"kind": "literal", "value": term}
+
+
+def _collect_spo(triples: DataFrame, limit: int | None) -> list[tuple[str, str, str]]:
+    df = triples.select("s", "p", "o")
+    if limit is not None:
+        df = df.limit(limit)
+    return [(r["s"], r["p"], r["o"]) for r in df.collect()]
+
+
+def to_rdfjson(triples: DataFrame, limit: int | None = None) -> dict:
+    """RDF/JSON (Talis shape: {s: {p: [{type, value, ...}]}}) — the shape
+    the reference builds in generate_rdfjson (functions.py:66-78)."""
+    out: dict = {}
+    for s, p, o in _collect_spo(triples, limit):
+        st = parse_term(s)["value"] if not s.startswith("_:") else s
+        ot = parse_term(o)
+        entry = {"type": ot["kind"], "value": ot["value"]}
+        if "datatype" in ot:
+            entry["datatype"] = ot["datatype"]
+        if "lang" in ot:
+            entry["lang"] = ot["lang"]
+        out.setdefault(st, {}).setdefault(parse_term(p)["value"], []).append(entry)
+    return out
+
+
+def to_jsonld(triples: DataFrame, limit: int | None = None) -> list:
+    """Expanded-form JSON-LD (one node object per subject)."""
+    nodes: dict = {}
+    for s, p, o in _collect_spo(triples, limit):
+        st = parse_term(s)
+        sid = st["value"] if st["kind"] == "uri" else "_:" + st["value"]
+        node = nodes.setdefault(sid, {"@id": sid})
+        piri = parse_term(p)["value"]
+        ot = parse_term(o)
+        if piri == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" and ot["kind"] == "uri":
+            node.setdefault("@type", []).append(ot["value"])
+            continue
+        if ot["kind"] == "uri":
+            entry = {"@id": ot["value"]}
+        elif ot["kind"] == "bnode":
+            entry = {"@id": "_:" + ot["value"]}
+        else:
+            entry = {"@value": ot["value"]}
+            if "datatype" in ot:
+                entry["@type"] = ot["datatype"]
+            if "lang" in ot:
+                entry["@language"] = ot["lang"]
+        node.setdefault(piri, []).append(entry)
+    return list(nodes.values())
+
+
+def _xml_escape(v: str) -> str:
+    return (v.replace("&", "&amp;").replace("<", "&lt;")
+             .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _split_qname(iri: str) -> tuple[str, str]:
+    for sep in ("#", "/"):
+        idx = iri.rfind(sep)
+        if idx > 0 and idx < len(iri) - 1:
+            return iri[: idx + 1], iri[idx + 1:]
+    return iri, ""
+
+
+def to_rdfxml(triples: DataFrame, limit: int | None = None) -> str:
+    """RDF/XML serialization (driver-side, for logical-target re-serialize
+    parity with semantify.py:10057-10061)."""
+    by_subject: dict = {}
+    namespaces: dict[str, str] = {"http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf"}
+    for s, p, o in _collect_spo(triples, limit):
+        by_subject.setdefault(s, []).append((p, o))
+        ns, _ = _split_qname(parse_term(p)["value"])
+        if ns not in namespaces:
+            namespaces[ns] = f"ns{len(namespaces)}"
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>']
+    decls = " ".join(f'xmlns:{pfx}="{_xml_escape(ns)}"' for ns, pfx in namespaces.items())
+    lines.append(f"<rdf:RDF {decls}>")
+    for s in sorted(by_subject):
+        st = parse_term(s)
+        attr = (f'rdf:about="{_xml_escape(st["value"])}"' if st["kind"] == "uri"
+                else f'rdf:nodeID="{_xml_escape(st["value"])}"')
+        lines.append(f"  <rdf:Description {attr}>")
+        for p, o in sorted(by_subject[s]):
+            ns, local = _split_qname(parse_term(p)["value"])
+            tag = f"{namespaces[ns]}:{local}"
+            ot = parse_term(o)
+            if ot["kind"] == "uri":
+                lines.append(f'    <{tag} rdf:resource="{_xml_escape(ot["value"])}"/>')
+            elif ot["kind"] == "bnode":
+                lines.append(f'    <{tag} rdf:nodeID="{_xml_escape(ot["value"])}"/>')
+            else:
+                extra = ""
+                if "datatype" in ot:
+                    extra = f' rdf:datatype="{_xml_escape(ot["datatype"])}"'
+                elif "lang" in ot:
+                    extra = f' xml:lang="{ot["lang"]}"'
+                lines.append(f"    <{tag}{extra}>{_xml_escape(ot['value'])}</{tag}>")
+        lines.append("  </rdf:Description>")
+    lines.append("</rdf:RDF>")
+    return "\n".join(lines) + "\n"
+
+
+def write_target(triples: DataFrame, target, prefixes: dict[str, str] | None = None) -> str:
+    """Write one RML-IO logical target file: pick the serialization, then
+    apply compression / encoding post-passes (the reference's pipeline at
+    semantify.py:10013-10088, keyed by filename and rml:serialization)."""
+    import gzip
+    import json as _json
+    import tarfile
+    import zipfile
+
+    path = target.path
+    ser = target.serialization or ""
+    low = path.lower()
+    if not ser:
+        for hint in ("jsonld", "rdfjson", "rdfxml", "ttl", "n3"):
+            if hint in low:
+                ser = hint
+                break
+
+    if ser in ("turtle", "ttl", "n3"):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(to_turtle(triples, prefixes))
+    elif ser == "jsonld":
+        with open(path, "w", encoding="utf-8") as f:
+            _json.dump(to_jsonld(triples), f, indent=1)
+    elif ser == "rdfjson":
+        with open(path, "w", encoding="utf-8") as f:
+            _json.dump(to_rdfjson(triples), f)
+    elif ser in ("rdfxml", "rdf_xml", "xml"):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(to_rdfxml(triples))
+    else:
+        write_ntriples(triples, path, single_file=True)
+
+    comp = (target.compression or "").lower()
+    if not comp:
+        for ext, c in ((".tar.gz", "targz"), (".tar.xz", "tarxz"),
+                       (".gz", "gzip"), (".zip", "zip")):
+            if low.endswith(ext):
+                comp = c
+                break
+    if comp in ("gzip", "gz"):
+        plain = path + ".plain"
+        shutil.move(path, plain)
+        with open(plain, "rb") as f_in, gzip.open(path, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+        os.remove(plain)
+    elif comp == "zip":
+        plain = path + ".plain"
+        shutil.move(path, plain)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.write(plain, os.path.basename(path))
+        os.remove(plain)
+    elif comp in ("targz", "tarxz"):
+        mode = "w:gz" if comp == "targz" else "w:xz"
+        plain = path + ".plain"
+        shutil.move(path, plain)
+        with tarfile.open(path, mode) as tar:
+            tar.add(plain, arcname=os.path.basename(path))
+        os.remove(plain)
+
+    enc = (target.encoding or "").upper().replace("-", "")
+    if enc == "UTF16" and not comp:
+        with open(path, encoding="utf-8") as f:
+            content = f.read()
+        with open(path, "w", encoding="utf-16") as f:
+            f.write(content)
+    return path
