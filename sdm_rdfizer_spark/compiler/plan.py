@@ -156,8 +156,12 @@ class MappingPlanner:
         out = reduce(DataFrame.union, parts)
         if self.remove_duplicates and not self.collect_targets:
             # with target tracking the caller dedups per output (the
-            # target column would otherwise make equal triples distinct)
-            out = out.dropDuplicates(list(TRIPLE_COLS))
+            # target column would otherwise make equal triples distinct).
+            # dedup_scope "spo" collapses the same triple across named
+            # graphs (the reference's PTT keys ignore the graph term);
+            # default "spog" keeps one per graph.
+            cols = ["s", "p", "o"] if self.dedup_scope == "spo" else list(TRIPLE_COLS)
+            out = out.dropDuplicates(cols)
         return out
 
     # ------------------------------------------------------------------

@@ -157,13 +157,32 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
                     os.makedirs(os.path.dirname(os.path.abspath(spec.path)),
                                 exist_ok=True)
                     write_target(frame, spec)
+
+            if not cfg.all_in_one_file:
+                if cfg.output_format in ("turtle", "ttl"):
+                    out = os.path.join(cfg.output_folder, ds.name + ".ttl")
+                    with open(out, "w", encoding="utf-8") as f:
+                        f.write(to_turtle(triples))
+                else:
+                    out = os.path.join(cfg.output_folder, ds.name + ".nt")
+                    write_ntriples(triples, out, single_file=True)
+
+        if cfg.all_in_one_file and results:
+            # reference: every dataset appended into one output file
+            # (semantify.py:9957-9968); here: union + global dedup + one write
+            merged = None
+            for df in results.values():
+                merged = df if merged is None else merged.unionByName(df)
+            if cfg.remove_duplicates:
+                merged = merged.dropDuplicates(["s", "p", "o", "g"])
             if cfg.output_format in ("turtle", "ttl"):
-                out = os.path.join(cfg.output_folder, ds.name + ".ttl")
-                with open(out, "w", encoding="utf-8") as f:
-                    f.write(to_turtle(triples))
+                with open(os.path.join(cfg.output_folder, "output.ttl"),
+                          "w", encoding="utf-8") as f:
+                    f.write(to_turtle(merged))
             else:
-                out = os.path.join(cfg.output_folder, ds.name + ".nt")
-                write_ntriples(triples, out, single_file=True)
+                write_ntriples(merged,
+                               os.path.join(cfg.output_folder, "output.nt"),
+                               single_file=True)
         return results
     finally:
         if owns_spark:

@@ -19,8 +19,40 @@ from pyspark.sql import functions as F
 from .ir import LogicalSource
 
 
+def _stage_remote(source: str) -> str:
+    """Download an http(s) source to a local staging file (the reference
+    reads CSV/JSON/XML over HTTP eagerly, semantify.py:10225-10231,
+    6907-6908, 3910-3912). file:// URLs unwrap; anything else passes
+    through. Staged once per URL per host (content-hash keyed path)."""
+    if "://" not in source:
+        return source
+    scheme = source.split("://", 1)[0].lower()
+    if scheme == "file":
+        return source[len("file://"):]
+    if scheme in ("http", "https"):
+        import hashlib
+        import tempfile
+        import urllib.request
+
+        stage_dir = os.path.join(tempfile.gettempdir(), "sdm_rdfizer_stage")
+        os.makedirs(stage_dir, exist_ok=True)
+        name = hashlib.md5(source.encode()).hexdigest() + "_" + \
+            os.path.basename(source.split("?", 1)[0])
+        dest = os.path.join(stage_dir, name)
+        if not os.path.exists(dest):
+            urllib.request.urlretrieve(source, dest)  # noqa: S310
+        return dest
+    return source
+
+
 def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     fmt = ls.fmt
+    if fmt in ("csv", "tsv", "json", "xml", "ntriples", "parquet") and ls.source:
+        staged = _stage_remote(ls.source)
+        if staged != ls.source:
+            from dataclasses import replace
+
+            ls = replace(ls, source=staged)
     if fmt in ("csv", "tsv"):
         sep = ls.delimiter or ("\t" if fmt == "tsv" else ",")
         df = (
