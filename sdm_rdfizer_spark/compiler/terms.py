@@ -46,6 +46,45 @@ def template_references(template: str) -> list[str]:
     return _TEMPLATE_REF_RE.findall(template)
 
 
+_INLINE_PRED_RE = re.compile(
+    r"^(?P<base>.+?)\[\?\(@\.(?P<path>[A-Za-z0-9_.]+)\s*(?P<op>==|!=)\s*"
+    r"'(?P<val>[^']*)'\)\]\.(?P<field>[A-Za-z0-9_.]+)$"
+)
+
+
+def _inline_predicate(df: DataFrame, ref: str) -> Column | None:
+    """``field[?(@.attr=='v')].out`` — inline JSON predicate on a reference
+    (reference: functions.py:1820-1864): filter an array-of-structs column
+    by an equality/inequality on a (dotted) member, project ``out`` from
+    the LAST match; no match ⇒ NULL (triple dropped)."""
+    m = _INLINE_PRED_RE.match(ref)
+    if m is None:
+        return None
+    base, path, op, val, fld = (m.group("base"), m.group("path"),
+                                m.group("op"), m.group("val"), m.group("field"))
+
+    def get(x: Column, dotted: str) -> Column:
+        for seg in dotted.split("."):
+            x = x.getField(seg)
+        return x
+
+    try:
+        dtype = df.select(F.col(base)).schema[0].dataType
+    except Exception:
+        return None
+    if dtype.typeName() == "array":
+        cond = (lambda x: get(x, path).cast("string") == F.lit(val)) if op == "==" \
+            else (lambda x: get(x, path).cast("string") != F.lit(val))
+        filtered = F.filter(F.col(base), cond)
+        # F.get is NULL on out-of-bounds (ANSI-safe) — empty ⇒ NULL ⇒ drop
+        elem = F.get(filtered, F.size(filtered) - 1)
+        return get(elem, fld).cast("string")
+    # scalar struct: conditional projection
+    hit = get(F.col(base), path).cast("string")
+    test = (hit == F.lit(val)) if op == "==" else (hit != F.lit(val))
+    return F.when(test, get(F.col(base), fld).cast("string"))
+
+
 def canonical_string(df: DataFrame, ref: str) -> Column:
     """A column rendered to its canonical string form.
 
@@ -55,6 +94,13 @@ def canonical_string(df: DataFrame, ref: str) -> Column:
     doubles become shortest-decimal strings without scientific notation and
     with at least one fractional digit.
     """
+    inline = _inline_predicate(df, ref)
+    if inline is not None:
+        floatish = inline.rlike(r"^-?\d+\.\d+$")
+        canon = F.regexp_replace(inline, r"(\.\d*?)0+$", r"$1")
+        canon = F.regexp_replace(canon, r"\.$", ".0")
+        return F.when(floatish, canon).otherwise(inline)
+
     dtype = dict(df.dtypes).get(ref)
     col = F.col(ref) if "." not in ref else F.col(ref)  # nested access works via dots
     if dtype in ("double", "float"):

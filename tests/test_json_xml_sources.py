@@ -87,3 +87,29 @@ def test_xml_iterator_mapping(spark, srcdir):
         ("<http://ex.org/item/b2>", "<http://ex.org/vocab/name>", '"gadget"'),
         ("<http://ex.org/item/b2>", "<http://ex.org/vocab/price>", '"7"'),
     }
+
+
+def test_inline_json_predicate(spark, srcdir, tmp_path):
+    # field[?(@.k=='v')].out — filter array-of-structs inside a reference
+    # (reference: functions.py:1820-1864); last match wins, no match drops
+    p = tmp_path / "contacts.json"
+    p.write_text(
+        '{"rows": ['
+        '{"id": "1", "phones": [{"kind": "home", "num": "111"},'
+        '                        {"kind": "work", "num": "222"}]},'
+        '{"id": "2", "phones": [{"kind": "work", "num": "333"}]}]}'
+    )
+    mapping = PREFIXES + f"""
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{p}";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.rows[*]" ];
+  rr:subjectMap [ rr:template "http://ex.org/c/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:homePhone;
+    rr:objectMap [ rml:reference "phones[?(@.kind=='home')].num" ] ] .
+"""
+    got = triple_set(materialize(spark, mapping))
+    # row 2 has no home phone -> no triple
+    assert got == {
+        ("<http://ex.org/c/1>", "<http://ex.org/vocab/homePhone>", '"111"'),
+    }
