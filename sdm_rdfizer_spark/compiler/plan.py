@@ -111,6 +111,7 @@ class MappingPlanner:
         self._parent_refcount: dict[tuple, int] = {}
         self._parent_unique: dict[tuple, bool] = {}
         self._parent_broadcast: dict[tuple, bool] = {}
+        self._parent_plain: dict[tuple, DataFrame] = {}
         self._fuse_counter = 0
         self._count_parent_refs()
 
@@ -489,7 +490,8 @@ class MappingPlanner:
         is memoized per (parentTM, keys)."""
         cache_key = (parent_tm.tm_id, parent_keys)
         if cache_key not in self._parent_unique:
-            pairs = self._parent_pairs(parent_tm, cache_key[1])
+            self._parent_pairs(parent_tm, cache_key[1])
+            pairs = self._parent_plain[cache_key]
             kcols = [f"__pk{i}" for i in range(len(parent_keys))]
             row = pairs.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -528,6 +530,7 @@ class MappingPlanner:
         for i in range(len(parent_keys)):
             sel = sel.where(valid_value(F.col(f"__pk{i}")))
         pairs = sel.dropDuplicates()
+        self._parent_plain[cache_key] = pairs  # pre-hint frame for stats
         src = parent_tm.source.source
         if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:
             pairs = F.broadcast(pairs)
