@@ -800,6 +800,41 @@ GROUP BY 1, 2
 """
 
 
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based event sessionization (30-min inactivity): window lag →
+    running-sum session ids → per-session aggregation. One shuffle on the
+    window partition key feeds both the window pass and the aggregation."""
+    from sdm_rdfizer_spark.ops.sessions import sessionize
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return sessionize(read_parquet(spark, f"{sf}/events.parquet"), gap_minutes=30)
+
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), seqd AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id::BIGINT AS user_id,
+       session_seq::BIGINT AS session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n_events,
+       (sum(value::DECIMAL(18,2)))::VARCHAR AS sum_value
+FROM seqd
+GROUP BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -836,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
         "streaming_events_window": _q_streaming_events_window,
+        "events_sessionize": _q_sessionize,
     }
 
 
@@ -864,4 +900,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
+        "events_sessionize": _SESSIONIZE_ORACLE,
     }

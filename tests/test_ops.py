@@ -161,3 +161,28 @@ def test_multimodal_features(spark):
         assert r["n_bytes"] > 0 and r["digest"] is not None
     assert by_kind["image"]["width"] is not None
     assert by_kind["audio"]["duration_ms"] is not None
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from sdm_rdfizer_spark.ops.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),   # same session (gap 10m)
+        (1, base + dt.timedelta(minutes=50), 4.0),   # new session (gap 40m)
+        (2, base, 8.0),                               # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert len(out) == 3
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 2 and s11["sum_value"] == "3.00"
+    assert s11["session_start"] == "2024-01-01 00:00:00"
+    assert s11["session_end"] == "2024-01-01 00:10:00"
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 1 and s12["sum_value"] == "4.00"
+    assert out[(2, 1)]["n_events"] == 1
