@@ -83,9 +83,40 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         return _read_ntriples(spark, ls.source)
     if fmt == "xml":
         return _read_xml(spark, ls)
+    if fmt == "sparql":
+        return _read_sparql_endpoint(spark, ls)
     if fmt == "view":
         return read_view(spark, ls.view)
     raise NotImplementedError(f"reference formulation {fmt!r} not supported yet")
+
+
+def _read_sparql_endpoint(spark: SparkSession, ls: LogicalSource) -> DataFrame:
+    """SPARQL endpoint SELECT → string-typed DataFrame.
+
+    Driver-side fetch of application/sparql-results+json, like the
+    reference's SPARQLWrapper usage (semantify.py:10114-10123) — endpoint
+    results are mapping-side inputs and typically small; page with
+    LIMIT/OFFSET in ``rml:query`` for larger extractions.
+    """
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    query = ls.query or ls.iterator
+    if not query:
+        raise ValueError(f"SPARQL source {ls.source!r} needs rml:query/iterator")
+    url = ls.source + "?" + urllib.parse.urlencode({"query": query})
+    req = urllib.request.Request(
+        url, headers={"Accept": "application/sparql-results+json"})
+    with urllib.request.urlopen(req) as resp:  # noqa: S310
+        data = _json.load(resp)
+    cols = data["head"]["vars"]
+    rows = [
+        tuple(b.get(v, {}).get("value") for v in cols)
+        for b in data["results"]["bindings"]
+    ]
+    return spark.createDataFrame(
+        rows, schema=", ".join(f"`{c}` string" for c in cols))
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,38 @@ def test_inline_json_predicate(spark, srcdir, tmp_path):
     assert got == {
         ("<http://ex.org/c/1>", "<http://ex.org/vocab/homePhone>", '"111"'),
     }
+
+
+def test_sparql_endpoint_source(spark, monkeypatch):
+    import io
+    import json
+    import urllib.request
+
+    canned = {
+        "head": {"vars": ["name", "chr"]},
+        "results": {"bindings": [
+            {"name": {"type": "literal", "value": "ann"},
+             "chr": {"type": "literal", "value": "chr1"}},
+            {"name": {"type": "literal", "value": "bob"}},
+        ]},
+    }
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(
+        urllib.request, "urlopen",
+        lambda req, **kw: FakeResp(json.dumps(canned).encode()),
+    )
+
+    from sdm_rdfizer_spark.ir import LogicalSource
+    from sdm_rdfizer_spark.sources import read_source
+
+    ls = LogicalSource(source="http://example.org/sparql", fmt="sparql",
+                       query="SELECT ?name ?chr WHERE { ?s ?p ?o }")
+    rows = {tuple(r) for r in read_source(spark, ls).collect()}
+    assert rows == {("ann", "chr1"), ("bob", None)}
