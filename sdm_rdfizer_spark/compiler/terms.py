@@ -108,9 +108,24 @@ def canonical_string(df: DataFrame, ref: str) -> Column:
         # 1234.5600 → "1234.56", 150.0 → "150.0", 12345678.9 stays plain
         # notation (Spark's native double→string cast would give E-notation
         # for |v|>=1e7, which diverges from Python repr()).
-        s = F.col(ref).cast(T.DecimalType(38, 10)).cast("string")
+        # Values outside DECIMAL(38,10) — |v| >= ~1e28 or needing more than
+        # 10 fractional digits to round-trip — would overflow (ANSI error)
+        # or silently round; for those fall back to the native cast and
+        # rewrite Java E-notation ("1.0E30") to Python-repr style ("1e+30").
+        dec = F.col(ref).try_cast(T.DecimalType(38, 10))
+        s = dec.cast("string")
         s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-        return F.regexp_replace(s, r"\.$", ".0")
+        s = F.regexp_replace(s, r"\.$", ".0")
+        plain = F.col(ref).cast("string")
+        mant = F.regexp_replace(
+            F.regexp_extract(plain, r"^(-?\d+(?:\.\d+)?)[eE]", 1), r"\.0$", "")
+        exp = F.regexp_extract(plain, r"[eE]([+-]?\d+)$", 1).cast("int")
+        sci = F.concat(mant, F.lit("e"),
+                       F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
+                       F.lpad(F.abs(exp).cast("string"), 2, "0"))
+        fallback = F.when(plain.rlike("[eE]"), sci).otherwise(plain)
+        exact = dec.isNotNull() & (dec.cast("double") == F.col(ref).cast("double"))
+        return F.when(exact, s).otherwise(fallback)
     if dtype == "boolean":
         return F.when(col, F.lit("True")).when(~col, F.lit("False"))
     if dtype == "string":

@@ -239,8 +239,11 @@ def _parse_term_map_inner(g: Graph, node, pos: str) -> TermMap:
     if parent_tm is not None or quoted_tm is not None:
         children, parents = [], []
         for jc in _vals(g, node, "joinCondition"):
-            c = _txt(_val(g, jc, "child", "childMap"))
-            p = _txt(_val(g, jc, "parent", "parentMap"))
+            # query 'child'/'parent' literals first; a combined query would
+            # return the childMap/parentMap bnode label and shadow the
+            # nested-reference fallback below
+            c = _txt(_val(g, jc, "child"))
+            p = _txt(_val(g, jc, "parent"))
             if c is None:
                 cm = _val(g, jc, "childMap")
                 c = _txt(_val(g, cm, "reference", "template")) if cm is not None else None

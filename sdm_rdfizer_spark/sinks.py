@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -103,6 +104,18 @@ def to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None, limit:
 # reference too, and stay a post-pass, never part of the distributed plan)
 # ---------------------------------------------------------------------------
 
+_UNESCAPE_RE = re.compile(r"\\(.)")
+_UNESCAPE_MAP = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
+
+
+def _unescape_literal(body: str) -> str:
+    """Single left-to-right unescape pass so ``\\\\`` is consumed before
+    its following character is interpreted (sequential .replace calls
+    corrupt backslash+'n' into a newline — ADVICE r1)."""
+    return _UNESCAPE_RE.sub(
+        lambda m: _UNESCAPE_MAP.get(m.group(1), "\\" + m.group(1)), body)
+
+
 def parse_term(term: str) -> dict:
     """One N-Triples term string → {kind, value, datatype?, lang?}."""
     if term.startswith("<") and term.endswith(">"):
@@ -111,8 +124,7 @@ def parse_term(term: str) -> dict:
         return {"kind": "bnode", "value": term[2:]}
     if term.startswith('"'):
         end = term.rfind('"')
-        value = term[1:end].replace('\\"', '"').replace("\\n", "\n") \
-            .replace("\\r", "\r").replace("\\t", "\t").replace("\\\\", "\\")
+        value = _unescape_literal(term[1:end])
         rest = term[end + 1:]
         out = {"kind": "literal", "value": value}
         if rest.startswith("^^<") and rest.endswith(">"):
