@@ -835,6 +835,106 @@ GROUP BY user_id, session_seq
 """
 
 
+def _stage_derby_nation(spark: SparkSession, sf: str) -> str:
+    """Stage nation+region from the sf parquet into an embedded Derby DB
+    (Derby ships inside Spark's jars) so the JDBC source path is exercised
+    end-to-end against a real database. Keyed by sf dir, built once."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:12]
+    db = os.path.join(tempfile.gettempdir(), "sdm_rdfizer_derby", key, "db")
+    url = "jdbc:derby:" + db
+    if os.path.isdir(db):
+        return url
+    tmp = db + ".building"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:" + tmp + ";create=true")
+    st = conn.createStatement()
+    st.execute('CREATE TABLE nation ("n_nationkey" INT, "n_name" VARCHAR(64),'
+               ' "n_regionkey" INT)')
+    st.execute('CREATE TABLE region ("r_regionkey" INT, "r_name" VARCHAR(64))')
+    nat = pq.read_table(os.path.join(sf, "nation.parquet"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    ps = conn.prepareStatement("INSERT INTO nation VALUES (?,?,?)")
+    for nk, nm, rk in zip(*[nat.column(c).to_pylist() for c in nat.column_names]):
+        ps.setInt(1, int(nk)); ps.setString(2, str(nm)); ps.setInt(3, int(rk))
+        ps.addBatch()
+    ps.executeBatch()
+    reg = pq.read_table(os.path.join(sf, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    ps = conn.prepareStatement("INSERT INTO region VALUES (?,?)")
+    for rk, rn in zip(*[reg.column(c).to_pylist() for c in reg.column_names]):
+        ps.setInt(1, int(rk)); ps.setString(2, str(rn))
+        ps.addBatch()
+    ps.executeBatch()
+    st.close(); conn.close()
+    try:
+        jvm.java.sql.DriverManager.getConnection(
+            "jdbc:derby:" + tmp + ";shutdown=true")
+    except Exception:
+        pass  # Derby signals clean shutdown via an exception
+    os.rename(tmp, db)
+    return url
+
+
+def _q_jdbc_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """RDBMS source family (SURVEY §2 rows 9-11, 38): rr:tableName scans
+    with D2RQ connection descriptors, JDBC parent join, Catalyst column
+    pruning pushed into the database SELECT."""
+    url = _stage_derby_nation(spark, sf)
+    mapping = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://w3id.org/rml/> .
+@prefix d2rq: <http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#> .
+@prefix ex: <http://ex.org/vocab/> .
+
+<#Nation> a rr:TriplesMap;
+  rml:logicalSource [
+    rml:source [ a d2rq:Database; d2rq:jdbcDSN "{url}";
+                 d2rq:jdbcDriver "org.apache.derby.jdbc.EmbeddedDriver" ];
+    rr:tableName "nation" ];
+  rr:subjectMap [ rr:template "http://ex.org/nation/{{n_name}}"; rr:class ex:Nation ];
+  rr:predicateObjectMap [ rr:predicate ex:key; rr:objectMap [ rml:reference "n_nationkey" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:inRegion;
+    rr:objectMap [ rr:parentTriplesMap <#Region>;
+                   rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ] ] .
+
+<#Region> a rr:TriplesMap;
+  rml:logicalSource [
+    rml:source [ a d2rq:Database; d2rq:jdbcDSN "{url}";
+                 d2rq:jdbcDriver "org.apache.derby.jdbc.EmbeddedDriver" ];
+    rr:tableName "region" ];
+  rr:subjectMap [ rr:template "http://ex.org/region/{{r_name}}"; rr:class ex:Region ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_JDBC_NATION_ORACLE = f"""
+SELECT s, p, o FROM (
+  SELECT '<http://ex.org/nation/' || replace(n_name, ' ', '%20') || '>' AS s,
+         '<{RDF_TYPE}>' AS p, '<http://ex.org/vocab/Nation>' AS o
+  FROM nation
+  UNION
+  SELECT '<http://ex.org/nation/' || replace(n_name, ' ', '%20') || '>',
+         '<http://ex.org/vocab/key>', '"' || n_nationkey || '"'
+  FROM nation
+  UNION
+  SELECT '<http://ex.org/nation/' || replace(n_name, ' ', '%20') || '>',
+         '<http://ex.org/vocab/inRegion>',
+         '<http://ex.org/region/' || replace(r_name, ' ', '%20') || '>'
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION
+  SELECT '<http://ex.org/region/' || replace(r_name, ' ', '%20') || '>',
+         '<{RDF_TYPE}>', '<http://ex.org/vocab/Region>'
+  FROM region
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -857,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fnml_string_funcs": _q_fnml_funcs,
         "rml_star_quoted": _q_rml_star,
         "rml_logical_view": _q_logical_view,
+        "rml_jdbc_nation": _q_jdbc_nation,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -888,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
         "rml_logical_view": _LOGICAL_VIEW_ORACLE,
+        "rml_jdbc_nation": _JDBC_NATION_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -26,6 +26,7 @@ cannot see RML semantics:
 from __future__ import annotations
 
 import os
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,6 +94,7 @@ class MappingPlanner:
         infer_datatypes: bool = False,
         dedup_scope: str = "spog",
         collect_targets: bool = False,
+        input_dedup: bool = False,
     ) -> None:
         self.spark = spark
         self.tms = triples_maps
@@ -101,6 +103,10 @@ class MappingPlanner:
         self.remove_duplicates = remove_duplicates
         self.infer_datatypes = infer_datatypes
         self.dedup_scope = dedup_scope
+        # input dedup (reference: CSV drop_duplicates at semantify.py:10234,
+        # SELECT DISTINCT projection for DB sources, functions.py:211-288):
+        # scan-level duplicate elimination before any term is computed
+        self.input_dedup = input_dedup
         # RML-IO logical targets: emit a static array<string> __targets
         # column naming the targets each triple routes to (the reference
         # re-runs the whole TM per target file, semantify.py:10013-10088 —
@@ -127,8 +133,103 @@ class MappingPlanner:
     def scan(self, tm: TriplesMap) -> DataFrame:
         key = tm.source.cache_key()
         if key not in self._scan_cache:
-            self._scan_cache[key] = read_source(self.spark, tm.source)
+            ls = tm.source
+            if self.input_dedup:
+                if ls.fmt in ("sql", "jdbc") and ls.table and not ls.query:
+                    # DB-side SELECT DISTINCT over only the mapped columns
+                    # (the reference's translate_sql, functions.py:211-288)
+                    cols = self._source_columns(key)
+                    if cols is not None:
+                        from dataclasses import replace
+
+                        from ..sources import projection_query
+
+                        ls = replace(ls, query=projection_query(ls.table, cols))
+                    df = read_source(self.spark, ls)
+                else:
+                    df = read_source(self.spark, ls).dropDuplicates()
+            else:
+                df = read_source(self.spark, ls)
+            self._scan_cache[key] = df
         return self._scan_cache[key]
+
+    def _source_columns(self, source_key: tuple) -> list[str] | None:
+        """All column references any TriplesMap (or join into one) makes
+        against this logical source — None when a reference isn't a plain
+        column (inline predicate / nested path), which disables projection
+        generation for safety."""
+        from .terms import template_references
+
+        refs: set[str] = set()
+
+        def add_ref(r: str) -> bool:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", r or ""):
+                return False
+            refs.add(r)
+            return True
+
+        def add_key(k: str) -> bool:
+            if "{" in k:
+                return all(add_ref(r) for r in template_references(k))
+            return add_ref(k)
+
+        for tm in self.tms:
+            def walk_fm(fm) -> bool:
+                ok = True
+                for p in fm.parameters.values():
+                    t = p.get("type")
+                    if t == "reference":
+                        ok = ok and add_ref(p["value"])
+                    elif t == "template":
+                        ok = ok and all(add_ref(r)
+                                        for r in template_references(p["value"]))
+                    elif t == "function" and p.get("nested"):
+                        ok = ok and walk_fm(p["nested"])
+                return ok
+
+            def walk_term(t) -> bool:
+                if t is None:
+                    return True
+                if t.kind == TEMPLATE:
+                    ok = all(add_ref(r) for r in template_references(t.value))
+                elif t.kind == REFERENCE:
+                    ok = add_ref(t.value)
+                elif t.kind == FUNCTION:
+                    fm = tm.func_maps.get(t.value)
+                    ok = fm is not None and walk_fm(fm)
+                elif t.kind == GATHER and t.gather:
+                    ok = all(walk_term(item) for item in t.gather.gather)
+                else:
+                    ok = True
+                return (ok and walk_term(getattr(t, "datatype_map", None))
+                        and walk_term(getattr(t, "language_map", None)))
+
+            if tm.source.cache_key() == source_key:
+                ok = walk_term(tm.subject.term)
+                ok = ok and all(walk_term(g) for g in tm.subject.graphs)
+                if tm.subject.condition and tm.subject.condition in tm.func_maps:
+                    ok = ok and walk_fm(tm.func_maps[tm.subject.condition])
+                for pom in tm.poms:
+                    ok = ok and walk_term(pom.predicate)
+                    ok = ok and all(walk_term(g) for g in pom.graphs)
+                    om = pom.obj
+                    if om.kind in (PARENT, QUOTED):
+                        if om.join:
+                            ok = ok and all(add_key(k) for k in om.join.child)
+                    else:
+                        ok = ok and walk_term(om)
+                if not ok:
+                    return None
+            # joins INTO a TM on this source reference its parent keys
+            for pom in tm.poms:
+                om = pom.obj
+                if (om.kind in (PARENT, QUOTED) and om.join
+                        and om.parent_tm in self.tm_by_id
+                        and self.tm_by_id[om.parent_tm].source.cache_key()
+                        == source_key):
+                    if not all(add_key(k) for k in om.join.parent):
+                        return None
+        return sorted(refs) if refs else None
 
     def parent_scan(self, tm: TriplesMap) -> DataFrame:
         """Scan for the build side of a join. Same as ``scan`` in batch;

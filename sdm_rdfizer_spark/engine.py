@@ -72,6 +72,7 @@ def materialize(
     base_dir: str | None = None,
     remove_duplicates: bool = True,
     infer_datatypes: bool = False,
+    input_dedup: bool = False,
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
     tune_session(spark)
@@ -83,6 +84,7 @@ def materialize(
         spark, tms, base=g.base,
         remove_duplicates=remove_duplicates,
         infer_datatypes=infer_datatypes,
+        input_dedup=input_dedup,
     )
     return planner.compile_all()
 

@@ -139,6 +139,7 @@ def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
     src_node = _val(g, ls_node, "source")
     source = None
     delimiter = None
+    options: dict = {}
     if isinstance(src_node, Literal):
         source = str(src_node)
     elif src_node is not None:
@@ -158,6 +159,13 @@ def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
             d = g.value(dialect, IRI(CSVW + "delimiter"))
             if d is not None:
                 delimiter = str(d)
+        # D2RQ connection credentials (reference: semantify.py:2169-2177)
+        # → Spark JDBC reader options
+        for d2rq_prop, opt in (("username", "user"), ("password", "password"),
+                               ("jdbcDriver", "driver")):
+            v = g.value(src_node, IRI(D2RQ + d2rq_prop))
+            if v is not None:
+                options[opt] = str(v)
     fmt_iri = _txt(_val(g, ls_node, "referenceFormulation"))
     fmt = "csv"
     if fmt_iri:
@@ -166,7 +174,9 @@ def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
     iterator = _txt(_val(g, ls_node, "iterator"))
     table = _txt(_val(g, ls_node, "tableName"))
     query = _txt(_val(g, ls_node, "query", "sqlQuery"))
-    if source and base_dir and "://" not in source and not os.path.isabs(source):
+    if (source and base_dir and "://" not in source
+            and not source.lower().startswith("jdbc:")
+            and not os.path.isabs(source)):
         source = os.path.join(base_dir, source)
     # infer format from extension when unspecified
     if fmt == "csv" and source:
@@ -181,8 +191,11 @@ def _parse_source(g: Graph, ls_node, base_dir: str | None) -> LogicalSource:
             fmt = "xml"
         elif low.endswith(".nt"):
             fmt = "ntriples"
+    if source and source.lower().startswith("jdbc:") and fmt not in ("sql", "jdbc"):
+        fmt = "jdbc"
     return LogicalSource(source=source or "", fmt=fmt, iterator=iterator,
-                         table=table, query=query, delimiter=delimiter)
+                         table=table, query=query, delimiter=delimiter,
+                         options=options)
 
 
 def _term_type(v) -> str | None:

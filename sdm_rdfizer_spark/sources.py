@@ -70,11 +70,15 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     if fmt in ("sql", "jdbc"):
         reader = spark.read.format("jdbc").option("url", ls.source)
         if ls.query:
-            # projection pushdown: the generated/user query runs DB-side
-            # (the reference generates SELECT DISTINCT <cols>,
-            # functions.py:211-288; Spark's JDBC source prunes/pushes too)
+            # user/generated query runs DB-side (the reference generates
+            # SELECT DISTINCT <cols>, functions.py:211-288)
             reader = reader.option("query", ls.query)
         elif ls.table:
+            # dbtable path: Catalyst pushes column pruning + filters into
+            # the JDBC SELECT itself (the planner references only the
+            # mapped columns, so the DB never ships unmapped ones) — the
+            # declarative equivalent of the reference's translate_sql
+            # projection generation.
             reader = reader.option("dbtable", ls.table)
         for k, v in ls.options.items():
             reader = reader.option(k, v)
@@ -117,6 +121,23 @@ def _read_sparql_endpoint(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, schema=", ".join(f"`{c}` string" for c in cols))
+
+
+def projection_query(table: str, columns: list[str]) -> str:
+    """The reference's ``translate_sql`` equivalent (reference:
+    rdfizer/rdfizer/functions.py:211-288): a generated
+    ``SELECT DISTINCT <referenced-cols> FROM <table>`` so the database
+    ships only the mapped columns, each row once.
+
+    Column identifiers are double-quoted (ANSI SQL; Derby/PostgreSQL/
+    SQL Server default, MySQL needs ANSI_QUOTES) so case-preserved column
+    names created by Spark's own JDBC writer round-trip; the table name
+    passes through verbatim like the reference's. Used when input dedup
+    is on; the default ``dbtable`` path gets the same projection via
+    Catalyst column pruning without the DISTINCT.
+    """
+    cols = ", ".join('"' + c.replace('"', '""') + '"' for c in columns)
+    return f"SELECT DISTINCT {cols} FROM {table}"
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""RDBMS (JDBC) logical sources, end-to-end on embedded Derby.
+
+The reference's #2 source family after CSV (reference:
+rdfizer/rdfizer/semantify.py:11868-12350 MySQL/PostgreSQL/SQL Server
+executors; generated projection SQL at functions.py:211-288; D2RQ
+credential parsing at semantify.py:2169-2177). Derby ships inside
+Spark's own jars, so ``jdbc:derby:`` exercises the real
+``spark.read.jdbc`` path without an external server.
+"""
+
+import pytest
+
+from sdm_rdfizer_spark import materialize
+from sdm_rdfizer_spark.rml_parser import parse_mapping
+from sdm_rdfizer_spark.sources import projection_query
+from tests.conftest import triple_set
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+EX = "http://example.com/vocab/"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """A Derby database with a small transcripts table (has an exact
+    duplicate row to exercise input dedup). Created through plain JDBC
+    DDL on the driver JVM — Spark's own JDBC writer maps StringType to
+    CLOB on Derby, which breaks DISTINCT and NULL inserts."""
+    db = tmp_path_factory.mktemp("derby") / "db"
+    url = f"jdbc:derby:{db}"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = conn.createStatement()
+    st.execute('CREATE TABLE transcripts '
+               '("tid" VARCHAR(32), "kind" VARCHAR(32), "score" INT)')
+    st.execute("INSERT INTO transcripts VALUES "
+               "('T1','coding',5), ('T1','coding',5), ('T2','lnc',3), "
+               "('T3',NULL,1)")
+    st.close()
+    conn.close()
+    return url
+
+
+def _mapping(url: str, logical_source: str) -> str:
+    return f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://w3id.org/rml/> .
+@prefix d2rq: <http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#> .
+@prefix ex: <http://example.com/vocab/> .
+
+<#Transcript> a rr:TriplesMap;
+  rml:logicalSource [ {logical_source} ];
+  rr:subjectMap [ rr:template "http://example.com/t/{{tid}}"; rr:class ex:Transcript ];
+  rr:predicateObjectMap [ rr:predicate ex:kind; rr:objectMap [ rml:reference "kind" ] ] .
+"""
+
+
+def _d2rq_source(url: str) -> str:
+    return f"""rml:source [ a d2rq:Database;
+      d2rq:jdbcDSN "{url}";
+      d2rq:jdbcDriver "{DRIVER}";
+      d2rq:username "app";
+      d2rq:password "" ];
+    rr:tableName "transcripts" """
+
+
+EXPECTED_KINDS = {
+    ("<http://example.com/t/T1>", '"coding"'),
+    ("<http://example.com/t/T2>", '"lnc"'),
+}
+
+
+def test_d2rq_descriptor_parses_credentials(derby_url):
+    tms = parse_mapping(_mapping(derby_url, _d2rq_source(derby_url)))
+    [tm] = tms
+    assert tm.source.fmt == "jdbc"
+    assert tm.source.source == derby_url
+    assert tm.source.table == "transcripts"
+    assert tm.source.options == {"user": "app", "password": "", "driver": DRIVER}
+
+
+def test_jdbc_tablename_end_to_end(spark, derby_url):
+    triples = materialize(spark, _mapping(derby_url, _d2rq_source(derby_url)))
+    got = triple_set(triples)
+    kinds = {(s, o) for s, p, o in got if p == f"<{EX}kind>"}
+    assert kinds == EXPECTED_KINDS
+    # T3 has NULL kind → class triple only
+    assert any(s == "<http://example.com/t/T3>" for s, _, _ in got)
+
+
+def test_jdbc_query_end_to_end(spark, derby_url):
+    src = f"""rml:source [ a d2rq:Database;
+      d2rq:jdbcDSN "{derby_url}"; d2rq:jdbcDriver "{DRIVER}" ];
+    rml:query 'SELECT "tid", "kind" FROM transcripts' """
+    triples = materialize(spark, _mapping(derby_url, src))
+    got = triple_set(triples)
+    kinds = {(s, o) for s, p, o in got if p == f"<{EX}kind>"}
+    assert kinds == EXPECTED_KINDS
+
+
+def test_jdbc_generated_projection_query(spark, derby_url):
+    """input_dedup=True generates the reference's SELECT DISTINCT
+    projection (translate_sql equivalent) over only the mapped columns."""
+    triples = materialize(spark, _mapping(derby_url, _d2rq_source(derby_url)),
+                          input_dedup=True)
+    got = triple_set(triples)
+    kinds = {(s, o) for s, p, o in got if p == f"<{EX}kind>"}
+    assert kinds == EXPECTED_KINDS
+    # score was never referenced → not in the projection
+    assert projection_query("transcripts", ["kind", "tid"]) == \
+        'SELECT DISTINCT "kind", "tid" FROM transcripts'
+
+
+def test_jdbc_column_pruning_reaches_scan(spark, derby_url):
+    """The dbtable path must let Catalyst prune unmapped columns into the
+    JDBC SELECT itself (scale posture: the DB never ships them)."""
+    triples = materialize(spark, _mapping(derby_url, _d2rq_source(derby_url)))
+    plan = triples._jdf.queryExecution().executedPlan().toString()
+    assert "score" not in plan
+
+
+def test_input_dedup_on_file_scan(spark, tmp_path):
+    (tmp_path / "dup.csv").write_text("a,b\n1,x\n1,x\n2,y\n")
+    m = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/vocab/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/dup.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/r/{{a}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:b; rr:objectMap [ rml:reference "b" ] ] .
+"""
+    got = triple_set(materialize(spark, m, input_dedup=True))
+    assert got == {
+        ("<http://example.com/r/1>", f"<{EX}b>", '"x"'),
+        ("<http://example.com/r/2>", f"<{EX}b>", '"y"'),
+    }
