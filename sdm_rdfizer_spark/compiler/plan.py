@@ -48,6 +48,46 @@ RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 TRIPLE_COLS = ("s", "p", "o", "g")
 
+
+class MappingError(ValueError):
+    """A mapping references something its logical source cannot provide."""
+
+
+def _term_refs(t, func_maps, out: list) -> None:
+    """Column references a term map reads (templates, references, function
+    parameters, datatype/language maps, gather items)."""
+    from .terms import template_references
+
+    if t is None:
+        return
+    if t.kind == TEMPLATE:
+        out.extend(template_references(t.value))
+    elif t.kind == REFERENCE:
+        out.append(t.value)
+    elif t.kind == FUNCTION:
+        fm = (func_maps or {}).get(t.value)
+        if fm is not None:
+            _fm_refs(fm, func_maps, out)
+    elif t.kind == GATHER and t.gather:
+        for item in t.gather.gather:
+            if item.kind not in (PARENT, QUOTED):
+                _term_refs(item, func_maps, out)
+    _term_refs(getattr(t, "datatype_map", None), func_maps, out)
+    _term_refs(getattr(t, "language_map", None), func_maps, out)
+
+
+def _fm_refs(fm, func_maps, out: list) -> None:
+    from .terms import template_references
+
+    for p in fm.parameters.values():
+        kind = p.get("type")
+        if kind == "reference":
+            out.append(p["value"])
+        elif kind == "template":
+            out.extend(template_references(p["value"]))
+        elif kind == "function" and p.get("nested"):
+            _fm_refs(p["nested"], func_maps, out)
+
 # parent sides smaller than this (bytes on disk) get an explicit broadcast
 # hint; larger sides are left to AQE's own broadcast/skew decisions.
 BROADCAST_BYTES = 64 * 1024 * 1024
@@ -95,6 +135,7 @@ class MappingPlanner:
         dedup_scope: str = "spog",
         collect_targets: bool = False,
         input_dedup: bool = False,
+        missing_policy: str = "ignore",
     ) -> None:
         self.spark = spark
         self.tms = triples_maps
@@ -107,6 +148,11 @@ class MappingPlanner:
         # SELECT DISTINCT projection for DB sources, functions.py:211-288):
         # scan-level duplicate elimination before any term is computed
         self.input_dedup = input_dedup
+        # missing-attribute policy (reference: functions.py:1915-1920 with
+        # the global ignore="yes" default, semantify.py:75-76): "ignore"
+        # drops the affected POM/TM with a warning, "abort" raises a
+        # MappingError naming the attribute and TriplesMap
+        self.missing_policy = missing_policy
         # RML-IO logical targets: emit a static array<string> __targets
         # column naming the targets each triple routes to (the reference
         # re-runs the whole TM per target file, semantify.py:10013-10088 —
@@ -279,6 +325,29 @@ class MappingPlanner:
         separate union branches, since their row multiplicity differs.
         """
         df = self.scan(tm)
+
+        # compile-time missing-attribute check (reference:
+        # functions.py:1915-1920; runtime NULLs are separately handled by
+        # the validity conditions — this catches schema-level typos)
+        srefs: list = []
+        _term_refs(tm.subject.term, tm.func_maps, srefs)
+        for gm in tm.subject.graphs:
+            _term_refs(gm, tm.func_maps, srefs)
+        if tm.subject.condition and tm.subject.condition in tm.func_maps:
+            _fm_refs(tm.func_maps[tm.subject.condition], tm.func_maps, srefs)
+        miss = self._missing_refs(df, srefs)
+        if miss:
+            msg = (f"attribute(s) {sorted(set(miss))} referenced by the "
+                   f"subject map of {tm.tm_id} are missing from its logical "
+                   f"source {tm.source.source!r}")
+            if self.missing_policy == "abort":
+                raise MappingError(msg)
+            import warnings
+
+            warnings.warn(msg + " — TriplesMap skipped (ignore policy)",
+                          stacklevel=2)
+            return None
+
         layers = ExprLayers()
         if tm.subject.term.kind == QUOTED:
             # RML-star quoted subject — evaluated over the current row
@@ -315,6 +384,18 @@ class MappingPlanner:
         deferred = []  # join-valued POMs: closures over the layered base_df
         fusers = []    # N:1 joins fused into the explode pass as left joins
         for pom in tm.poms:
+            miss = self._missing_refs(df, self._pom_refs(tm, pom))
+            if miss:
+                msg = (f"attribute(s) {sorted(set(miss))} referenced by a "
+                       f"predicateObjectMap of {tm.tm_id} are missing from "
+                       f"its logical source {tm.source.source!r}")
+                if self.missing_policy == "abort":
+                    raise MappingError(msg)
+                import warnings
+
+                warnings.warn(msg + " — predicateObjectMap skipped "
+                              "(ignore policy)", stacklevel=2)
+                continue
             out = self._compile_pom(tm, df, pom, graphs, layers)
             if (isinstance(out, tuple) and len(out) == 2
                     and isinstance(out[0], str) and out[0] == "fuse"):
@@ -637,6 +718,34 @@ class MappingPlanner:
                 ).first()
                 self._parent_unique[cache_key] = row["n"] == row["k"]
         return self._parent_unique[cache_key]
+
+    def _missing_refs(self, df: DataFrame, refs: list) -> list[str]:
+        """References with no matching column — exact name first, then the
+        base segment (dotted struct paths / inline predicates resolve
+        below the top level)."""
+        cols = set(df.columns)
+        out = []
+        for r in refs:
+            if r in cols:
+                continue
+            if re.split(r"[.\[]", r, 1)[0] not in cols:
+                out.append(r)
+        return out
+
+    def _pom_refs(self, tm, pom) -> list:
+        from .terms import template_references
+
+        refs: list = []
+        _term_refs(pom.predicate, tm.func_maps, refs)
+        for gm in pom.graphs:
+            _term_refs(gm, tm.func_maps, refs)
+        om = pom.obj
+        if om.kind in (PARENT, QUOTED):
+            for k in (om.join.child if om.join else []):
+                refs.extend(template_references(k) if "{" in k else [k])
+        else:
+            _term_refs(om, tm.func_maps, refs)
+        return refs
 
     def _join_key_expr(self, df: DataFrame, key: str, layers=None):
         """Join keys may be plain column references or templates

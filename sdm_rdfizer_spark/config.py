@@ -30,6 +30,10 @@ class RunConfig:
     output_format: str = "n-triples"   # n-triples | turtle
     base: str | None = None
     infer_datatypes: bool = False
+    input_dedup: bool = False
+    # missing-attribute policy (reference: global ignore="yes",
+    # semantify.py:75-76 + functions.py:1915-1920)
+    missing_policy: str = "ignore"     # ignore | abort
 
 
 def load_config(path_or_dict) -> RunConfig:
@@ -48,6 +52,9 @@ def load_config(path_or_dict) -> RunConfig:
         remove_duplicates=ds_sec.get("remove_duplicate", "yes").lower() in ("yes", "true"),
         all_in_one_file=ds_sec.get("all_in_one_file", "no").lower() in ("yes", "true"),
         output_format=ds_sec.get("output_format", "n-triples").lower(),
+        input_dedup=ds_sec.get("input_dedup", "no").lower() in ("yes", "true"),
+        missing_policy=("ignore" if ds_sec.get("ignore", "yes").lower()
+                        in ("yes", "true") else "abort"),
     )
     n = int(ds_sec.get("number_of_datasets", "1"))
     for i in range(1, n + 1):

@@ -73,6 +73,7 @@ def materialize(
     remove_duplicates: bool = True,
     infer_datatypes: bool = False,
     input_dedup: bool = False,
+    missing_policy: str = "ignore",
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
     tune_session(spark)
@@ -85,6 +86,7 @@ def materialize(
         remove_duplicates=remove_duplicates,
         infer_datatypes=infer_datatypes,
         input_dedup=input_dedup,
+        missing_policy=missing_policy,
     )
     return planner.compile_all()
 
@@ -96,6 +98,8 @@ def materialize_with_targets(
     base_dir: str | None = None,
     remove_duplicates: bool = True,
     infer_datatypes: bool = False,
+    input_dedup: bool = False,
+    missing_policy: str = "ignore",
 ):
     """Compile a mapping with RML-IO logical targets.
 
@@ -115,6 +119,8 @@ def materialize_with_targets(
         remove_duplicates=remove_duplicates,
         infer_datatypes=infer_datatypes,
         collect_targets=bool(targets),
+        input_dedup=input_dedup,
+        missing_policy=missing_policy,
     )
     raw = planner.compile_all()
     if not targets:
@@ -150,6 +156,8 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
                 base_dir=os.path.dirname(os.path.abspath(ds.mapping_path)),
                 remove_duplicates=cfg.remove_duplicates,
                 infer_datatypes=cfg.infer_datatypes,
+                input_dedup=cfg.input_dedup,
+                missing_policy=cfg.missing_policy,
             )
             results[ds.name] = triples
             if target_frames:

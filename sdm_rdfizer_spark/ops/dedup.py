@@ -246,3 +246,63 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from SimHash fingerprints.
+
+    Same banding shape as MinHash-LSH: the ``bits``-bit fingerprint is
+    split into ``bands`` bit-slices; documents agreeing on ≥1 slice are
+    candidates (a pair within Hamming distance d < bands must agree on at
+    least one slice — pigeonhole), then the exact Hamming distance
+    (bit_count of XOR) filters to ``<= max_hamming``. The slice join is a
+    shuffled equi-join on (band, slice-value) — never all-pairs.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col, id_col, bits=bits)
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+             .bitwiseAND(F.lit(mask)).alias("sv"),
+        )
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*slices)).alias("b"),
+    ).select(id_col, "simhash",
+             F.col("b.band").alias("band"), F.col("b.sv").alias("sv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sv") == F.col("b.sv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

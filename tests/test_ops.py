@@ -116,6 +116,27 @@ def test_simhash_near_dup_close(spark):
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
 
 
+def test_simhash_pairs_banding(spark):
+    from sdm_rdfizer_spark.ops.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river side"),
+            (3, "entirely different content about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    true_ham = bin(fps[1] ^ fps[2]).count("1")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(df, max_hamming=true_ham).collect()}
+    # the near-dup pair surfaces with its exact Hamming distance;
+    # the unrelated doc produces no pair under the same threshold
+    assert got[(1, 2)] == true_ham
+    assert not any(3 in pair for pair in got)
+
+
 def test_brute_force_topk_against_numpy(emb):
     import numpy as np
 
