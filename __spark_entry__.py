@@ -310,6 +310,100 @@ SELECT s, p, o FROM (
 """
 
 
+def _q_gather_join(spark: SparkSession, sf: str) -> DataFrame:
+    """RML-CC gather with a parentTriplesMap item (join inside the
+    collection, reference hash_maker_cc cc_functions.py:13-120): one
+    rdf:Seq of supplier IRIs per nation."""
+    mapping = _PREFIXES + f"""
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+<#S> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/supplier.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/supplier/{{s_suppkey}}" ] .
+<#N> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/nation.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/nation/{{n_nationkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:suppliers; rr:objectMap [
+      rr:template "http://ex.org/supplist/{{n_nationkey}}";
+      rml:gather ( [ rr:parentTriplesMap <#S>;
+                     rr:joinCondition [ rr:child "n_nationkey"; rr:parent "s_nationkey" ] ] );
+      rml:gatherAs rdf:Seq ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_GATHER_JOIN_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT
+    '<http://ex.org/nation/' || n_nationkey || '>' AS su,
+    '<http://ex.org/supplist/' || n_nationkey || '>' AS nd,
+    '<http://ex.org/supplier/' || s_suppkey || '>' AS item
+  FROM nation JOIN supplier ON s_nationkey = n_nationkey
+), ranked AS (
+  SELECT nd, item, row_number() OVER (PARTITION BY nd ORDER BY item) AS rn FROM items
+)
+SELECT s, p, o FROM (
+  SELECT DISTINCT su AS s, '<http://ex.org/vocab/suppliers>' AS p, nd AS o FROM items
+  UNION
+  SELECT DISTINCT nd, '<{RDF_TYPE}>',
+         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq>' FROM items
+  UNION
+  SELECT nd, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_' || rn || '>', item FROM ranked
+)
+"""
+
+
+def _q_gather_cartesian(spark: SparkSession, sf: str) -> DataFrame:
+    """RML-CC cartesian strategy (reference cc_functions.py:499-536): one
+    rdf:Bag per ordered supplier pair within a nation — the cross product
+    of two parent-joined item arrays."""
+    mapping = _PREFIXES + f"""
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+<#S> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/supplier.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/supplier/{{s_suppkey}}" ] .
+<#N> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/nation.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/nation/{{n_nationkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:spairs; rr:objectMap [
+      rml:gather ( [ rr:parentTriplesMap <#S>;
+                     rr:joinCondition [ rr:child "n_nationkey"; rr:parent "s_nationkey" ] ]
+                   [ rr:parentTriplesMap <#S>;
+                     rr:joinCondition [ rr:child "n_nationkey"; rr:parent "s_nationkey" ] ] );
+      rml:gatherAs rdf:Bag;
+      rml:strategy rml:cartesian ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_GATHER_CARTESIAN_ORACLE = f"""
+WITH supp AS (
+  SELECT DISTINCT s_nationkey,
+         '<http://ex.org/supplier/' || s_suppkey || '>' AS item
+  FROM supplier
+), noded AS (
+  SELECT '<http://ex.org/nation/' || n_nationkey || '>' AS su,
+         '<http://ex.org/vocab/spairs>' AS p,
+         '_:g' || md5('<http://ex.org/nation/' || n_nationkey || '>' ||
+                      '<http://ex.org/vocab/spairs>' ||
+                      a.item || chr(31) || b.item) AS nd,
+         a.item AS i1, b.item AS i2
+  FROM nation
+  JOIN supp a ON a.s_nationkey = n_nationkey
+  JOIN supp b ON b.s_nationkey = n_nationkey
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT su AS s, p, nd AS o FROM noded
+  UNION ALL
+  SELECT nd, '<{RDF_TYPE}>',
+         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#Bag>' FROM noded
+  UNION ALL
+  SELECT nd, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1>', i1 FROM noded
+  UNION ALL
+  SELECT nd, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_2>', i2 FROM noded
+)
+"""
+
+
 def _q_fnml_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """FnO functions in object position: toUpperCase, string_md5, slugify."""
     mapping = _PREFIXES + f"""
@@ -1050,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_supplier_bnode": _q_supplier_bnode,
         "rml_events_timestamps": _q_events_timestamps,
         "rml_gather_seq": _q_gather_seq,
+        "rml_gather_join": _q_gather_join,
+        "rml_gather_cartesian": _q_gather_cartesian,
         "fnml_string_funcs": _q_fnml_funcs,
         "rml_star_quoted": _q_rml_star,
         "rml_logical_view": _q_logical_view,
@@ -1083,6 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         "rml_supplier_bnode": _SUPPLIER_BNODE_ORACLE,
         "rml_events_timestamps": _EVENTS_ORACLE,
         "rml_gather_seq": _GATHER_SEQ_ORACLE,
+        "rml_gather_join": _GATHER_JOIN_ORACLE,
+        "rml_gather_cartesian": _GATHER_CARTESIAN_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
         "rml_logical_view": _LOGICAL_VIEW_ORACLE,

@@ -69,8 +69,14 @@ def _term_refs(t, func_maps, out: list) -> None:
         if fm is not None:
             _fm_refs(fm, func_maps, out)
     elif t.kind == GATHER and t.gather:
+        tfg = getattr(t, "template_for_gather", None)
+        if tfg:
+            out.extend(template_references(tfg))
         for item in t.gather.gather:
-            if item.kind not in (PARENT, QUOTED):
+            if item.kind in (PARENT, QUOTED):
+                for k in (item.join.child if item.join else []):
+                    out.extend(template_references(k) if "{" in k else [k])
+            else:
                 _term_refs(item, func_maps, out)
     _term_refs(getattr(t, "datatype_map", None), func_maps, out)
     _term_refs(getattr(t, "language_map", None), func_maps, out)
@@ -244,7 +250,17 @@ class MappingPlanner:
                     fm = tm.func_maps.get(t.value)
                     ok = fm is not None and walk_fm(fm)
                 elif t.kind == GATHER and t.gather:
-                    ok = all(walk_term(item) for item in t.gather.gather)
+                    ok = True
+                    tfg = getattr(t, "template_for_gather", None)
+                    if tfg:
+                        ok = all(add_ref(r) for r in template_references(tfg))
+                    for item in t.gather.gather:
+                        if item.kind in (PARENT, QUOTED):
+                            ok = ok and all(
+                                add_key(k)
+                                for k in (item.join.child if item.join else []))
+                        else:
+                            ok = ok and walk_term(item)
                 else:
                     ok = True
                 return (ok and walk_term(getattr(t, "datatype_map", None))
@@ -349,13 +365,14 @@ class MappingPlanner:
             return None
 
         layers = ExprLayers()
-        if tm.subject.term.kind == QUOTED:
+        subject_term = self._subject_term(tm)
+        if subject_term.kind == QUOTED:
             # RML-star quoted subject — evaluated over the current row
             # (reference: inner_semantify_file call at semantify.py:6529)
-            subj = self._quoted_term(df, self.tm_by_id[tm.subject.term.parent_tm],
+            subj = self._quoted_term(df, self.tm_by_id[subject_term.parent_tm],
                                      layers=layers)
         else:
-            subj = compile_term_map(df, tm.subject.term, "subject",
+            subj = compile_term_map(df, subject_term, "subject",
                                     base=self.base, infer_datatypes=self.infer_datatypes,
                                     func_maps=tm.func_maps, layers=layers)
         graphs = self._graph_exprs(df, tm.subject.graphs, layers)
@@ -418,6 +435,25 @@ class MappingPlanner:
             entries.extend(fuse_entries)
         branches.extend(build(pre_fuse_df) for build in deferred)
 
+        if tm.subject.term.kind == GATHER:
+            # subject-position gather (reference gather_subject,
+            # cc_functions.py:121-216): the subject IS the collection node;
+            # membership triples hang directly off it. Built layer-free
+            # from the raw scan like object-position gathers.
+            from .gather import compile_gather
+
+            gsub = compile_term_map(df, subject_term, "subject", base=self.base)
+            for graph in self._graph_exprs(df, tm.subject.graphs):
+                gdf = compile_gather(
+                    df, gsub.expr, gsub.valid, F.lit(None).cast("string"),
+                    graph, tm.subject.term.gather, base=self.base,
+                    as_subject=True, parent_items=self._gather_parent_items(),
+                )
+                if self.collect_targets:
+                    gdf = gdf.withColumn(
+                        "__targets", _target_array(_tset(tm.subject.term)))
+                branches.append(gdf)
+
         if entries:
             def fields(p, o, g, v, tset):
                 fs = [
@@ -479,7 +515,8 @@ class MappingPlanner:
             pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
                                     func_maps=tm.func_maps)
             ggraphs = self._graph_exprs(df, pom.graphs or tm.subject.graphs)
-            subj = compile_term_map(df, tm.subject.term, "subject", base=self.base)
+            subj = compile_term_map(df, self._subject_term(tm), "subject",
+                                    base=self.base)
             node_term = None
             if getattr(om, "template_for_gather", None):
                 node_term = TermMap(kind=TEMPLATE, value=om.template_for_gather,
@@ -488,6 +525,7 @@ class MappingPlanner:
                 compile_gather(
                     df, subj.expr, subj.valid & pred.valid, pred.expr, graph,
                     om.gather, base=self.base, node_term=node_term,
+                    parent_items=self._gather_parent_items(),
                 )
                 for graph in ggraphs
             ]
@@ -515,6 +553,58 @@ class MappingPlanner:
         if om.kind == QUOTED:
             return self._compile_quoted(tm, df, pred, om, graphs, layers, tgs)
         raise NotImplementedError(f"object-map kind {om.kind} not implemented yet")
+
+    # ------------------------------------------------------------------
+    def _subject_term(self, tm: TriplesMap) -> TermMap:
+        """The term that names the TM's subject. For a subject-position
+        gather (reference gather_subject, cc_functions.py:121-216) the
+        collection node is the subject map's own rr:template."""
+        t = tm.subject.term
+        if t.kind == GATHER:
+            tfg = getattr(t, "template_for_gather", None)
+            if not tfg:
+                raise MappingError(
+                    f"subject gather map of {tm.tm_id} needs rr:template "
+                    f"(the collection node IRI)")
+            return TermMap(kind=TEMPLATE, value=tfg, term_type=t.term_type)
+        return t
+
+    def _gather_parent_items(self):
+        """Per-compile_gather closure: a PARENT/QUOTED-kind gather item
+        contributes every parent subject whose join key matches the row
+        (reference hash_maker_cc, cc_functions.py:13-120, consumed as
+        "join"-kind items at 340-346). Spark shape: parent pairs grouped
+        into per-key arrays once (N:1 after grouping), left-joined into
+        the working frame — broadcast when the parent is small, so at
+        scale this adds no child-side shuffle."""
+        counter = {"n": 0}
+
+        def parent_items(cur: DataFrame, item: TermMap):
+            if item.join is None or not item.join.child:
+                raise MappingError(
+                    "gather items with a parentTriplesMap need a join condition")
+            ptm = self.tm_by_id[item.parent_tm]
+            pkeys = tuple(item.join.parent)
+            pairs = self._parent_pairs(ptm, pkeys)
+            counter["n"] += 1
+            tag = counter["n"]
+            nkeys = len(pkeys)
+            grouped = pairs.groupBy(
+                *[F.col(f"__pk{i}").alias(f"__gpk{tag}_{i}") for i in range(nkeys)]
+            ).agg(F.array_sort(F.collect_list("__po")).alias(f"__gpi{tag}"))
+            if self._parent_broadcast.get((ptm.tm_id, pkeys)):
+                grouped = F.broadcast(grouped)
+            keys = [self._join_key_expr(cur, c) for c in item.join.child]
+            cond = reduce(
+                lambda a, b: a & b,
+                [keys[i] == grouped[f"__gpk{tag}_{i}"] for i in range(nkeys)],
+            )
+            joined = cur.join(grouped, cond, "left")
+            arr = F.coalesce(joined[f"__gpi{tag}"],
+                             F.array().cast("array<string>"))
+            return joined, arr
+
+        return parent_items
 
     # ------------------------------------------------------------------
     def _compile_join(self, tm, df, pred, om, graphs, layers, tgs=frozenset()):
