@@ -404,6 +404,62 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def _stage_supplier_xml(sf: str) -> str:
+    """Stage the supplier table as an XML document (fixture for the XML
+    source path; written once per sf dir)."""
+    import hashlib
+    import tempfile
+
+    import duckdb
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "sdm_xml_fixture_" + hashlib.md5(sf.encode()).hexdigest()[:10],
+        "supplier.xml")
+    if not os.path.exists(dest):
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT s_suppkey, s_name, s_nationkey FROM "
+            f"'{sf}/supplier.parquet' ORDER BY s_suppkey").fetchall()
+        with open(dest + ".tmp", "w") as f:
+            f.write("<suppliers>")
+            for k, name, nk in rows:
+                f.write(f'<supplier s_suppkey="{k}"><s_name>{name}</s_name>'
+                        f"<s_nationkey>{nk}</s_nationkey></supplier>")
+            f.write("</suppliers>")
+        os.replace(dest + ".tmp", dest)
+    return dest
+
+
+def _q_xml_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """XML logical source through the distributed record-split scan:
+    attribute + child-element references (reference semantify_xml,
+    semantify.py:3901-3970)."""
+    path = _stage_supplier_xml(sf)
+    mapping = _PREFIXES + f"""
+<#S> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{path}"; rml:referenceFormulation ql:XPath;
+                      rml:iterator "/suppliers/supplier" ];
+  rr:subjectMap [ rr:template "http://ex.org/xsupplier/{{s_suppkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "s_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:nation; rr:objectMap [ rml:reference "s_nationkey" ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_XML_SUPPLIER_ORACLE = """
+SELECT s, p, o FROM (
+  SELECT '<http://ex.org/xsupplier/' || s_suppkey || '>' AS s,
+         '<http://ex.org/vocab/name>' AS p, '"' || s_name || '"' AS o
+  FROM supplier
+  UNION ALL
+  SELECT '<http://ex.org/xsupplier/' || s_suppkey || '>',
+         '<http://ex.org/vocab/nation>', '"' || s_nationkey || '"'
+  FROM supplier
+)
+"""
+
+
 def _q_fnml_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """FnO functions in object position: toUpperCase, string_md5, slugify."""
     mapping = _PREFIXES + f"""
@@ -1146,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_gather_seq": _q_gather_seq,
         "rml_gather_join": _q_gather_join,
         "rml_gather_cartesian": _q_gather_cartesian,
+        "rml_xml_supplier": _q_xml_supplier,
         "fnml_string_funcs": _q_fnml_funcs,
         "rml_star_quoted": _q_rml_star,
         "rml_logical_view": _q_logical_view,
@@ -1181,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_gather_seq": _GATHER_SEQ_ORACLE,
         "rml_gather_join": _GATHER_JOIN_ORACLE,
         "rml_gather_cartesian": _GATHER_CARTESIAN_ORACLE,
+        "rml_xml_supplier": _XML_SUPPLIER_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
         "rml_logical_view": _LOGICAL_VIEW_ORACLE,

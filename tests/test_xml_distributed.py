@@ -1,0 +1,107 @@
+"""Distributed XML scan: record splitting, namespaces, self-closing rows,
+predicates (reference: semantify.py:3901-3970 namespace registry +
+last-segment iterfind)."""
+
+import pytest
+
+from sdm_rdfizer_spark.ir import LogicalSource
+from sdm_rdfizer_spark.sources import (
+    _read_xml_distributed, _xml_scan_rows, read_source,
+)
+
+
+def rows_of(spark, path, iterator):
+    ls = LogicalSource(source=str(path), fmt="xml", iterator=iterator)
+    df = read_source(spark, ls)
+    return [r.asDict() for r in df.collect()]
+
+
+def test_scan_rows_basic():
+    rec = '<catalog><item sku="a"><name>x</name>'
+    got = list(_xml_scan_rows(rec, "item"))
+    assert got == ['<item sku="a"><name>x</name></item>']
+
+
+def test_scan_rows_self_closing_and_quoted_gt():
+    rec = '<item note="a &gt; b"/><item sku="b">text'
+    got = list(_xml_scan_rows(rec, "item"))
+    assert got[0] == '<item note="a &gt; b"/>'
+    assert got[1] == '<item sku="b">text</item>'
+
+
+def test_scan_rows_literal_gt_in_attr():
+    # raw '>' inside a quoted attribute must not end the open tag
+    rec = '<item note="a > b" sku="c">v'
+    got = list(_xml_scan_rows(rec, "item"))
+    assert got == ['<item note="a > b" sku="c">v</item>']
+
+
+def test_distributed_matches_iterator(spark, tmp_path):
+    p = tmp_path / "cat.xml"
+    p.write_text(
+        "<catalog>"
+        '<item sku="a1"><name>widget</name></item>'
+        '<item sku="b2"><name>gadget</name></item>'
+        "</catalog>"
+    )
+    got = rows_of(spark, p, "/catalog/item")
+    assert sorted((r["sku"], r["name"]) for r in got) == [
+        ("a1", "widget"), ("b2", "gadget")]
+
+
+def test_distributed_namespaced_document(spark, tmp_path):
+    p = tmp_path / "ns.xml"
+    p.write_text(
+        '<c:catalog xmlns:c="http://x.org/cat" xmlns="http://x.org/d">'
+        '<c:item sku="a"><name>w</name></c:item>'
+        '<c:item sku="b"><name>g</name></c:item>'
+        "</c:catalog>"
+    )
+    got = rows_of(spark, p, "/c:catalog/c:item")
+    # namespace stripped from column names; values intact
+    assert sorted((r["sku"], r["name"]) for r in got) == [("a", "w"), ("b", "g")]
+
+
+def test_distributed_self_closing_rows(spark, tmp_path):
+    p = tmp_path / "sc.xml"
+    p.write_text(
+        '<l><row id="1" v="x"/><row id="2" v="y"/><row id="3"><v>z</v></row></l>'
+    )
+    got = rows_of(spark, p, "/l/row")
+    assert len(got) == 3
+    by_id = {r["id"]: r for r in got}
+    assert by_id["1"]["v"] == "x"
+    assert by_id["3"]["v"] == "z"
+
+
+def test_distributed_predicate_filter(spark, tmp_path):
+    p = tmp_path / "pred.xml"
+    p.write_text(
+        '<l><row kind="a"><v>1</v></row><row kind="b"><v>2</v></row></l>'
+    )
+    got = rows_of(spark, p, "/l/row[@kind='a']")
+    assert [r["v"] for r in got] == ["1"]
+
+
+def test_distributed_multirecord_parallel_shape(spark, tmp_path):
+    # 200 rows — enough to span multiple Arrow batches; schema is the
+    # union of keys across all rows
+    p = tmp_path / "many.xml"
+    body = "".join(
+        f'<row id="{i}">' + (f"<extra>e{i}</extra>" if i % 7 == 0 else "")
+        + f"<val>v{i}</val></row>"
+        for i in range(200)
+    )
+    p.write_text(f"<l>{body}</l>")
+    got = rows_of(spark, p, "/l/row")
+    assert len(got) == 200
+    assert {r["id"] for r in got} == {str(i) for i in range(200)}
+    assert all(("extra" in r) for r in got)  # column exists everywhere
+    assert sum(1 for r in got if r["extra"] is not None) == len(range(0, 200, 7))
+
+
+def test_driver_fallback_wildcard_iterator(spark, tmp_path):
+    p = tmp_path / "w.xml"
+    p.write_text('<root a="1"><x>y</x></root>')
+    got = rows_of(spark, p, "/*")
+    assert got and got[0]["a"] == "1"
