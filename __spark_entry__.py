@@ -535,6 +535,36 @@ SELECT s, p, o FROM (
 """
 
 
+def _q_star_subject_join(spark: SparkSession, sf: str) -> DataFrame:
+    """RML-star quoted SUBJECT with a join condition (reference
+    semantify.py:2652-2659): each lineitem row's subject is the quoted
+    << order status >> triple of its order."""
+    mapping = _PREFIXES + f"""
+@prefix rml2: <http://w3id.org/rml/> .
+<#A> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/lineitem.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rml2:quotedTriplesMap <#Q>;
+                  rr:joinCondition [ rr:child "l_orderkey"; rr:parent "o_orderkey" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:line; rr:objectMap [ rml:reference "l_linenumber" ] ] .
+
+<#Q> a rml2:NonAssertedTriplesMap;
+  rml:logicalSource [ rml:source "{sf}/orders.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/order/{{o_orderkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ rml:reference "o_orderstatus" ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+_STAR_SUBJECT_JOIN_ORACLE = """
+SELECT DISTINCT
+  '<< <http://ex.org/order/' || o_orderkey || '> <http://ex.org/vocab/status> "'
+    || o_orderstatus || '" >>' AS s,
+  '<http://ex.org/vocab/line>' AS p,
+  '"' || l_linenumber || '"' AS o
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 def _q_logical_view(spark: SparkSession, sf: str) -> DataFrame:
     """RML-LV: view over customer inner-joined with a nation view."""
     mapping = _PREFIXES + f"""
@@ -1205,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_xml_supplier": _q_xml_supplier,
         "fnml_string_funcs": _q_fnml_funcs,
         "rml_star_quoted": _q_rml_star,
+        "rml_star_subject_join": _q_star_subject_join,
         "rml_logical_view": _q_logical_view,
         "rml_jdbc_nation": _q_jdbc_nation,
         "dedup_exact": _q_dedup_exact,
@@ -1241,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_xml_supplier": _XML_SUPPLIER_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
+        "rml_star_subject_join": _STAR_SUBJECT_JOIN_ORACLE,
         "rml_logical_view": _LOGICAL_VIEW_ORACLE,
         "rml_jdbc_nation": _JDBC_NATION_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,

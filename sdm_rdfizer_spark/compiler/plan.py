@@ -366,7 +366,16 @@ class MappingPlanner:
 
         layers = ExprLayers()
         subject_term = self._subject_term(tm)
-        if subject_term.kind == QUOTED:
+        if (subject_term.kind == QUOTED and subject_term.join
+                and subject_term.join.child):
+            # quoted subject WITH join condition (reference
+            # semantify.py:2652-2659, hash_maker(quoted=...) at 523): the
+            # subject term comes from joining the quoted TM's rows on the
+            # condition — an inner join that multiplies/filters every POM
+            # of this TM, so it is applied to the scan before term compile
+            df, qsub = self._join_quoted_subject(tm, df)
+            subj = CompiledValue(F.col(qsub), F.col(qsub).isNotNull())
+        elif subject_term.kind == QUOTED:
             # RML-star quoted subject — evaluated over the current row
             # (reference: inner_semantify_file call at semantify.py:6529)
             subj = self._quoted_term(df, self.tm_by_id[subject_term.parent_tm],
@@ -781,6 +790,38 @@ class MappingPlanner:
             return child.join(pairs, cond, "inner").select(*cols)
 
         return build
+
+    def _join_quoted_subject(self, tm: TriplesMap, df: DataFrame):
+        """Inner-join the quoted TM's (join-key…, << s p o >>) pairs into
+        the child scan; returns (joined df, quoted-subject column name).
+        The pairs side is deduped and broadcast when small — same shape as
+        object-position quoted joins (_compile_quoted)."""
+        om = tm.subject.term
+        qtm = self.tm_by_id[om.parent_tm]
+        qdf = self.parent_scan(qtm)
+        qlayers = ExprLayers()
+        qcv = self._quoted_term(qdf, qtm, layers=qlayers)
+        pkeys = [self._join_key_expr(qdf, k, qlayers) for k in om.join.parent]
+        pairs = qlayers.apply(qdf).where(qcv.valid).select(
+            qcv.expr.alias("__qsub"),
+            *[k.alias(f"__qsk{i}") for i, k in enumerate(pkeys)],
+        )
+        for i in range(len(pkeys)):
+            pairs = pairs.where(valid_value(F.col(f"__qsk{i}")))
+        pairs = pairs.dropDuplicates()
+        src = qtm.source.source
+        if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:
+            pairs = F.broadcast(pairs)
+        ckeys = [self._join_key_expr(df, c) for c in om.join.child]
+        for k in ckeys:
+            df = df.where(valid_value(k))
+        cond = reduce(
+            lambda a, b: a & b,
+            [ckeys[i] == pairs[f"__qsk{i}"] for i in range(len(ckeys))],
+        )
+        joined = df.join(pairs, cond, "inner").drop(
+            *[f"__qsk{i}" for i in range(len(pkeys))])
+        return joined, "__qsub"
 
     def _parent_key_unique(self, parent_tm: TriplesMap, parent_keys: tuple) -> bool:
         """True when every parent join key maps to exactly one parent

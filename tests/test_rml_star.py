@@ -81,3 +81,36 @@ def test_quoted_object_with_join(spark, tmp_path):
     assert ("<http://x.org/fact/f1>", "<http://x.org/states>", q) in got
     # f2 (zed) has no matching quoted parent → no triple
     assert not any(s == "<http://x.org/fact/f2>" for s, _, _ in got)
+
+
+def test_quoted_subject_with_join(spark, tmp_path):
+    """Quoted subject with a join condition across sources (reference
+    semantify.py:2652-2659): subject = quoted triple of the JOINED row."""
+    (tmp_path / "facts.csv").write_text("fid,val\nf1,10\nf2,20\n")
+    (tmp_path / "annot.csv").write_text(
+        "ref,conf\nf1,high\nf1,low\nf2,mid\nf9,none\n")
+    m = f"""
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+        @prefix rml2: <http://w3id.org/rml/> .
+        @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+        @prefix ex: <http://x.org/> .
+        <#A> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/annot.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rml2:quotedTriplesMap <#F>;
+                          rr:joinCondition [ rr:child "ref"; rr:parent "fid" ] ];
+          rr:predicateObjectMap [ rr:predicate ex:confidence; rr:objectMap [ rml:reference "conf" ] ] .
+        <#F> a rml2:NonAssertedTriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/facts.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/fact/{{fid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:value; rr:objectMap [ rml:reference "val" ] ] .
+    """
+    got = triple_set(materialize(spark, m))
+    q1 = '<< <http://x.org/fact/f1> <http://x.org/value> "10" >>'
+    q2 = '<< <http://x.org/fact/f2> <http://x.org/value> "20" >>'
+    assert (q1, "<http://x.org/confidence>", '"high"') in got
+    assert (q1, "<http://x.org/confidence>", '"low"') in got
+    assert (q2, "<http://x.org/confidence>", '"mid"') in got
+    # unmatched child key (f9) emits nothing — inner join semantics
+    assert not any('"none"' == o for _, _, o in got)
+    assert len(got) == 3
