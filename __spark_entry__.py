@@ -460,6 +460,69 @@ SELECT s, p, o FROM (
 """
 
 
+def _stage_part_csv(sf: str) -> str:
+    """Stage the part table as CSV (string-typed source for the
+    value-sniffing datatype-inference path); doubles are written in the
+    engine's canonical form so the round-trip is idempotent."""
+    import hashlib
+    import tempfile
+
+    import duckdb
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "sdm_csv_fixture_" + hashlib.md5(sf.encode()).hexdigest()[:10],
+        "part.csv")
+    if not os.path.exists(dest):
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT p_partkey, p_name, p_size, "
+            f"{_canon('p_retailprice')} AS p_retailprice, "
+            f"CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'false' END AS featured "
+            f"FROM '{sf}/part.parquet' ORDER BY p_partkey) "
+            f"TO '{dest}.tmp' (HEADER, FORMAT CSV)")
+        os.replace(dest + ".tmp", dest)
+    return dest
+
+
+def _q_csv_infer(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source + infer_datatypes: per-row value sniffing types integers,
+    doubles and booleans while plain strings stay untyped (reference
+    functions.py:16-65)."""
+    path = _stage_part_csv(sf)
+    mapping = _PREFIXES + f"""
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{path}"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/cpart/{{p_partkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:size; rr:objectMap [ rml:reference "p_size" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:price; rr:objectMap [ rml:reference "p_retailprice" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:pname; rr:objectMap [ rml:reference "p_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:featured; rr:objectMap [ rml:reference "featured" ] ] .
+"""
+    return _materialize(spark, mapping, infer_datatypes=True).select("s", "p", "o")
+
+
+_CSV_INFER_ORACLE = f"""
+SELECT s, p, o FROM (
+  SELECT '<http://ex.org/cpart/' || p_partkey || '>' AS s,
+         '<http://ex.org/vocab/size>' AS p,
+         '"' || p_size || '"^^<{XSD}integer>' AS o FROM part
+  UNION ALL
+  SELECT '<http://ex.org/cpart/' || p_partkey || '>',
+         '<http://ex.org/vocab/price>',
+         '"' || {_canon('p_retailprice')} || '"^^<{XSD}double>' FROM part
+  UNION ALL
+  SELECT '<http://ex.org/cpart/' || p_partkey || '>',
+         '<http://ex.org/vocab/pname>', '"' || p_name || '"' FROM part
+  UNION ALL
+  SELECT '<http://ex.org/cpart/' || p_partkey || '>',
+         '<http://ex.org/vocab/featured>',
+         '"' || CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'false' END
+             || '"^^<{XSD}boolean>' FROM part
+)
+"""
+
+
 def _q_fnml_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """FnO functions in object position: toUpperCase, string_md5, slugify."""
     mapping = _PREFIXES + f"""
@@ -1233,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_gather_join": _q_gather_join,
         "rml_gather_cartesian": _q_gather_cartesian,
         "rml_xml_supplier": _q_xml_supplier,
+        "rml_csv_infer": _q_csv_infer,
         "fnml_string_funcs": _q_fnml_funcs,
         "rml_star_quoted": _q_rml_star,
         "rml_star_subject_join": _q_star_subject_join,
@@ -1270,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_gather_join": _GATHER_JOIN_ORACLE,
         "rml_gather_cartesian": _GATHER_CARTESIAN_ORACLE,
         "rml_xml_supplier": _XML_SUPPLIER_ORACLE,
+        "rml_csv_infer": _CSV_INFER_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
         "rml_star_subject_join": _STAR_SUBJECT_JOIN_ORACLE,

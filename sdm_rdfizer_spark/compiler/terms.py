@@ -300,14 +300,19 @@ def wrap_blank(value: Column) -> Column:
     return F.concat(F.lit("_:"), v)
 
 
-def wrap_literal(value: Column, datatype: Column | None, language: Column | None) -> Column:
+def wrap_literal(value: Column, datatype: Column | None, language: Column | None,
+                 *, datatype_nullable: bool = False) -> Column:
     """Literal term with optional datatype/language decoration
-    (semantify.py:6794-6885)."""
+    (semantify.py:6794-6885). ``datatype_nullable`` keeps the plain
+    literal when a per-row inferred datatype is NULL (value sniffing)."""
     body = F.concat(F.lit('"'), _nt_escape_literal(value), F.lit('"'))
     if language is not None:
         return F.concat(body, F.lit("@"), language)
     if datatype is not None:
-        return F.concat(body, F.lit("^^<"), datatype, F.lit(">"))
+        decorated = F.concat(body, F.lit("^^<"), datatype, F.lit(">"))
+        if datatype_nullable:
+            return F.when(datatype.isNull(), body).otherwise(decorated)
+        return decorated
     return body
 
 
@@ -329,6 +334,33 @@ def natural_datatype(df: DataFrame, ref: str) -> str | None:
         return None
     base = dtype.split("(")[0]
     return _NATURAL_DT.get(base)
+
+
+def sniff_datatype(value: Column) -> tuple[Column, Column]:
+    """Per-row value-sniffed (value, datatype IRI) for STRING sources —
+    the reference's is_convertible_to_int / is_bool /
+    is_convertible_to_double / is_date / is_datetime chain
+    (functions.py:16-65, precedence at semantify.py:9492-9508: explicit
+    datatype > integer > boolean > double > date > dateTime > plain).
+    Booleans lower-case the lexical form like the reference. Runs as one
+    whole-stage-codegen CASE chain, no UDF."""
+    lower = F.lower(value)
+    is_int = value.rlike(r"^[+-]?[0-9]+$")
+    is_bool = lower.isin("true", "false")
+    is_double = value.try_cast("double").isNotNull()
+    is_date = value.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$") \
+        & value.try_cast("date").isNotNull()
+    is_dt = F.replace(value, F.lit(" T"), F.lit("T")) \
+        .try_cast("timestamp").isNotNull()
+    dt = (
+        F.when(is_int, F.lit(XSD + "integer"))
+        .when(is_bool, F.lit(XSD + "boolean"))
+        .when(is_double, F.lit(XSD + "double"))
+        .when(is_date, F.lit(XSD + "date"))
+        .when(is_dt, F.lit(XSD + "dateTime"))
+    )
+    out_value = F.when(~is_int & is_bool, lower).otherwise(value)
+    return out_value, dt
 
 
 def compile_term_map(
@@ -408,6 +440,12 @@ def compile_term_map(
         nd = natural_datatype(df, tm.value)
         if nd:
             dt_col = F.lit(nd)
+        elif dict(df.dtypes).get(tm.value) == "string":
+            # string source (CSV/XML/JSON text): per-row value sniffing
+            # (reference functions.py:16-65)
+            sval, sdt = sniff_datatype(cv.expr)
+            return CompiledValue(
+                wrap_literal(sval, sdt, None, datatype_nullable=True), valid)
     return CompiledValue(wrap_literal(cv.expr, dt_col, lang_col), valid)
 
 
