@@ -176,7 +176,22 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
             if target_frames:
                 from .sinks import write_target
 
+                # sink dedup of identical targets (reference
+                # is_repeat_output, functions.py:89-98): specs writing the
+                # same file with the same post-passes are computed ONCE
+                # over the union of their frames instead of overwriting
+                # each other in declaration order
+                merged: dict[tuple, tuple] = {}
                 for spec, frame in target_frames.items():
+                    key = (spec.path, spec.serialization,
+                           spec.compression, spec.encoding)
+                    if key in merged:
+                        prev_spec, prev = merged[key]
+                        merged[key] = (prev_spec,
+                                       prev.unionByName(frame).dropDuplicates())
+                    else:
+                        merged[key] = (spec, frame)
+                for spec, frame in merged.values():
                     os.makedirs(os.path.dirname(os.path.abspath(spec.path)),
                                 exist_ok=True)
                     write_target(frame, spec)

@@ -288,6 +288,8 @@ FUNCTION_BUILDERS: dict[str, Callable] = {
     "isNull": _is_null,
     "listContainsElement": _list_contains,
     "uuid": _uuid,
+    # the reference's grel:random is ALSO str(uuid4()) — not a float
+    # (fnml_functions.py:185-187) — so the uuid alias is exact parity
     "random": _uuid,
     "helloworld": _hello,
     "alwaysReturnsABC": _abc,

@@ -489,6 +489,28 @@ def extract_triples_maps(g: Graph, base_dir: str | None = None) -> list[TriplesM
                 for o in objs:
                     poms.append(PredicateObjectMap(predicate=p, obj=o, graphs=pgraphs))
 
+        # mapping-rule dedup (reference remove_duplicate_po,
+        # functions.py:2265-2280): drop POMs equal in predicate, object
+        # value and decoration — each duplicate would re-emit the same
+        # triples only for the global distinct to collapse later
+        uniq, seen_pos = [], set()
+        for pom in poms:
+            o = pom.obj
+            key = (
+                pom.predicate.kind, pom.predicate.value, o.kind, o.value,
+                o.term_type, o.language,
+                o.language_map.value if o.language_map else None,
+                o.datatype,
+                o.datatype_map.value if o.datatype_map else None,
+                o.parent_tm,
+                tuple(o.join.child + o.join.parent) if o.join else None,
+                tuple(str(gm.value) for gm in pom.graphs),
+            )
+            if o.kind == GATHER or key not in seen_pos:
+                seen_pos.add(key)
+                uniq.append(pom)
+        poms = uniq
+
         kind = "TriplesMap"
         for t in g.objects(node, IRI(RDF + "type")):
             if "NonAssertedTriplesMap" in str(t):
