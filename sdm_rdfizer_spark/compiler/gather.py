@@ -176,53 +176,60 @@ def compile_gather(
 
 
 def _emit(grouped: DataFrame, gm: GatherMap, *, as_subject: bool) -> DataFrame:
-    """(s, p, g, node, items) rows → collection triples."""
+    """(s, p, g, node, items) rows → collection triples.
+
+    All triple kinds (head, rdf:type, membership / first+rest cells) are
+    packed into ONE per-row struct array and exploded in a single pass —
+    the union-of-branches shape would recompute the whole grouped subplan
+    (scan + parent joins + grouping) once per triple kind, a 3× cost at
+    any scale (plan-audit r2)."""
     empty = F.size("items") == 0
     is_list = gm.gather_as.endswith("List")
+    node = F.col("node")
+    n = F.size("items")
+
+    def entry(s, p, o):
+        return F.struct(s.alias("es"), p.alias("ep"), o.alias("eo"))
+
+    def derived(pos):
+        return F.concat(
+            F.lit("_:"), F.md5(F.concat_ws("|", node, pos.cast("string"))))
 
     if is_list:
-        cells = grouped.where(~empty).select(
-            "node", "g", F.posexplode("items").alias("pos", "item"),
-            F.size("items").alias("n"),
-        )
-        derived = F.concat(F.lit("_:"), F.md5(F.concat_ws("|", "node", F.col("pos").cast("string"))))
-        # subject-position lists: the subject itself is the first cell
-        cell_node = F.when(F.col("pos") == 0, F.col("node")).otherwise(derived) \
-            if as_subject else derived
-        next_node = F.when(
-            F.col("pos") == F.col("n") - 1, F.lit(RDF_NIL)
-        ).otherwise(
-            F.concat(F.lit("_:"), F.md5(F.concat_ws("|", "node", (F.col("pos") + 1).cast("string"))))
-        )
-        firsts = cells.select(cell_node.alias("s"), F.lit(RDF_FIRST).alias("p"),
-                              F.col("item").alias("o"), F.col("g"))
-        rests = cells.select(cell_node.alias("s"), F.lit(RDF_REST).alias("p"),
-                             next_node.alias("o"), F.col("g"))
-        if as_subject:
-            return firsts.union(rests)
-        head_obj = F.when(empty, F.lit(RDF_NIL)).otherwise(
-            F.concat(F.lit("_:"), F.md5(F.concat_ws("|", "node", F.lit("0"))))
-        )
-        head = grouped.where(F.lit(gm.allow_empty) | ~empty).select(
-            "s", "p", head_obj.alias("o"), "g"
-        )
-        return head.union(firsts).union(rests)
+        def cell(pos):
+            # subject-position lists: the subject itself is the first cell
+            if as_subject:
+                return F.when(pos == F.lit(0), node).otherwise(derived(pos))
+            return derived(pos)
 
-    # containers: Bag / Seq / Alt
-    keep = grouped.where(F.lit(gm.allow_empty) | ~empty)
-    types = keep.select(F.col("node").alias("s"), F.lit(RDF_TYPE).alias("p"),
-                        F.lit(f"<{gm.gather_as}>").alias("o"), "g")
-    members = (
-        keep.where(~empty)
-        .select("node", "g", F.posexplode("items").alias("pos", "item"))
-        .select(
-            F.col("node").alias("s"),
-            F.concat(F.lit(f"<{RDF}_"), (F.col("pos") + 1).cast("string"), F.lit(">")).alias("p"),
-            F.col("item").alias("o"),
-            F.col("g"),
+        def cells(item, pos):
+            nxt = F.when(pos == n - 1, F.lit(RDF_NIL)).otherwise(derived(pos + 1))
+            return F.array(
+                entry(cell(pos), F.lit(RDF_FIRST), item),
+                entry(cell(pos), F.lit(RDF_REST), nxt),
+            )
+
+        arr = F.flatten(F.transform("items", cells))
+        if not as_subject:
+            head_obj = F.when(empty, F.lit(RDF_NIL)).otherwise(derived(F.lit(0)))
+            arr = F.concat(F.array(entry(F.col("s"), F.col("p"), head_obj)), arr)
+    else:
+        # containers: Bag / Seq / Alt
+        members = F.transform(
+            "items",
+            lambda item, pos: entry(
+                node,
+                F.concat(F.lit(f"<{RDF}_"), (pos + 1).cast("string"), F.lit(">")),
+                item,
+            ),
         )
+        typ = F.array(entry(node, F.lit(RDF_TYPE), F.lit(f"<{gm.gather_as}>")))
+        arr = F.concat(typ, members) if as_subject else F.concat(
+            F.array(entry(F.col("s"), F.col("p"), node)), typ, members)
+
+    return (
+        grouped.where(F.lit(gm.allow_empty) | ~empty)
+        .select(F.explode(arr).alias("__e"), F.col("g"))
+        .select(F.col("__e.es").alias("s"), F.col("__e.ep").alias("p"),
+                F.col("__e.eo").alias("o"), F.col("g"))
     )
-    if as_subject:
-        return types.union(members)
-    head = keep.select("s", "p", F.col("node").alias("o"), "g")
-    return head.union(types).union(members)

@@ -594,13 +594,14 @@ class MappingPlanner:
                     "gather items with a parentTriplesMap need a join condition")
             ptm = self.tm_by_id[item.parent_tm]
             pkeys = tuple(item.join.parent)
-            pairs = self._parent_pairs(ptm, pkeys)
             counter["n"] += 1
             tag = counter["n"]
             nkeys = len(pkeys)
-            grouped = pairs.groupBy(
-                *[F.col(f"__pk{i}").alias(f"__gpk{tag}_{i}") for i in range(nkeys)]
-            ).agg(F.array_sort(F.collect_list("__po")).alias(f"__gpi{tag}"))
+            grouped = self._parent_groups(ptm, pkeys)
+            grouped = grouped.select(
+                *[F.col(f"__gk{i}").alias(f"__gpk{tag}_{i}") for i in range(nkeys)],
+                F.col("__gi").alias(f"__gpi{tag}"),
+            )
             if self._parent_broadcast.get((ptm.tm_id, pkeys)):
                 grouped = F.broadcast(grouped)
             keys = [self._join_key_expr(cur, c) for c in item.join.child]
@@ -614,6 +615,33 @@ class MappingPlanner:
             return joined, arr
 
         return parent_items
+
+    def _parent_groups(self, parent_tm: TriplesMap, parent_keys: tuple) -> DataFrame:
+        """(key… → sorted array of distinct parent subjects) for gather
+        items — ONE collect_set shuffle with map-side partial aggregation,
+        instead of dropDuplicates + groupBy (two shuffles back to back,
+        plan-audit r2). Cached per (parentTM, keys) like _parent_pairs."""
+        cache_key = ("groups", parent_tm.tm_id, parent_keys)
+        if cache_key in self._parent_cache:
+            return self._parent_cache[cache_key]
+        pdf = self.parent_scan(parent_tm)
+        players = ExprLayers()
+        psub = compile_term_map(pdf, parent_tm.subject.term, "subject",
+                                base=self.base, layers=players)
+        pkey_exprs = [self._join_key_expr(pdf, k, players) for k in parent_keys]
+        sel = players.apply(pdf).where(psub.valid).select(
+            psub.expr.alias("__po"),
+            *[k.alias(f"__gk{i}") for i, k in enumerate(pkey_exprs)],
+        )
+        for i in range(len(parent_keys)):
+            sel = sel.where(valid_value(F.col(f"__gk{i}")))
+        grouped = sel.groupBy(*[f"__gk{i}" for i in range(len(parent_keys))]) \
+            .agg(F.array_sort(F.collect_set("__po")).alias("__gi"))
+        src = parent_tm.source.source
+        if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:
+            self._parent_broadcast[(parent_tm.tm_id, parent_keys)] = True
+        self._parent_cache[cache_key] = grouped
+        return grouped
 
     # ------------------------------------------------------------------
     def _compile_join(self, tm, df, pred, om, graphs, layers, tgs=frozenset()):
