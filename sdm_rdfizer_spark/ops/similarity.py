@@ -99,38 +99,64 @@ def lsh_bucket_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, score only
-    same-bucket pairs. Recall grows with repetition (run with several
-    seeds and union); this single-table variant demonstrates the plan
-    shape: bucket both sides → shuffle-join on bucket → window top-k.
+    same-bucket pairs. Plan shape: bucket both sides → shuffle-join on
+    (table, bucket) → pair-dedup → window top-k.
+
+    ``n_tables`` independent hash tables (distinct plane seeds) trade a
+    T× shuffle volume for recall — a pair is a candidate if it collides
+    in ANY table (standard LSH amplification; the reference has no ANN
+    operator, this is the scale path for embedding retrieval).
     """
     dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + 7919 * t)
+        for t in range(n_tables)
+    ]
 
-    def bucket(vec: Column) -> Column:
+    def bucket(vec: Column, planes) -> Column:
         bits = []
         for p in planes:
             plane = F.array(*[F.lit(x) for x in p])
             bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    cand = df.select(
+    def with_buckets(frame: DataFrame, vcol: str) -> DataFrame:
+        per_table = F.array(*[
+            F.struct(F.lit(t).alias("__t"),
+                     bucket(F.col(vcol), planes).alias("__b"))
+            for t, planes in enumerate(tables)
+        ])
+        return (
+            frame.withColumn("__tb", F.explode(per_table))
+            .withColumn("__t", F.col("__tb.__t"))
+            .withColumn("__bucket", F.col("__tb.__b"))
+            .drop("__tb")
+        )
+
+    cand = with_buckets(df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__bucket", bucket(F.col("__cv")))
-    q = queries.select(
+    ), "__cv")
+    q = with_buckets(queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__bucket", bucket(F.col("__qv")))
-    scored = (
-        cand.join(q, ["__bucket"])
+    ), "__qv")
+    pairs = (
+        cand.join(q, ["__t", "__bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+    )
+    if n_tables > 1:
+        # a pair colliding in several tables must score once, not occupy
+        # several ranks
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
