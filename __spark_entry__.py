@@ -972,6 +972,65 @@ def _q_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_lsh_multi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table LSH amplification: candidates collide in ANY of the
+    hash tables; the oracle unions per-table bucket joins."""
+    from sdm_rdfizer_spark.ops.similarity import lsh_bucket_topk
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_bucket_topk(emb, queries, k=5, n_planes=6, n_tables=3).select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _lsh_multi_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42,
+                      n_tables: int = 3, k: int = 5) -> str:
+    """Replays the multi-table variant: per-table bucket exprs, one join
+    per table, union, pair-dedup, score, rank."""
+    from sdm_rdfizer_spark.ops.similarity import random_hyperplanes
+
+    def bits(planes):
+        return " || ".join(
+            "CASE WHEN list_dot_product(vec, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END"
+            for p in planes
+        )
+
+    buckets = ", ".join(
+        f"{bits(random_hyperplanes(dim, n_planes, seed + 7919 * t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    unions = "\n  UNION\n".join(
+        f"  SELECT q.query_id, c.neighbor_id, q.qv, c.cv "
+        f"FROM q JOIN c ON q.b{t} = c.b{t} "
+        f"WHERE q.query_id != c.neighbor_id"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), v AS (
+  SELECT vec_id, vec, {buckets} FROM v0
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv, * EXCLUDE (vec_id, vec) FROM v WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, vec AS cv, * EXCLUDE (vec_id, vec) FROM v
+), pairs AS (
+{unions}
+), scored AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM pairs
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42,
                      k: int = 5) -> str:
     """Replays lsh_bucket_topk: the hyperplanes are plan constants
@@ -1313,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "similarity_topk_cosine": _q_similarity_topk,
         "similarity_lsh_topk": _q_lsh_bucket_topk,
+        "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
@@ -1346,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "similarity_lsh_topk": _lsh_topk_oracle(),
+        "similarity_lsh_multi": _lsh_multi_oracle(),
         "text_token_count": _TOKEN_COUNT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_language_id": _language_id_oracle(),
