@@ -1208,6 +1208,45 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize(read_parquet(spark, f"{sf}/events.parquet"), gap_minutes=30)
 
 
+def _q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState): emits
+    every session the stream has proof is over — with a single
+    availableNow micro-batch and a long watermark, exactly each user's
+    sessions but the last."""
+    from sdm_rdfizer_spark.streaming import stream_sessionize
+
+    return stream_sessionize(spark, sf)
+
+
+_STREAMING_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), seqd AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+), sessions AS (
+  SELECT user_id::BIGINT AS user_id,
+         session_seq::BIGINT AS session_seq,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         count(*)::BIGINT AS n_events,
+         (sum(value::DECIMAL(18,2)))::VARCHAR AS sum_value
+  FROM seqd
+  GROUP BY user_id, session_seq
+)
+SELECT * FROM sessions s
+WHERE session_seq < (SELECT max(session_seq) FROM sessions m
+                     WHERE m.user_id = s.user_id)
+"""
+
+
 _SESSIONIZE_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -1378,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "streaming_events_window": _q_streaming_events_window,
         "events_sessionize": _q_sessionize,
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
@@ -1417,4 +1457,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
+        "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

@@ -204,3 +204,122 @@ def stream_events_window(
     # the memory table holds the full aggregation result
     name = "events_window_" + str(abs(hash(sf_dir)) % 10**8)
     return run_available_now(agg, name=name, output_mode="complete")
+
+
+def stateful_sessionize_stream(
+    sdf: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str | None = "30 days",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (SURVEY §2.7 beyond-reference):
+    per-user gap sessionization via ``applyInPandasWithState``.
+
+    State per user: the open session (seq, start, last, n, decimal sum).
+    A session CLOSES — and is emitted — when a later event arrives more
+    than ``gap_minutes`` after it, or when the event-time watermark
+    passes its close time (EventTimeTimeout). The open session stays in
+    state, exactly the semantics a batch engine cannot stream.
+
+    Output matches ``ops.sessions.sessionize`` row-for-row for every
+    session the stream has proof is over; per-event decimal quantization
+    (HALF_UP, like Spark's double→decimal cast) keeps sums identical to
+    the batch plan. Arrow-batched; state is (tiny) per-user scalars, so
+    a 1000-executor run shuffles only by user_id and holds O(users)
+    state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = float(gap_minutes * 60)
+    out_schema = ("user_id long, session_seq long, session_start string, "
+                  "session_end string, n_events long, sum_value string")
+    state_schema = ("seq long, start double, last double, n long, sum string")
+    cols = ["user_id", "session_seq", "session_start", "session_end",
+            "n_events", "sum_value"]
+
+    use_timeout = watermark is not None
+    src = sdf.withWatermark(ts_col, watermark) if use_timeout else sdf
+    timeout = (GroupStateTimeout.EventTimeTimeout if use_timeout
+               else GroupStateTimeout.NoTimeout)
+
+    def fmt(epoch: float) -> str:
+        return pd.Timestamp(epoch, unit="s").strftime("%Y-%m-%d %H:%M:%S")
+
+    def fn(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        uid = key[0]
+        closed: list[dict] = []
+
+        def close(cur):
+            closed.append({
+                "user_id": uid, "session_seq": cur[0],
+                "session_start": fmt(cur[1]), "session_end": fmt(cur[2]),
+                "n_events": cur[3], "sum_value": str(cur[4]),
+            })
+
+        if state.hasTimedOut:
+            seq, st, last, n, sm = state.get
+            close([seq, st, last, n, Decimal(sm)])
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            ts = (rows[ts_col] - pd.Timestamp(0)).dt.total_seconds().tolist()
+            vals = rows[value_col].tolist()
+            if state.exists:
+                seq, st, last, n, sm = state.get
+                cur = [seq, st, last, n, Decimal(sm)]
+                next_seq = seq + 1
+            else:
+                cur, next_seq = None, 1
+            for t, v in zip(ts, vals):
+                # Decimal(float) keeps the exact binary value, like
+                # Spark's double→decimal HALF_UP cast in the batch op
+                dv = Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP)
+                if cur is None:
+                    cur = [next_seq, t, t, 1, dv]
+                    next_seq += 1
+                elif t - cur[2] > gap:
+                    close(cur)
+                    cur = [next_seq, t, t, 1, dv]
+                    next_seq += 1
+                else:
+                    cur[2] = t
+                    cur[3] += 1
+                    cur[4] += dv
+            state.update((cur[0], cur[1], cur[2], cur[3], str(cur[4])))
+            if use_timeout:
+                state.setTimeoutTimestamp(int((cur[2] + gap) * 1000))
+        yield pd.DataFrame(closed, columns=cols)
+
+    return src.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout)
+
+
+def stream_sessionize(
+    spark: SparkSession, sf_dir: str, *, gap_minutes: int = 30
+) -> DataFrame:
+    """Driver-contract entry: stream events.parquet through the stateful
+    sessionizer, drain with availableNow. One micro-batch (single file)
+    with a long watermark delay means exactly the sessions that provably
+    closed — every user session but their last — are emitted."""
+    from ..engine import tune_session
+    from ..sources import _nanos_timestamp_columns
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)), "{events.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    for c in _nanos_timestamp_columns(path):
+        if dict(sdf.dtypes).get(c) == "bigint":
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    sessions = stateful_sessionize_stream(sdf, gap_minutes=gap_minutes)
+    name = "sessions_state_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(sessions, name=name, output_mode="append")

@@ -71,3 +71,22 @@ def test_windowed_event_stats_stream_matches_batch(spark):
     rows = lambda df: {tuple(r) for r in df.collect()}
     assert rows(out) == rows(batch)
     assert out.count() > 0
+
+
+def test_stateful_sessionize_stream_parity(spark):
+    """applyInPandasWithState sessionizer == batch sessionize for every
+    provably-closed session (all but each user's last)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sdm_rdfizer_spark.ops.sessions import sessionize
+    from sdm_rdfizer_spark.sources import read_parquet
+    from sdm_rdfizer_spark.streaming import stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in stream_sessionize(spark, sf).collect()}
+    batch = sessionize(read_parquet(spark, f"{sf}/events.parquet"))
+    last = batch.withColumn(
+        "mx", F.max("session_seq").over(Window.partitionBy("user_id")))
+    expected = {tuple(r) for r in last.where("session_seq < mx").drop("mx").collect()}
+    assert got == expected and got
