@@ -142,6 +142,7 @@ class MappingPlanner:
         collect_targets: bool = False,
         input_dedup: bool = False,
         missing_policy: str = "ignore",
+        validate_csv: bool = False,
     ) -> None:
         self.spark = spark
         self.tms = triples_maps
@@ -159,6 +160,9 @@ class MappingPlanner:
         # drops the affected POM/TM with a warning, "abort" raises a
         # MappingError naming the attribute and TriplesMap
         self.missing_policy = missing_policy
+        # CSV schema validation (reference valid_source,
+        # functions.py:41-50): FAILFAST aborts on ragged/malformed rows
+        self.validate_csv = validate_csv
         # RML-IO logical targets: emit a static array<string> __targets
         # column naming the targets each triple routes to (the reference
         # re-runs the whole TM per target file, semantify.py:10013-10088 —
@@ -186,6 +190,10 @@ class MappingPlanner:
         key = tm.source.cache_key()
         if key not in self._scan_cache:
             ls = tm.source
+            if self.validate_csv and ls.fmt in ("csv", "tsv"):
+                from dataclasses import replace
+
+                ls = replace(ls, options={**ls.options, "mode": "FAILFAST"})
             if self.input_dedup:
                 if ls.fmt in ("sql", "jdbc") and ls.table and not ls.query:
                     # DB-side SELECT DISTINCT over only the mapped columns

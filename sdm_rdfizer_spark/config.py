@@ -34,6 +34,9 @@ class RunConfig:
     # missing-attribute policy (reference: global ignore="yes",
     # semantify.py:75-76 + functions.py:1915-1920)
     missing_policy: str = "ignore"     # ignore | abort
+    # CSV schema validation (reference valid_source, functions.py:41-50):
+    # ragged rows abort the scan (FAILFAST) instead of silently degrading
+    validate_csv: bool = False
 
 
 def load_config(path_or_dict) -> RunConfig:
@@ -55,6 +58,7 @@ def load_config(path_or_dict) -> RunConfig:
         input_dedup=ds_sec.get("input_dedup", "no").lower() in ("yes", "true"),
         missing_policy=("ignore" if ds_sec.get("ignore", "yes").lower()
                         in ("yes", "true") else "abort"),
+        validate_csv=ds_sec.get("valid_source", "no").lower() in ("yes", "true"),
     )
     n = int(ds_sec.get("number_of_datasets", "1"))
     for i in range(1, n + 1):

@@ -87,6 +87,7 @@ def materialize(
     infer_datatypes: bool = False,
     input_dedup: bool = False,
     missing_policy: str = "ignore",
+    validate_csv: bool = False,
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
     tune_session(spark)
@@ -100,6 +101,7 @@ def materialize(
         infer_datatypes=infer_datatypes,
         input_dedup=input_dedup,
         missing_policy=missing_policy,
+        validate_csv=validate_csv,
     )
     return planner.compile_all()
 
@@ -113,6 +115,7 @@ def materialize_with_targets(
     infer_datatypes: bool = False,
     input_dedup: bool = False,
     missing_policy: str = "ignore",
+    validate_csv: bool = False,
 ):
     """Compile a mapping with RML-IO logical targets.
 
@@ -134,6 +137,7 @@ def materialize_with_targets(
         collect_targets=bool(targets),
         input_dedup=input_dedup,
         missing_policy=missing_policy,
+        validate_csv=validate_csv,
     )
     raw = planner.compile_all()
     if not targets:
@@ -171,6 +175,7 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
                 infer_datatypes=cfg.infer_datatypes,
                 input_dedup=cfg.input_dedup,
                 missing_policy=cfg.missing_policy,
+                validate_csv=cfg.validate_csv,
             )
             results[ds.name] = triples
             if target_frames:

@@ -187,3 +187,41 @@ def test_sparql_endpoint_pages(spark):
         assert len(_SparqlPagingHandler.hits) == 3  # 3+3+1
     finally:
         srv.shutdown()
+
+
+def test_valid_source_config_flag(spark, tmp_path):
+    """config [datasets] valid_source: yes -> ragged CSV aborts the run."""
+    import pytest as _pytest
+
+    import sdm_rdfizer_spark.engine as engine
+
+    (tmp_path / "bad.csv").write_text("a,b\n1,2\n3,4,5,6\n")
+    (tmp_path / "m.ttl").write_text(f"""
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+        @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+        @prefix ex: <http://x.org/> .
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/bad.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/r/{{a}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:b; rr:objectMap [ rml:reference "b" ] ] .
+    """)
+    out = tmp_path / "out"
+    out.mkdir()
+    (tmp_path / "config.ini").write_text(f"""
+[default]
+main_directory: {tmp_path}
+
+[datasets]
+number_of_datasets: 1
+output_folder: {out}
+all_in_one_file: no
+remove_duplicate: yes
+valid_source: yes
+
+[dataset1]
+name: v
+mapping: {tmp_path}/m.ttl
+""")
+    with _pytest.raises(Exception, match="MALFORMED|Malformed|FAILFAST"):
+        engine.semantify(str(tmp_path / "config.ini"), spark)
