@@ -166,6 +166,71 @@ def lsh_bucket_topk(
     )
 
 
+def train_kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd iterations for IVF centroids.
+
+    Init = first ``k`` corpus vectors by id (deterministic). Each
+    iteration: assign every vector to its nearest centroid (centroids
+    broadcast as plan literals, cosine argmax — no shuffle), then
+    recompute centres as the per-cell per-dimension mean (one posexplode
+    + groupBy(cell, dim) shuffle with map-side partial agg). Only the
+    k×dim centroid matrix is ever collected — the model, not the data.
+    At 100 TB each iteration is one scan; sample ``df`` first if three
+    full scans are too dear (centroid quality degrades gracefully).
+    """
+    cent_rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    for _ in range(iters):
+        assigned = _assign_cells(
+            df.select(F.col(vec_col).cast("array<double>").alias("__v")),
+            "__v", centroids)
+        means = (
+            assigned.select("cell", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s["m"]).alias("vec"))
+            .collect()
+        )
+        new = {int(r["cell"]): [float(x) for x in r["vec"]] for r in means}
+        # empty cells keep their previous centre
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
+def _assign_cells(frame: DataFrame, vcol: str,
+                  centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid cell id per row (cosine, lowest-cid tie-break),
+    centroids as broadcast plan literals — no shuffle."""
+    cnorms = {cid: math.sqrt(sum(x * x for x in vec)) for cid, vec in centroids}
+    norm = _norm(F.col(vcol))
+    sims = F.array(*[
+        F.struct(
+            F.round(
+                _dot(F.col(vcol), F.array(*[F.lit(x) for x in vec]))
+                / (norm * F.lit(cnorms[cid])), 9
+            ).alias("sim"),
+            F.lit(-cid).alias("negcid"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, vec in centroids
+    ])
+    return frame.withColumn("cell", F.array_max(sims).getField("cid"))
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -175,30 +240,35 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into ``n_cells``
     inverted lists by nearest centroid, probe only the ``n_probe`` cells
     closest to each query.
 
-    Centroids are the first ``n_cells`` corpus vectors by id — a
-    deterministic sample standing in for a k-means fit (swap in
-    ``pyspark.ml.clustering.KMeans`` centers for production; the plan
-    shape is identical). Assignment happens corpus-side with the centroid
-    set broadcast as literals, so the only shuffle is the equi-join on
-    the cell id — at 1000 executors each probe touches n_probe/n_cells
-    of the data instead of all of it.
+    With ``kmeans_iters=0`` centroids are the first ``n_cells`` corpus
+    vectors by id — a deterministic sample; ``kmeans_iters>0`` refines
+    them with distributed Lloyd iterations (train_kmeans_centroids).
+    Assignment happens corpus-side with the centroid set broadcast as
+    literals, so the only shuffle is the equi-join on the cell id — at
+    1000 executors each probe touches n_probe/n_cells of the data
+    instead of all of it.
 
     Tie-breaks are made engine-portable by rounding: cell assignment uses
     round(cos, 9) with lowest-centroid-id wins; final ranking uses
     round(cos, 6) with lowest-neighbor-id wins.
     """
-    cent_rows = (
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .orderBy(F.col(id_col))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    if kmeans_iters > 0:
+        centroids = train_kmeans_centroids(
+            df, id_col=id_col, vec_col=vec_col, k=n_cells, iters=kmeans_iters)
+    else:
+        cent_rows = (
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
 
     def py_norm(vec: list[float]) -> float:
         # same sequential accumulation as _norm so the constant is

@@ -24,3 +24,44 @@ def test_lsh_multi_table_recall(spark):
     # no duplicate (query, neighbor) pairs despite multi-table collisions
     rows = lsh_bucket_topk(emb, q, k=5, n_planes=4, n_tables=8).collect()
     assert len(rows) == len({(r["query_id"], r["neighbor_id"]) for r in rows})
+
+
+def test_ivf_kmeans_balances_cells(spark):
+    """Lloyd refinement evens out inverted-list sizes (bounded probe cost
+    at scale) while recall stays high; fully deterministic."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.similarity import (
+        _assign_cells, brute_force_topk, ivf_topk, train_kmeans_centroids,
+    )
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(F.col("embedding").cast("array<double>").alias("__v"))
+
+    rows = (emb.select("vec_id", F.col("embedding").cast("array<double>"))
+            .orderBy("vec_id").limit(16).collect())
+    init = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    trained = train_kmeans_centroids(emb, k=16, iters=3)
+
+    def spread(cents):
+        sizes = [r["count"] for r in
+                 _assign_cells(v, "__v", cents).groupBy("cell").count().collect()]
+        return statistics.pstdev(sizes), min(sizes)
+
+    sd_init, min_init = spread(init)
+    sd_km, min_km = spread(trained)
+    assert sd_km <= sd_init          # measured 6.1 -> 4.4 on this corpus
+    assert min_km >= min_init        # smallest cell grows (20 -> 25)
+    # determinism: same input -> identical centroids
+    assert trained == train_kmeans_centroids(emb, k=16, iters=3)
+
+    q = emb.where("vec_id < 10")
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=4,
+                             kmeans_iters=3).collect()}
+    assert len(got & truth) / len(truth) >= 0.8   # measured 0.88
