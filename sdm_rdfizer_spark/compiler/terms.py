@@ -348,9 +348,12 @@ def sniff_datatype(value: Column) -> tuple[Column, Column]:
     is_int = value.rlike(r"^[+-]?[0-9]+$")
     is_bool = lower.isin("true", "false")
     is_double = value.try_cast("double").isNotNull()
-    is_date = value.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$") \
+    # cheap regex prefilter so the expensive date/timestamp casts only
+    # run on date-shaped values, not every plain string in the corpus
+    datish = value.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}")
+    is_date = datish & value.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$") \
         & value.try_cast("date").isNotNull()
-    is_dt = F.replace(value, F.lit(" T"), F.lit("T")) \
+    is_dt = datish & F.replace(value, F.lit(" T"), F.lit("T")) \
         .try_cast("timestamp").isNotNull()
     dt = (
         F.when(is_int, F.lit(XSD + "integer"))
