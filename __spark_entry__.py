@@ -1082,6 +1082,41 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def _q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path of embedding near-dup: hyperplane-bucket pruning before
+    scoring. Deterministic planes -> the oracle replays the buckets."""
+    from sdm_rdfizer_spark.ops.dedup import embedding_neardup_pairs
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.35, method="lsh",
+                                   n_planes=6)
+
+
+def _embedding_neardup_lsh_oracle(dim: int = 64, n_planes: int = 6,
+                                  seed: int = 42) -> str:
+    from sdm_rdfizer_spark.ops.similarity import random_hyperplanes
+
+    bits = " || ".join(
+        "CASE WHEN list_dot_product(vec, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in random_hyperplanes(dim, n_planes, seed)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), bucketed AS (
+  SELECT vec_id, vec, {bits} AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+FROM bucketed a JOIN bucketed b
+  ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.similarity import ivf_topk
     from sdm_rdfizer_spark.sources import read_parquet
@@ -1414,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
         "dedup_embedding_cosine": _q_embedding_neardup,
+        "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "multimodal_features": _q_multimodal_features,
         "streaming_events_window": _q_streaming_events_window,
         "events_sessionize": _q_sessionize,
@@ -1454,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_cosine": _SIMILARITY_TOPK_ORACLE,
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
+        "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "multimodal_features": _MULTIMODAL_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
