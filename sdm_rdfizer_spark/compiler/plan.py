@@ -178,6 +178,16 @@ class MappingPlanner:
         self._count_parent_refs()
 
     # ------------------------------------------------------------------
+    def _resolve_tm(self, tm_id: str, context: str) -> TriplesMap:
+        """tm_by_id lookup with a mapping-level error instead of a raw
+        KeyError when a join names a TriplesMap that does not exist."""
+        try:
+            return self.tm_by_id[tm_id]
+        except KeyError:
+            raise MappingError(
+                f"{context} references TriplesMap {tm_id!r}, which is not "
+                f"defined in this mapping document") from None
+
     def _count_parent_refs(self) -> None:
         for tm in self.tms:
             for pom in tm.poms:
@@ -386,7 +396,7 @@ class MappingPlanner:
         elif subject_term.kind == QUOTED:
             # RML-star quoted subject — evaluated over the current row
             # (reference: inner_semantify_file call at semantify.py:6529)
-            subj = self._quoted_term(df, self.tm_by_id[subject_term.parent_tm],
+            subj = self._quoted_term(df, self._resolve_tm(subject_term.parent_tm, "the quoted subject map"),
                                      layers=layers)
         else:
             subj = compile_term_map(df, subject_term, "subject",
@@ -600,7 +610,7 @@ class MappingPlanner:
             if item.join is None or not item.join.child:
                 raise MappingError(
                     "gather items with a parentTriplesMap need a join condition")
-            ptm = self.tm_by_id[item.parent_tm]
+            ptm = self._resolve_tm(item.parent_tm, "a gather item")
             pkeys = tuple(item.join.parent)
             counter["n"] += 1
             tag = counter["n"]
@@ -653,7 +663,7 @@ class MappingPlanner:
 
     # ------------------------------------------------------------------
     def _compile_join(self, tm, df, pred, om, graphs, layers, tgs=frozenset()):
-        parent_tm = self.tm_by_id[om.parent_tm]
+        parent_tm = self._resolve_tm(om.parent_tm, f"a join in {tm.tm_id}")
         same_source = parent_tm.source.cache_key() == tm.source.cache_key()
 
         if om.join is None or not om.join.child:
@@ -763,7 +773,8 @@ class MappingPlanner:
                                 base=self.base, func_maps=qtm.func_maps, layers=layers)
         om = pom.obj
         if om.kind == PARENT:
-            parent_tm = self.tm_by_id[om.parent_tm]
+            parent_tm = self._resolve_tm(
+                om.parent_tm, f"the quoted triples map {qtm.tm_id}")
             obj = compile_term_map(df, parent_tm.subject.term, "subject",
                                    base=self.base, func_maps=parent_tm.func_maps,
                                    layers=layers)
@@ -779,7 +790,7 @@ class MappingPlanner:
         """Quoted-triples-map object: same source ⇒ fused projection;
         join-conditioned ⇒ join against (key…, quoted-term) pairs (the
         reference's ``hash_maker(quoted=...)``, semantify.py:523)."""
-        qtm = self.tm_by_id[om.parent_tm]
+        qtm = self._resolve_tm(om.parent_tm, f"a quoted object in {tm.tm_id}")
         same_source = qtm.source.cache_key() == tm.source.cache_key()
         if om.join is None or not om.join.child:
             if not same_source:
@@ -833,7 +844,7 @@ class MappingPlanner:
         The pairs side is deduped and broadcast when small — same shape as
         object-position quoted joins (_compile_quoted)."""
         om = tm.subject.term
-        qtm = self.tm_by_id[om.parent_tm]
+        qtm = self._resolve_tm(om.parent_tm, f"the quoted subject of {tm.tm_id}")
         qdf = self.parent_scan(qtm)
         qlayers = ExprLayers()
         qcv = self._quoted_term(qdf, qtm, layers=qlayers)

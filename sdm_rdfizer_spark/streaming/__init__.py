@@ -73,6 +73,25 @@ def stream_scan(spark: SparkSession, ls: LogicalSource) -> DataFrame:
 class StreamingMappingPlanner(MappingPlanner):
     """Same compilation, streaming driving scans, static join builds."""
 
+    def compile_tm(self, tm: TriplesMap) -> DataFrame:
+        from ..ir import GATHER
+
+        gathered = tm.subject.term.kind == GATHER or any(
+            pom.obj.kind == GATHER for pom in tm.poms)
+        if gathered:
+            # collections group rows (groupBy+collect_list / explode of a
+            # whole collection) — not expressible as an append stream;
+            # fail at compile with guidance instead of a Spark analysis
+            # error mid-query
+            from ..compiler.plan import MappingError
+
+            raise MappingError(
+                f"TriplesMap {tm.tm_id} uses rml:gather — RML-CC "
+                f"collections need bounded input; run it as a batch "
+                f"materialization (or drive the stream with availableNow "
+                f"batch mode)")
+        return super().compile_tm(tm)
+
     def scan(self, tm: TriplesMap) -> DataFrame:
         key = ("stream",) + tm.source.cache_key()
         if key not in self._scan_cache:

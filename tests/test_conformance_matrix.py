@@ -109,3 +109,36 @@ def test_template_iri_percent_encoding(spark, tmp_path):
 """
     got = triple_set(materialize(spark, m))
     assert ("<http://x.org/i/a%20b%23c>", "<http://x.org/raw>", '"a b#c"') in got
+
+
+def test_unresolved_parent_tm_raises_mapping_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from sdm_rdfizer_spark.compiler.plan import MappingError
+
+    m = PFX + f"""
+<#M> a rr:TriplesMap; {_csv(tmp_path)}
+  rr:subjectMap [ rr:template "http://x.org/i/{{code}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:ref; rr:objectMap [
+      rr:parentTriplesMap <#DoesNotExist>;
+      rr:joinCondition [ rr:child "code"; rr:parent "code" ] ] ] .
+"""
+    with _pytest.raises(MappingError, match="DoesNotExist"):
+        materialize(spark, m).collect()
+
+
+def test_streaming_rejects_gather_maps(spark, tmp_path):
+    import pytest as _pytest
+
+    from sdm_rdfizer_spark.compiler.plan import MappingError
+    from sdm_rdfizer_spark.streaming import materialize_stream
+
+    m = PFX + f"""
+<#M> a rr:TriplesMap; {_csv(tmp_path)}
+  rr:subjectMap [ rr:template "http://x.org/i/{{code}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:all; rr:objectMap [
+      rml:gather ( [ rml:reference "label" ] );
+      rml:gatherAs <http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq> ] ] .
+"""
+    with _pytest.raises(MappingError, match="gather"):
+        materialize_stream(spark, m)
