@@ -112,6 +112,9 @@ def canonical_string(df: DataFrame, ref: str) -> Column:
         # 10 fractional digits to round-trip — would overflow (ANSI error)
         # or silently round; for those fall back to the native cast and
         # rewrite Java E-notation ("1.0E30") to Python-repr style ("1e+30").
+        # Rendering is always VALUE-EXACT (float(s) == v, property-tested);
+        # notation diverges from repr() only in [1e-10, 1e-4), where repr
+        # switches to E-notation and this stays plain-decimal.
         dec = F.col(ref).try_cast(T.DecimalType(38, 10))
         s = dec.cast("string")
         s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
@@ -120,9 +123,15 @@ def canonical_string(df: DataFrame, ref: str) -> Column:
         mant = F.regexp_replace(
             F.regexp_extract(plain, r"^(-?\d+(?:\.\d+)?)[eE]", 1), r"\.0$", "")
         exp = F.regexp_extract(plain, r"[eE]([+-]?\d+)$", 1).cast("int")
+        # Python pads exponents to TWO digits minimum but never truncates
+        # (repr(1e100) == '1e+100'); lpad(…, 2, '0') silently truncated
+        # three-digit exponents to a 10^90-off value (hypothesis r2)
+        expdigits = F.abs(exp).cast("string")
+        expdigits = F.when(F.length(expdigits) < 2,
+                           F.concat(F.lit("0"), expdigits)).otherwise(expdigits)
         sci = F.concat(mant, F.lit("e"),
                        F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
-                       F.lpad(F.abs(exp).cast("string"), 2, "0"))
+                       expdigits)
         fallback = F.when(plain.rlike("[eE]"), sci).otherwise(plain)
         exact = dec.isNotNull() & (dec.cast("double") == F.col(ref).cast("double"))
         return F.when(exact, s).otherwise(fallback)
