@@ -68,6 +68,11 @@ def _term_refs(t, func_maps, out: list) -> None:
         fm = (func_maps or {}).get(t.value)
         if fm is not None:
             _fm_refs(fm, func_maps, out)
+    elif t.kind == QUOTED and t.join:
+        # quoted term with a join condition: the child keys read the
+        # current logical source
+        for k in t.join.child:
+            out.extend(template_references(k) if "{" in k else [k])
     elif t.kind == GATHER and t.gather:
         tfg = getattr(t, "template_for_gather", None)
         if tfg:
@@ -285,7 +290,13 @@ class MappingPlanner:
                         and walk_term(getattr(t, "language_map", None)))
 
             if tm.source.cache_key() == source_key:
-                ok = walk_term(tm.subject.term)
+                st = tm.subject.term
+                if st.kind == QUOTED:
+                    # quoted subject: the CHILD join keys read this source
+                    ok = all(add_key(k)
+                             for k in (st.join.child if st.join else []))
+                else:
+                    ok = walk_term(st)
                 ok = ok and all(walk_term(g) for g in tm.subject.graphs)
                 if tm.subject.condition and tm.subject.condition in tm.func_maps:
                     ok = ok and walk_fm(tm.func_maps[tm.subject.condition])
@@ -300,15 +311,29 @@ class MappingPlanner:
                         ok = ok and walk_term(om)
                 if not ok:
                     return None
-            # joins INTO a TM on this source reference its parent keys
-            for pom in tm.poms:
-                om = pom.obj
-                if (om.kind in (PARENT, QUOTED) and om.join
-                        and om.parent_tm in self.tm_by_id
+
+            # joins INTO a TM on this source reference its parent keys —
+            # from object-position joins, gather items AND quoted subjects
+            def into_keys(om) -> bool:
+                if (om is not None and om.join
+                        and getattr(om, "parent_tm", None) in self.tm_by_id
                         and self.tm_by_id[om.parent_tm].source.cache_key()
                         == source_key):
-                    if not all(add_key(k) for k in om.join.parent):
+                    return all(add_key(k) for k in om.join.parent)
+                return True
+
+            if tm.subject.term.kind == QUOTED:
+                if not into_keys(tm.subject.term):
+                    return None
+            for pom in tm.poms:
+                om = pom.obj
+                if om.kind in (PARENT, QUOTED):
+                    if not into_keys(om):
                         return None
+                elif om.kind == GATHER and om.gather:
+                    for item in om.gather.gather:
+                        if item.kind in (PARENT, QUOTED) and not into_keys(item):
+                            return None
         return sorted(refs) if refs else None
 
     def parent_scan(self, tm: TriplesMap) -> DataFrame:
