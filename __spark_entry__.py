@@ -833,6 +833,40 @@ GROUP BY 1, 2
 """
 
 
+def _q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (iterative min-label propagation) -> canonical-doc flag per document.
+    The oracle replays the components with a recursive CTE."""
+    from sdm_rdfizer_spark.ops.dedup import dedup_canonical, minhash_lsh_pairs
+
+    docs = _docs(spark, sf)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    return dedup_canonical(docs, pairs).select(
+        "doc_id", "component", "is_canonical")
+
+
+def _dedup_components_oracle() -> str:
+    pairs_sql = _minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(lab) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -1450,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_ivf_topk,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
+        "dedup_components": _q_dedup_components,
         "multimodal_features": _q_multimodal_features,
         "streaming_events_window": _q_streaming_events_window,
         "events_sessionize": _q_sessionize,
@@ -1491,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
+        "dedup_components": _dedup_components_oracle(),
         "multimodal_features": _MULTIMODAL_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

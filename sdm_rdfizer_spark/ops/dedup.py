@@ -306,3 +306,79 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, component) where component = min doc id in the cluster.
+
+    Iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbours — one shuffle join +
+    aggregate per round, lineage cut with an eager localCheckpoint so the
+    plan stays flat. Converges in O(component diameter) rounds; dup
+    clusters are shallow (pairs come from LSH banding), so a handful of
+    rounds closes even web-scale graphs. The frame is one row per PAIRED
+    doc — a small fraction of the corpus at sane dup rates.
+
+    Beyond the reference surface (no clustering there); this is the step
+    between candidate pairs and "keep one canonical doc per cluster" in a
+    training-data dedup pipeline.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("comp", F.col("id"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+                (F.coalesce("nmin", "comp") < F.col("comp")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every doc with its near-dup cluster id and a keep/drop flag:
+    (id_col, component, is_canonical). Docs in no pair are their own
+    singleton component; the kept representative is the min-id member
+    (deterministic). ``df.where('is_canonical')`` is the deduped corpus."""
+    comp = neardup_components(pairs, id_a=id_a, id_b=id_b)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
+    return out

@@ -207,3 +207,32 @@ def test_sessionize_gap_semantics(spark):
     s12 = out[(1, 2)]
     assert s12["n_events"] == 1 and s12["sum_value"] == "4.00"
     assert out[(2, 1)]["n_events"] == 1
+
+
+def test_neardup_components_transitive_chain(spark):
+    """a-b, b-c, d-e pairs -> {a,b,c} and {d,e} components; min id is the
+    canonical representative; unpaired docs are singletons."""
+    from sdm_rdfizer_spark.ops.dedup import dedup_canonical, neardup_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = {(r["doc_id"], r["component"], r["is_canonical"])
+           for r in dedup_canonical(docs, pairs).collect()}
+    assert (1, 1, True) in out and (3, 1, False) in out
+    assert (4, 4, True) in out and (5, 4, False) in out
+    assert (6, 6, True) in out and (7, 7, True) in out
+
+
+def test_neardup_components_long_path(spark):
+    """A 12-node path graph converges (propagation needs several rounds)."""
+    from sdm_rdfizer_spark.ops.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert set(comp.values()) == {1} and len(comp) == 12
