@@ -833,6 +833,60 @@ GROUP BY 1, 2
 """
 
 
+def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style repetition quality stats — shuffle-free
+    higher-order-function folds per document."""
+    from sdm_rdfizer_spark.ops.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf)).select(
+        "doc_id", "n_words", "dup_word_frac", "top_word_frac",
+        "top_bigram_frac", "flagged")
+
+
+_TEXT_REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform({_WORDS_SQL}, x -> lower(x)) AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+), wc AS (
+  SELECT doc_id, max(c) AS top_word FROM (
+    SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id, word
+  ) GROUP BY doc_id
+), bgl AS (
+  SELECT doc_id,
+         [ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws), 1))] AS bgs
+  FROM w
+), bg AS (
+  SELECT doc_id, unnest(bgs) AS bigram FROM bgl
+), bc AS (
+  SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams FROM (
+    SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(ws)::BIGINT AS n_words,
+       CASE WHEN len(ws) > 0
+            THEN round(1 - len(list_distinct(ws)) / len(ws)::DOUBLE, 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN len(ws) > 0
+            THEN round(wc.top_word / len(ws)::DOUBLE, 6) ELSE 0.0 END
+         AS top_word_frac,
+       CASE WHEN coalesce(bc.n_bigrams, 0) > 0
+            THEN round(bc.top_bigram / bc.n_bigrams::DOUBLE, 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       (CASE WHEN len(ws) > 0
+             THEN round(1 - len(list_distinct(ws)) / len(ws)::DOUBLE, 6)
+             ELSE 0.0 END) > 0.9
+       OR (CASE WHEN coalesce(bc.n_bigrams, 0) > 0
+                THEN round(bc.top_bigram / bc.n_bigrams::DOUBLE, 6)
+                ELSE 0.0 END) > 0.18 AS flagged
+FROM w LEFT JOIN wc ON w.doc_id = wc.doc_id
+       LEFT JOIN bc ON w.doc_id = bc.doc_id
+"""
+
+
 def _q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs -> connected components
     (iterative min-label propagation) -> canonical-doc flag per document.
@@ -1485,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "dedup_components": _q_dedup_components,
+        "text_repetition": _q_text_repetition,
         "multimodal_features": _q_multimodal_features,
         "streaming_events_window": _q_streaming_events_window,
         "events_sessionize": _q_sessionize,
@@ -1527,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),
+        "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

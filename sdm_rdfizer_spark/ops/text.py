@@ -102,3 +102,71 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     survives whitespace/case jitter."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select("*", F.md5(norm).alias("fp_md5"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent values in a SORTED array — i.e. the
+    highest frequency of any element — as one aggregate() fold, fully
+    JVM-side."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].isNotNull() & (x == acc["prev"]),
+                     acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dup_word_frac: float = 0.9,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality stats per document:
+    (doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+    flagged).
+
+    dup_word_frac = 1 - distinct/total words; top_word_frac and
+    top_bigram_frac are the most frequent word's / word-bigram's share.
+    ``flagged`` marks documents over the thresholds (repetitive junk a
+    training pipeline drops). Everything is a per-row higher-order-
+    function fold over the word array — no explode, no shuffle, so the
+    operator scans 100 TB at full column-pruned speed.
+    """
+    w = F.transform(words(text_col), F.lower)
+    n = F.size(w)
+    sw = F.array_sort(w)
+    bigrams = F.transform(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    )
+    nb = F.size(bigrams)
+    stats = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.when(n > 0, F.round(
+            1 - F.size(F.array_distinct(w)) / n, 6)).otherwise(0.0)
+        .alias("dup_word_frac"),
+        F.when(n > 0, F.round(_max_run(sw) / n, 6)).otherwise(0.0)
+        .alias("top_word_frac"),
+        F.when(nb > 0, F.round(
+            _max_run(F.array_sort(bigrams)) / nb, 6)).otherwise(0.0)
+        .alias("top_bigram_frac"),
+    )
+    return stats.withColumn(
+        "flagged",
+        (F.col("dup_word_frac") > max_dup_word_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac),
+    )

@@ -236,3 +236,24 @@ def test_neardup_components_long_path(spark):
         [(i, i + 1) for i in range(11, 0, -1)], "id_a long, id_b long")
     comp = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
     assert set(comp.values()) == {1} and len(comp) == 12
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from sdm_rdfizer_spark.ops.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a varied document with mostly unique words here today"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["flagged"] and out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert not out[2]["flagged"] and out[2]["dup_word_frac"] == 0.0
+    assert out[3]["n_words"] == 0 and not out[3]["flagged"]
+    # shuffle-free: the plan contains no Exchange
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
