@@ -148,9 +148,12 @@ def repetition_stats(
     w = F.transform(words(text_col), F.lower)
     n = F.size(w)
     sw = F.array_sort(w)
-    bigrams = F.transform(
-        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    # zip_with over shifted slices is linear per doc; transform +
+    # element_at(i) would re-scan the array per element (quadratic)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     nb = F.size(bigrams)
     stats = df.select(
