@@ -1,0 +1,54 @@
+"""Plan-shape regression guards: the expensive queries must keep the
+plans the r2 audit established (broadcast joins, no per-branch recompute
+of gather subplans, shuffle-free text ops)."""
+
+import os
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry(spark):
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+    return E
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gather_join_single_pass(spark, entry):
+    """One scan, one broadcast join, no sort-merge, ≤4 shuffles (parent
+    group agg, node grouping, final distinct) — the union-of-branches
+    shape had 10 shuffles and 3 broadcasts."""
+    plan = _plan(entry.queries()["rml_gather_join"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4, plan
+
+
+def test_customer_graph_broadcasts_parents(spark, entry):
+    plan = _plan(entry.queries()["rml_customer_graph"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_text_ops_shuffle_free(spark, entry):
+    for q in ("text_token_count", "text_quality", "text_language_id",
+              "text_fingerprint", "text_repetition"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "Exchange" not in plan, q
+
+
+def test_parquet_scan_prunes_columns(spark, entry):
+    """Column pruning reaches the scan: the token-count query reads only
+    doc_id + text from the documents table."""
+    plan = _plan(entry.queries()["text_token_count"](spark, SF))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "lang" not in scan[0] and "source" not in scan[0]
