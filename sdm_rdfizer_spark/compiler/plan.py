@@ -567,8 +567,18 @@ class MappingPlanner:
             pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
                                     func_maps=tm.func_maps)
             ggraphs = self._graph_exprs(df, pom.graphs or tm.subject.graphs)
-            subj = compile_term_map(df, self._subject_term(tm), "subject",
-                                    base=self.base)
+            st = tm.subject.term
+            if st.kind == QUOTED and st.join and st.join.child:
+                # joined quoted subject: compile_tm already joined the
+                # quoted pairs into df as __qsub
+                subj = CompiledValue(F.col("__qsub"),
+                                     F.col("__qsub").isNotNull())
+            elif st.kind == QUOTED:
+                subj = self._quoted_term(
+                    df, self._resolve_tm(st.parent_tm, "the quoted subject map"))
+            else:
+                subj = compile_term_map(df, self._subject_term(tm), "subject",
+                                        base=self.base)
             node_term = None
             if getattr(om, "template_for_gather", None):
                 node_term = TermMap(kind=TEMPLATE, value=om.template_for_gather,

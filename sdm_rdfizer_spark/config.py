@@ -55,6 +55,8 @@ def load_config(path_or_dict) -> RunConfig:
         remove_duplicates=ds_sec.get("remove_duplicate", "yes").lower() in ("yes", "true"),
         all_in_one_file=ds_sec.get("all_in_one_file", "no").lower() in ("yes", "true"),
         output_format=ds_sec.get("output_format", "n-triples").lower(),
+        infer_datatypes=ds_sec.get("infer_datatypes", "no").lower()
+        in ("yes", "true"),
         input_dedup=ds_sec.get("input_dedup", "no").lower() in ("yes", "true"),
         missing_policy=("ignore" if ds_sec.get("ignore", "yes").lower()
                         in ("yes", "true") else "abort"),

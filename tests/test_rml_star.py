@@ -114,3 +114,64 @@ def test_quoted_subject_with_join(spark, tmp_path):
     # unmatched child key (f9) emits nothing — inner join semantics
     assert not any('"none"' == o for _, _, o in got)
     assert len(got) == 3
+
+
+def test_quoted_subject_with_gather_and_targets(spark, tmp_path):
+    """Cross-feature: joined quoted subject + gather POM + logical target
+    + infer_datatypes through the config path (r2 e2e drive found the
+    gather branch crashing on quoted subjects)."""
+    import sdm_rdfizer_spark.engine as engine
+
+    (tmp_path / "facts.csv").write_text("fid,val\nf1,10\n")
+    (tmp_path / "annot.csv").write_text("ref,conf,tag1,tag2\nf1,high,x,y\n")
+    target = tmp_path / "conf.nt"
+    (tmp_path / "m.ttl").write_text(f"""
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+        @prefix rml2: <http://w3id.org/rml/> .
+        @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        @prefix ex: <http://x.org/> .
+        <#T> a rml2:LogicalTarget; rml2:target [ rml2:path "{target}" ] .
+        <#F> a rml2:NonAssertedTriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/facts.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/fact/{{fid}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:value; rr:objectMap [ rml:reference "val" ] ] .
+        <#A> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/annot.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rml2:quotedTriplesMap <#F>;
+                          rr:joinCondition [ rr:child "ref"; rr:parent "fid" ] ];
+          rr:predicateObjectMap [ rr:predicate ex:confidence;
+              rr:objectMap [ rml:reference "conf"; rml2:logicalTarget <#T> ] ];
+          rr:predicateObjectMap [ rr:predicate ex:tags; rr:objectMap [
+              rml:gather ( [ rml:reference "tag1" ] [ rml:reference "tag2" ] );
+              rml:gatherAs rdf:Seq ] ] .
+    """)
+    out = tmp_path / "out"
+    out.mkdir()
+    (tmp_path / "config.ini").write_text(f"""
+[default]
+main_directory: {tmp_path}
+
+[datasets]
+number_of_datasets: 1
+output_folder: {out}
+all_in_one_file: no
+remove_duplicate: yes
+infer_datatypes: yes
+
+[dataset1]
+name: combo
+mapping: {tmp_path}/m.ttl
+""")
+    engine.semantify(str(tmp_path / "config.ini"), spark)
+    main = open(out / "combo.nt").read()
+    q = ('<< <http://x.org/fact/f1> <http://x.org/value> '
+         '"10"^^<http://www.w3.org/2001/XMLSchema#integer> >>')
+    assert f'{q} <http://x.org/confidence> "high" .' in main
+    # the gather hangs off the quoted subject
+    assert f"{q} <http://x.org/tags> _:" in main
+    assert '#_1> "x"' in main and '#_2> "y"' in main
+    # the logical target received exactly the confidence triples
+    tgt = open(target).read().strip().splitlines()
+    assert len(tgt) == 1 and "confidence" in tgt[0]
