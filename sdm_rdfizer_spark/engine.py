@@ -21,6 +21,7 @@ from .compiler.plan import MappingPlanner
 from .config import RunConfig, load_config
 from .rml_parser import parse_mapping, parse_mapping_file
 from .sinks import to_turtle, write_ntriples, write_turtle
+from .turtle import parse as parse_turtle
 
 # a .ttl output up to this many triples gets the pretty driver-side
 # serialization (globally sorted, one header); anything larger streams
@@ -34,7 +35,6 @@ def _write_turtle_out(triples, out: str) -> None:
     else:
         with open(out, "w", encoding="utf-8") as f:
             f.write(to_turtle(triples))
-from .turtle import parse as parse_turtle
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
