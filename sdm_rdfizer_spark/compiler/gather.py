@@ -12,16 +12,20 @@ all its elements, a parent-triples-map item contributes every joined
 parent subject (planner-provided left join against grouped parent pairs).
 ``append`` concatenates the arrays in gather order; ``cartesian`` explodes
 the cross product into one collection per combination. Optional grouping
-across rows by the collection-node value (groupBy + collect_list);
-membership emitted via posexplode — shuffles only when grouping or a
-parent join requires one.
+across rows by the collection-node value (groupBy + collect_list of the
+still-packed per-row item arrays — items are never exploded before the
+shuffle); shuffles only when grouping or a parent join requires one.
+``row_order="source"`` keeps items in source-row order (reference
+parity, carried via monotonically_increasing_id); the default sorts by
+item value (cross-row order is undefined in RML-CC).
 
 Blank-node determinism: the reference mints uuid4-per-collection
 (cc_functions.py:218), which is non-reproducible and breaks distributed
 retries; we derive node ids from md5(subject || predicate || items) so
 re-executed tasks emit identical triples (SURVEY §7 hard part c). Joined
 parent items are array_sort-ed (the reference's dict order is source-row
-order — RML-CC leaves cross-row item order undefined).
+order — RML-CC leaves cross-row item order undefined; pass
+``gather_row_order="source"`` for reference-ordered grouped items).
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..ir import CONSTANT, PARENT, QUOTED, REFERENCE, TEMPLATE, GatherMap, TermMap
-from .terms import compile_term_map
+from .terms import _nt_escape_literal, compile_term_map
 
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_FIRST = f"<{RDF}first>"
@@ -54,7 +58,8 @@ def _term_value_array(df: DataFrame, tm: TermMap, base: str | None) -> Column:
             return F.filter(
                 F.transform(
                     F.col(tm.value),
-                    lambda e: F.concat(F.lit('"'), e.cast("string"), F.lit('"')),
+                    lambda e: F.concat(
+                        F.lit('"'), _nt_escape_literal(e.cast("string")), F.lit('"')),
                 ),
                 lambda x: x.isNotNull(),
             )
@@ -93,6 +98,7 @@ def compile_gather(
     node_term: TermMap | None = None,
     parent_items=None,
     as_subject: bool = False,
+    row_order: str = "value",
 ) -> DataFrame:
     """Triples DataFrame for one gather map.
 
@@ -141,23 +147,37 @@ def compile_gather(
     if node_term is not None and node_term.kind in (TEMPLATE, REFERENCE):
         ncv = compile_term_map(df, node_term, "subject", base=base)
         node = ncv.expr
-        rows = df.where(subject_valid & ncv.valid).select(
-            subject.alias("s"), pred.alias("p"), graph.cast("string").alias("g"),
-            node.alias("node"), items.alias("items"),
-        )
-        # group across rows: one collection per (s, p, node); item order =
-        # gather order within a row, row order by first item (deterministic)
-        grouped = (
-            rows.select("s", "p", "g", "node", F.posexplode_outer("items").alias("pos", "item"))
-            .groupBy("s", "p", "g", "node")
-            .agg(F.array_sort(F.collect_list(F.struct("item", "pos"))).alias("sorted"))
-            .select(
-                "s", "p", "g", "node",
-                F.filter(
-                    F.transform("sorted", lambda x: x["item"]),
-                    lambda x: x.isNotNull(),
-                ).alias("items"),
+        # group across rows: one collection per (s, p, node). The shuffle
+        # carries one row per SOURCE row (its items still packed as an
+        # array) — no posexplode round-trip, and the per-group sort works
+        # on plain strings / a rid-keyed struct, not per-item structs
+        # (the r2 emission exploded every item before the groupBy and
+        # array_sort-ed (item,pos) structs — 2.4x slower at sf0.1).
+        if row_order == "source":
+            # reference parity: the reference appends items in source-row
+            # iteration order (cc_functions.py:269-340); rid is ascending
+            # in scan order (deterministic for a single-file source read —
+            # partition index follows file-split offset)
+            rows = df.where(subject_valid & ncv.valid).select(
+                subject.alias("s"), pred.alias("p"),
+                graph.cast("string").alias("g"),
+                node.alias("node"), items.alias("items"),
+                F.monotonically_increasing_id().alias("__rid"),
             )
+            agg = F.array_sort(F.collect_list(F.struct("__rid", "items")))
+            items_col = F.flatten(F.transform(agg, lambda x: x["items"]))
+        else:
+            # default "value": RML-CC leaves cross-row item order
+            # undefined; sort by item value for a deterministic output
+            rows = df.where(subject_valid & ncv.valid).select(
+                subject.alias("s"), pred.alias("p"),
+                graph.cast("string").alias("g"),
+                node.alias("node"), items.alias("items"),
+            )
+            items_col = F.array_sort(F.flatten(F.collect_list("items")))
+        grouped = (
+            rows.groupBy("s", "p", "g", "node")
+            .agg(items_col.alias("items"))
         )
     else:
         # per-row collection with a deterministic blank node; the item

@@ -48,6 +48,52 @@ RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 TRIPLE_COLS = ("s", "p", "o", "g")
 
+# the reference's "general predicates" get a dedup table scoped per
+# (predicate, object-map RULE value) instead of per predicate
+# (semantify.py:105-109 + the PTT gates at 4651-4677); dedup_scope
+# "reference" reproduces that keying
+GENERAL_PREDICATES = (
+    "<http://www.w3.org/2000/01/rdf-schema#subClassOf>",
+    "<http://www.w3.org/2002/07/owl#sameAs>",
+    "<http://www.w3.org/2000/01/rdf-schema#seeAlso>",
+    "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>",
+)
+
+
+def _rule_id(om) -> str:
+    """The object-map rule value the reference appends to the PTT table
+    key for general predicates (predicate_object_map.object_map.value)."""
+    v = getattr(om, "value", None)
+    if v is None:
+        v = getattr(om, "parent_tm", None)
+    return str(v)
+
+
+def dedup_triples(df: DataFrame, scope: str = "spog") -> DataFrame:
+    """Scope-keyed triple dedup (one shuffle).
+
+    ``spog`` keeps one triple per graph; ``spo`` collapses across graphs;
+    ``reference`` reproduces the reference's PTT keying exactly
+    (semantify.py:4651-4677): (p, s, o) for normal predicates,
+    (p, object-map RULE value, s, o) for the four general predicates —
+    so the same s/p/o emitted by two DIFFERENT rules survives twice —
+    and the graph term never participates (the reference keeps the
+    first-encountered graph; which one survives here is arbitrary).
+    ``reference`` requires a ``__rule`` column (MappingPlanner tags it
+    when dedup_scope == "reference").
+    """
+    if scope == "reference":
+        return (
+            df.withColumn(
+                "__scope",
+                F.when(F.col("p").isin(*GENERAL_PREDICATES), F.col("__rule")),
+            )
+            .dropDuplicates(["s", "p", "o", "__scope"])
+            .drop("__scope")
+        )
+    cols = ["s", "p", "o"] if scope == "spo" else list(TRIPLE_COLS)
+    return df.dropDuplicates(cols)
+
 
 class MappingError(ValueError):
     """A mapping references something its logical source cannot provide."""
@@ -148,6 +194,7 @@ class MappingPlanner:
         input_dedup: bool = False,
         missing_policy: str = "ignore",
         validate_csv: bool = False,
+        gather_row_order: str = "value",
     ) -> None:
         self.spark = spark
         self.tms = triples_maps
@@ -156,6 +203,9 @@ class MappingPlanner:
         self.remove_duplicates = remove_duplicates
         self.infer_datatypes = infer_datatypes
         self.dedup_scope = dedup_scope
+        # "reference" scope needs each triple tagged with its originating
+        # object-map rule value (the PTT table key component)
+        self.track_rules = dedup_scope == "reference"
         # input dedup (reference: CSV drop_duplicates at semantify.py:10234,
         # SELECT DISTINCT projection for DB sources, functions.py:211-288):
         # scan-level duplicate elimination before any term is computed
@@ -168,6 +218,10 @@ class MappingPlanner:
         # CSV schema validation (reference valid_source,
         # functions.py:41-50): FAILFAST aborts on ragged/malformed rows
         self.validate_csv = validate_csv
+        # grouped-gather item order: "value" (deterministic sort, RML-CC
+        # leaves cross-row order undefined) or "source" (reference
+        # source-row order, cc_functions.py:269-340)
+        self.gather_row_order = gather_row_order
         # RML-IO logical targets: emit a static array<string> __targets
         # column naming the targets each triple routes to (the reference
         # re-runs the whole TM per target file, semantify.py:10013-10088 —
@@ -201,6 +255,21 @@ class MappingPlanner:
                     key = (om.parent_tm, tuple(om.join.parent))
                     self._parent_refcount[key] = self._parent_refcount.get(key, 0) + 1
 
+    def _xml_parent_refs(self, key: tuple) -> list[str]:
+        """Parent-axis (``..``) references any TriplesMap makes against
+        this XML source — they need the driver-side full parse (the
+        distributed record split cannot see ancestors)."""
+        refs: list = []
+        for tm in self.tms:
+            if tm.source.cache_key() != key:
+                continue
+            _term_refs(tm.subject.term, tm.func_maps, refs)
+            for gm in tm.subject.graphs:
+                _term_refs(gm, tm.func_maps, refs)
+            for pom in tm.poms:
+                refs.extend(self._pom_refs(tm, pom))
+        return sorted({r for r in refs if r and r.startswith("..")})
+
     def scan(self, tm: TriplesMap) -> DataFrame:
         key = tm.source.cache_key()
         if key not in self._scan_cache:
@@ -209,6 +278,13 @@ class MappingPlanner:
                 from dataclasses import replace
 
                 ls = replace(ls, options={**ls.options, "mode": "FAILFAST"})
+            if ls.fmt == "xml":
+                prefs = self._xml_parent_refs(key)
+                if prefs:
+                    from dataclasses import replace
+
+                    ls = replace(ls, options={
+                        **ls.options, "xml_parent_refs": "\x1f".join(prefs)})
             if self.input_dedup:
                 if ls.fmt in ("sql", "jdbc") and ls.table and not ls.query:
                     # DB-side SELECT DISTINCT over only the mapped columns
@@ -219,8 +295,15 @@ class MappingPlanner:
 
                         from ..sources import projection_query
 
-                        ls = replace(ls, query=projection_query(ls.table, cols))
-                    df = read_source(self.spark, ls)
+                        ls = replace(ls, query=projection_query(
+                            ls.table, cols, url=ls.source))
+                        df = read_source(self.spark, ls)
+                    else:
+                        # non-plain-column references disable the generated
+                        # SELECT DISTINCT — fall back to a Spark-side dedup
+                        # like the file path (ADVICE r2; the reference's
+                        # translate_sql always emits DISTINCT)
+                        df = read_source(self.spark, ls).dropDuplicates()
                 else:
                     df = read_source(self.spark, ls).dropDuplicates()
             else:
@@ -359,16 +442,26 @@ class MappingPlanner:
             if part is not None
         ]
         if not parts:
-            return self.spark.createDataFrame([], "s string, p string, o string, g string")
+            schema = "s string, p string, o string, g string"
+            if self.track_rules:
+                schema += ", __rule string"
+            return self.spark.createDataFrame([], schema)
         out = reduce(DataFrame.union, parts)
         if self.remove_duplicates and not self.collect_targets:
             # with target tracking the caller dedups per output (the
             # target column would otherwise make equal triples distinct).
             # dedup_scope "spo" collapses the same triple across named
             # graphs (the reference's PTT keys ignore the graph term);
-            # default "spog" keeps one per graph.
-            cols = ["s", "p", "o"] if self.dedup_scope == "spo" else list(TRIPLE_COLS)
-            out = out.dropDuplicates(cols)
+            # default "spog" keeps one per graph; "reference" reproduces
+            # the reference PTT keying exactly (semantify.py:4651-4677):
+            # (p, s, o) for normal predicates, (p, RULE value, s, o) for
+            # the four general predicates — the same s/p/o emitted by two
+            # DIFFERENT object-map rules survives twice — and the graph
+            # term never participates (which graph survives a collapse is
+            # first-encountered in the reference; arbitrary here).
+            out = dedup_triples(out, self.dedup_scope)
+        if self.track_rules and not self.collect_targets:
+            out = out.drop("__rule")
         return out
 
     # ------------------------------------------------------------------
@@ -500,14 +593,17 @@ class MappingPlanner:
                     df, gsub.expr, gsub.valid, F.lit(None).cast("string"),
                     graph, tm.subject.term.gather, base=self.base,
                     as_subject=True, parent_items=self._gather_parent_items(),
+                    row_order=self.gather_row_order,
                 )
                 if self.collect_targets:
                     gdf = gdf.withColumn(
                         "__targets", _target_array(_tset(tm.subject.term)))
+                if self.track_rules:
+                    gdf = gdf.withColumn("__rule", F.lit(None).cast("string"))
                 branches.append(gdf)
 
         if entries:
-            def fields(p, o, g, v, tset):
+            def fields(p, o, g, v, tset, rule=None):
                 fs = [
                     p.alias("p"),
                     o.cast("string").alias("o"),
@@ -516,6 +612,8 @@ class MappingPlanner:
                 ]
                 if self.collect_targets:
                     fs.append(_target_array(tset).alias("t"))
+                if self.track_rules:
+                    fs.append(F.lit(rule).cast("string").alias("r"))
                 return fs
 
             structs = F.array(*[
@@ -525,6 +623,8 @@ class MappingPlanner:
                         F.col("__t.o").alias("o"), F.col("__t.g").alias("g")]
             if self.collect_targets:
                 out_cols.append(F.col("__t.t").alias("__targets"))
+            if self.track_rules:
+                out_cols.append(F.col("__t.r").alias("__rule"))
             exploded = (
                 base_df.select(F.col("__s").alias("s"), F.explode(structs).alias("__t"))
                 .where(F.col("__t.v"))
@@ -588,6 +688,7 @@ class MappingPlanner:
                     df, subj.expr, subj.valid & pred.valid, pred.expr, graph,
                     om.gather, base=self.base, node_term=node_term,
                     parent_items=self._gather_parent_items(),
+                    row_order=self.gather_row_order,
                 )
                 for graph in ggraphs
             ]
@@ -597,6 +698,9 @@ class MappingPlanner:
                 # branches must match the union schema (ADVICE r1)
                 tgs = _tset(tm.subject.term, pom.predicate, om, *(pom.graphs or []))
                 gdf = gdf.withColumn("__targets", _target_array(tgs))
+            if self.track_rules:
+                gdf = gdf.withColumn("__rule",
+                                     F.lit(_rule_id(om)).cast("string"))
             return gdf
 
         pred = compile_term_map(df, pom.predicate, "predicate", base=self.base,
@@ -608,7 +712,8 @@ class MappingPlanner:
             obj = compile_term_map(df, om, "object", base=self.base,
                                    infer_datatypes=self.infer_datatypes,
                                    func_maps=tm.func_maps, layers=layers)
-            return [(pred.expr, obj.expr, graph, pred.valid & obj.valid, tgs)
+            return [(pred.expr, obj.expr, graph, pred.valid & obj.valid, tgs,
+                     _rule_id(om))
                     for graph in graphs]
         if om.kind == PARENT:
             return self._compile_join(tm, df, pred, om, graphs, layers, tgs)
@@ -712,7 +817,8 @@ class MappingPlanner:
             # the TM's single explode pass.
             pobj = compile_term_map(df, parent_tm.subject.term, "subject",
                                     base=self.base, layers=layers)
-            return [(pred.expr, pobj.expr, graph, pred.valid & pobj.valid, tgs)
+            return [(pred.expr, pobj.expr, graph, pred.valid & pobj.valid, tgs,
+                     _rule_id(om))
                     for graph in graphs]
 
         if same_source and om.join.child == om.join.parent:
@@ -720,7 +826,8 @@ class MappingPlanner:
             # the same source ⇒ the parent row IS the child row.
             pobj = compile_term_map(df, parent_tm.subject.term, "subject",
                                     base=self.base, layers=layers)
-            return [(pred.expr, pobj.expr, graph, pred.valid & pobj.valid, tgs)
+            return [(pred.expr, pobj.expr, graph, pred.valid & pobj.valid, tgs,
+                     _rule_id(om))
                     for graph in graphs]
 
         pairs = self._parent_pairs(parent_tm, tuple(om.join.parent))
@@ -759,6 +866,7 @@ class MappingPlanner:
                         graph,
                         pred_valid & F.col(f"__fpo{tag}").isNotNull(),
                         tgs,
+                        _rule_id(om),
                     )
                     for graph in graphs
                 ]
@@ -790,6 +898,8 @@ class MappingPlanner:
             ]
             if self.collect_targets:
                 cols.append(_target_array(tgs).alias("__targets"))
+            if self.track_rules:
+                cols.append(F.lit(_rule_id(om)).cast("string").alias("__rule"))
             return child.join(pairs, cond, "inner").select(*cols)
 
         return build
@@ -834,7 +944,8 @@ class MappingPlanner:
                     f"same logical source ({tm.tm_id} → {om.parent_tm})"
                 )
             qcv = self._quoted_term(df, qtm, layers=layers)
-            return [(pred.expr, qcv.expr, graph, pred.valid & qcv.valid, tgs)
+            return [(pred.expr, qcv.expr, graph, pred.valid & qcv.valid, tgs,
+                     _rule_id(om))
                     for graph in graphs]
 
         qdf = self.parent_scan(qtm)
@@ -869,6 +980,8 @@ class MappingPlanner:
             ]
             if self.collect_targets:
                 cols.append(_target_array(tgs).alias("__targets"))
+            if self.track_rules:
+                cols.append(F.lit(_rule_id(om)).cast("string").alias("__rule"))
             return child.join(pairs, cond, "inner").select(*cols)
 
         return build

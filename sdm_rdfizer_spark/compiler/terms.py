@@ -102,7 +102,13 @@ def canonical_string(df: DataFrame, ref: str) -> Column:
         return F.when(floatish, canon).otherwise(inline)
 
     dtype = dict(df.dtypes).get(ref)
-    col = F.col(ref) if "." not in ref else F.col(ref)  # nested access works via dots
+    if ref in df.columns:
+        # exact column: backtick-quote so names with dots (XML parent-axis
+        # refs like "../@id") aren't parsed as struct field access
+        col = F.col("`" + ref.replace("`", "``") + "`")
+    else:
+        col = F.col(ref)  # nested struct access via dots
+
     if dtype in ("double", "float"):
         # decimal-cast → trim trailing zeros, keep >=1 fractional digit:
         # 1234.5600 → "1234.56", 150.0 → "150.0", 12345678.9 stays plain

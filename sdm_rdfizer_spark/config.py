@@ -37,6 +37,14 @@ class RunConfig:
     # CSV schema validation (reference valid_source, functions.py:41-50):
     # ragged rows abort the scan (FAILFAST) instead of silently degrading
     validate_csv: bool = False
+    # grouped-gather item order: "value" (deterministic) or "source"
+    # (reference source-row order, cc_functions.py:269-340)
+    gather_row_order: str = "value"
+    # triple dedup keying: "spog" (default), "spo" (collapse across
+    # graphs), or "reference" (the reference's PTT keys — general
+    # predicates scoped per object-map rule, graph ignored;
+    # semantify.py:105-109 + 4651-4677)
+    dedup_scope: str = "spog"
 
 
 def load_config(path_or_dict) -> RunConfig:
@@ -61,6 +69,8 @@ def load_config(path_or_dict) -> RunConfig:
         missing_policy=("ignore" if ds_sec.get("ignore", "yes").lower()
                         in ("yes", "true") else "abort"),
         validate_csv=ds_sec.get("valid_source", "no").lower() in ("yes", "true"),
+        gather_row_order=ds_sec.get("gather_row_order", "value").lower(),
+        dedup_scope=ds_sec.get("dedup_scope", "spog").lower(),
     )
     n = int(ds_sec.get("number_of_datasets", "1"))
     for i in range(1, n + 1):

@@ -88,6 +88,8 @@ def materialize(
     input_dedup: bool = False,
     missing_policy: str = "ignore",
     validate_csv: bool = False,
+    gather_row_order: str = "value",
+    dedup_scope: str = "spog",
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
     tune_session(spark)
@@ -102,6 +104,8 @@ def materialize(
         input_dedup=input_dedup,
         missing_policy=missing_policy,
         validate_csv=validate_csv,
+        gather_row_order=gather_row_order,
+        dedup_scope=dedup_scope,
     )
     return planner.compile_all()
 
@@ -116,6 +120,8 @@ def materialize_with_targets(
     input_dedup: bool = False,
     missing_policy: str = "ignore",
     validate_csv: bool = False,
+    gather_row_order: str = "value",
+    dedup_scope: str = "spog",
 ):
     """Compile a mapping with RML-IO logical targets.
 
@@ -138,21 +144,27 @@ def materialize_with_targets(
         input_dedup=input_dedup,
         missing_policy=missing_policy,
         validate_csv=validate_csv,
+        gather_row_order=gather_row_order,
+        dedup_scope=dedup_scope,
     )
     raw = planner.compile_all()
     if not targets:
         return raw, {}
+    from .compiler.plan import dedup_triples
+
     if len(targets) > 1 or any(tm.poms for tm in tms):
         raw = raw.persist()
-    main = raw.drop("__targets")
-    if remove_duplicates:
-        main = main.dropDuplicates(["s", "p", "o", "g"])
+
+    def finish(df):
+        if remove_duplicates:
+            df = dedup_triples(df, dedup_scope)
+        return df.drop("__rule") if planner.track_rules else df
+
+    main = finish(raw.drop("__targets"))
     frames = {}
     for tid, spec in targets.items():
         sub = raw.where(F.array_contains(F.col("__targets"), tid)).drop("__targets")
-        if remove_duplicates:
-            sub = sub.dropDuplicates(["s", "p", "o", "g"])
-        frames[spec] = sub
+        frames[spec] = finish(sub)
     return main, frames
 
 
@@ -176,6 +188,8 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
                 input_dedup=cfg.input_dedup,
                 missing_policy=cfg.missing_policy,
                 validate_csv=cfg.validate_csv,
+                gather_row_order=cfg.gather_row_order,
+                dedup_scope=cfg.dedup_scope,
             )
             results[ds.name] = triples
             if target_frames:

@@ -193,15 +193,42 @@ def strptime_to_java(fmt: str) -> str:
     return fmt
 
 
+def _strptime_rows(vals, pats):
+    """str(datetime.strptime(v, pattern)) per row — exact reference
+    semantics (fnml_functions.py:39-47) for non-constant patterns."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    out = []
+    for v, pat in zip(vals, pats):
+        try:
+            out.append(str(datetime.strptime(str(v), str(pat))))
+        except (ValueError, TypeError):
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
 def _normalize_date(p):
     # str(datetime.strptime(v, pattern)) → "yyyy-MM-dd HH:mm:ss"
-    # (fnml_functions.py:38-46); the pattern parameter must be constant
+    # (fnml_functions.py:38-46). A constant pattern compiles to the
+    # JVM-side to_timestamp (whole-stage codegen); a reference/template-
+    # valued pattern falls back to an Arrow-batched Pandas UDF running
+    # datetime.strptime per row — the reference's exact semantics, off
+    # the codegen fast path only for this one term.
     v, ok1 = _one(p, "strDate")
-    _, ok2 = _one(p, "pattern")
+    pat, ok2 = _one(p, "pattern")
     fmt = p.get("__pattern_const")
-    java = strptime_to_java(fmt) if fmt else "yyyy-MM-dd"
-    ts = F.to_timestamp(v, java)
-    return F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), ok1 & ok2 & ts.isNotNull()
+    if fmt:
+        java = strptime_to_java(fmt)
+        ts = F.to_timestamp(v, java)
+        return (F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+                ok1 & ok2 & ts.isNotNull())
+    from pyspark.sql.functions import pandas_udf
+
+    strp = pandas_udf(_strptime_rows, "string")
+    out = strp(v.cast("string"), pat.cast("string"))
+    return out, ok1 & ok2 & out.isNotNull()
 
 
 # -- logic -------------------------------------------------------------

@@ -32,6 +32,10 @@ def sessionize(
     sum_value). Timestamps render second-resolution for engine-portable
     comparison; the value sum is exact decimal.
     """
+    # TIMESTAMP_NTZ (parquet timestamps without zone) casts to long only
+    # via TIMESTAMP; the session tz is UTC so the hop is value-preserving
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
     new_session = (

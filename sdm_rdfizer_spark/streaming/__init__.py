@@ -184,6 +184,12 @@ def windowed_event_stats(
     decimal so it is exact and aggregation-order-independent across
     engines.
     """
+    # watermarks require TIMESTAMP (with zone); parquet written as
+    # TIMESTAMP_NTZ arrives zoneless — the session tz is pinned to UTC
+    # (engine.tune_session) so the cast is value-preserving, and both the
+    # batch and stream paths get it for identical window boundaries
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window).alias("w"), F.col(type_col))
@@ -261,6 +267,10 @@ def stateful_sessionize_stream(
             "n_events", "sum_value"]
 
     use_timeout = watermark is not None
+    if dict(sdf.dtypes).get(ts_col) == "timestamp_ntz":
+        # see windowed_event_stats: NTZ → UTC-session TIMESTAMP for the
+        # watermark, value-preserving
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     src = sdf.withWatermark(ts_col, watermark) if use_timeout else sdf
     timeout = (GroupStateTimeout.EventTimeTimeout if use_timeout
                else GroupStateTimeout.NoTimeout)

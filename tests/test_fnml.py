@@ -130,3 +130,51 @@ def test_controls_if(spark, tmp_path):
     got = triple_set(materialize(spark, m))
     assert ("<http://x.org/p/3>", "<http://x.org/label>", '"east-coast"') in got
     assert ("<http://x.org/p/1>", "<http://x.org/label>", '"elsewhere"') in got
+
+
+def test_normalize_date_constant_pattern(spark, tmp_path):
+    (tmp_path / "dates.csv").write_text(
+        "id,raw\n1,03/25/1999\n2,12/01/2001\n")
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/dates.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/d/{{id}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:when; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:normalizeDate ];
+              rr:predicateObjectMap [ rr:predicate grel:strDate; rr:objectMap [ rml:reference "raw" ] ];
+              rr:predicateObjectMap [ rr:predicate grel:pattern; rr:objectMap [ rr:constant "%m/%d/%Y" ] ];
+            ] ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/d/1>", "<http://x.org/when>",
+            '"1999-03-25 00:00:00"') in got
+
+
+def test_normalize_date_dynamic_pattern(spark, tmp_path):
+    """Reference-valued pattern (fnml_functions.py:39-47 reads BOTH
+    strDate and pattern from the row): per-row datetime.strptime."""
+    (tmp_path / "dates2.csv").write_text(
+        "id,raw,fmt\n"
+        "1,03/25/1999,%m/%d/%Y\n"
+        "2,1999-12-31T08:30:00,%Y-%m-%dT%H:%M:%S\n"
+        "3,notadate,%m/%d/%Y\n")
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/dates2.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/d/{{id}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:when; rr:objectMap [
+            fnml:functionValue [
+              rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:normalizeDateTime ];
+              rr:predicateObjectMap [ rr:predicate grel:strDate; rr:objectMap [ rml:reference "raw" ] ];
+              rr:predicateObjectMap [ rr:predicate grel:pattern; rr:objectMap [ rml:reference "fmt" ] ];
+            ] ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert ("<http://x.org/d/1>", "<http://x.org/when>",
+            '"1999-03-25 00:00:00"') in got
+    assert ("<http://x.org/d/2>", "<http://x.org/when>",
+            '"1999-12-31 08:30:00"') in got
+    # unparseable rows drop the term (validity gate), like the
+    # reference's exception path
+    assert not any(s == "<http://x.org/d/3>" for s, p, o in got)

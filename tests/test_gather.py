@@ -235,3 +235,41 @@ def test_gather_subject_list(spark, tmp_path):
     rest = next(o for s, p, o in got if s == n1 and p == f"<{RDF}rest>")
     assert (rest, f"<{RDF}first>", '"karate"') in got
     assert (rest, f"<{RDF}rest>", f"<{RDF}nil>") in got
+
+
+def test_gather_grouped_row_order_source_vs_value(spark, tmp_path):
+    """Grouped gathers: default cross-row item order sorts by value
+    (deterministic; RML-CC leaves it undefined), gather_row_order="source"
+    preserves source-row iteration order like the reference
+    (cc_functions.py:269-340)."""
+    (tmp_path / "enroll2.csv").write_text(
+        "student,course\nms,zeta\nms,alpha\nms,mid\n")
+    m = f"""
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+        @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        @prefix ex: <http://x.org/> .
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/enroll2.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/student/{{student}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:courses; rr:objectMap [
+              rr:template "http://x.org/courses/{{student}}";
+              rml:gather ( [ rml:reference "course" ] );
+              rml:gatherAs rdf:Seq ] ] .
+    """
+
+    def members(triples):
+        got = triple_set(triples)
+        node = next(o for s, p, o in got
+                    if p == "<http://x.org/courses>")
+        out = {}
+        for s, p, o in got:
+            if s == node and p.startswith(f"<{RDF}_"):
+                out[int(p[len(f"<{RDF}_"):-1])] = o
+        return [out[i] for i in sorted(out)]
+
+    assert members(materialize(spark, m)) == ['"alpha"', '"mid"', '"zeta"']
+    assert members(
+        materialize(spark, m, gather_row_order="source")
+    ) == ['"zeta"', '"alpha"', '"mid"']

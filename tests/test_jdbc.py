@@ -135,3 +135,25 @@ def test_input_dedup_on_file_scan(spark, tmp_path):
         ("<http://example.com/r/1>", f"<{EX}b>", '"x"'),
         ("<http://example.com/r/2>", f"<{EX}b>", '"y"'),
     }
+
+
+def test_projection_query_dialect_quoting():
+    """Identifier quoting follows the JDBC URL dialect (ADVICE/VERDICT r2):
+    MySQL's default sql_mode rejects ANSI double-quoted identifiers."""
+    cols = ["kind", "tid"]
+    assert projection_query("t", cols, url="jdbc:mysql://h/db") == \
+        "SELECT DISTINCT `kind`, `tid` FROM t"
+    assert projection_query("t", cols, url="jdbc:mariadb://h/db") == \
+        "SELECT DISTINCT `kind`, `tid` FROM t"
+    assert projection_query("t", cols, url="jdbc:sqlserver://h;db=x") == \
+        "SELECT DISTINCT [kind], [tid] FROM t"
+    for u in ("jdbc:postgresql://h/db", "jdbc:derby:memory:x", None):
+        assert projection_query("t", cols, url=u) == \
+            'SELECT DISTINCT "kind", "tid" FROM t'
+
+
+def test_projection_query_escapes_quote_chars():
+    assert projection_query("t", ['we`ird'], url="jdbc:mysql://h/db") == \
+        "SELECT DISTINCT `we``ird` FROM t"
+    assert projection_query("t", ['we]ird'], url="jdbc:sqlserver://h") == \
+        "SELECT DISTINCT [we]]ird] FROM t"
