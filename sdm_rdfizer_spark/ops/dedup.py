@@ -356,6 +356,17 @@ def neardup_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # labels are still moving after max_iters rounds (component
+        # diameter > max_iters): downstream dedup_canonical would keep
+        # extra "canonical" docs from a split component — surface it
+        # instead of returning partial labels silently (ADVICE r2)
+        import warnings
+
+        warnings.warn(
+            f"neardup_components: label propagation did not converge in "
+            f"{max_iters} rounds — components may be split; raise "
+            f"max_iters", stacklevel=2)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

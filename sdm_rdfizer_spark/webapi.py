@@ -56,8 +56,11 @@ def make_handler(spark, semantify_fn=None):
     return Handler
 
 
-def serve(spark, host: str = "0.0.0.0", port: int = 4000):
-    """Blocking server entry (reference app.run host/port defaults)."""
+def serve(spark, host: str = "127.0.0.1", port: int = 4000):
+    """Blocking server entry. The reference binds 0.0.0.0 (its Flask
+    app.run default) — loopback here because /graph_creation accepts
+    filesystem paths with no auth (ADVICE r2); pass host="0.0.0.0"
+    explicitly to expose it."""
     server = ThreadingHTTPServer((host, port), make_handler(spark))
     server.serve_forever()
 
