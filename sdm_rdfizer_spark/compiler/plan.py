@@ -1036,14 +1036,62 @@ class MappingPlanner:
             if not self._parent_broadcast.get(cache_key):
                 self._parent_unique[cache_key] = False
             else:
-                pairs = self._parent_plain[cache_key]
-                kcols = [f"__pk{i}" for i in range(len(parent_keys))]
-                row = pairs.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_distinct(*[F.col(c) for c in kcols]).alias("k"),
-                ).first()
-                self._parent_unique[cache_key] = row["n"] == row["k"]
+                # footer-level fast path first: raw-key uniqueness in the
+                # parent FILE implies pairs uniqueness (each raw row
+                # yields at most one (key, subject) pair), and a driver-
+                # side duckdb footer scan of a broadcast-sized file is
+                # milliseconds vs ~seconds for the Spark probe job — the
+                # probe was ~60% of this query's compile time in the r3
+                # plan audit
+                fast = self._raw_key_unique(parent_tm, parent_keys)
+                if fast:
+                    self._parent_unique[cache_key] = True
+                else:
+                    pairs = self._parent_plain[cache_key]
+                    kcols = [f"__pk{i}" for i in range(len(parent_keys))]
+                    row = pairs.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(*[F.col(c) for c in kcols]).alias("k"),
+                    ).first()
+                    self._parent_unique[cache_key] = row["n"] == row["k"]
         return self._parent_unique[cache_key]
+
+    def _raw_key_unique(self, parent_tm: TriplesMap, parent_keys: tuple):
+        """True when the raw join-key columns are unique in a plain
+        parquet parent file — checked driver-side (duckdb over the file,
+        bounded by the broadcast-size gate). Only integer-typed plain
+        columns qualify: string/float keys go through value
+        canonicalization ("1.50" → "1.5") which can MERGE distinct raw
+        values, so raw uniqueness would not imply pair uniqueness there.
+        Returns None (unknown → caller runs the Spark probe) in every
+        other case; raw duplicates also return None since equal
+        (key, subject) pairs may still collapse to unique."""
+        ls = parent_tm.source
+        if (ls.fmt != "parquet" or ls.table or ls.query or ls.view
+                or ls.iterator):
+            return None
+        path = ls.source
+        if not (path and os.path.isfile(path)):
+            return None
+        try:
+            import duckdb
+            import pyarrow.parquet as pq
+            import pyarrow.types as pt
+
+            schema = pq.read_schema(path)
+            for k in parent_keys:
+                if "{" in k or k not in schema.names:
+                    return None
+                if not pt.is_integer(schema.field(k).type):
+                    return None
+            cols = ", ".join(f'"{k}"' for k in parent_keys)
+            notnull = " AND ".join(f'"{k}" IS NOT NULL' for k in parent_keys)
+            n, d = duckdb.execute(
+                f"SELECT count(*), count(DISTINCT ({cols})) "
+                f"FROM read_parquet(?) WHERE {notnull}", [path]).fetchone()
+            return True if n == d else None
+        except Exception:
+            return None
 
     def _missing_refs(self, df: DataFrame, refs: list) -> list[str]:
         """References with no matching column — exact name first, then the

@@ -160,6 +160,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def adaptive_n_planes(n_vectors: int, *, target_occupancy: int = 8,
+                      floor: int = 6, ceiling: int = 24) -> int:
+    """Hyperplane count sized to the corpus so bucket occupancy — and
+    with it the per-bucket candidate-pair count, which grows as
+    occupancy² — stays roughly constant as data scales (r3 sf1 bench:
+    fixed n_planes=6 → 64 buckets meant 10× data → ~100× candidate
+    pairs; 433 s for the LSH path that took 2 s at sf0.1). Buckets ≈
+    n / target_occupancy, so n_planes = log2 of that, floored for
+    recall and capped so the bucket key stays small."""
+    import math
+
+    if n_vectors <= 0:
+        return floor
+    return max(floor, min(ceiling,
+                          math.ceil(math.log2(max(1.0, n_vectors / target_occupancy)))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,
@@ -169,6 +186,7 @@ def embedding_neardup_pairs(
     method: str = "exact",
     n_planes: int = 6,
     seed: int = 42,
+    center: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     ``round(cos, 6) >= threshold`` and ``id_a < id_b``.
@@ -180,6 +198,16 @@ def embedding_neardup_pairs(
     O(n²) cross join into a shuffled equi-join on the bucket key — near
     pairs almost always share the bucket at high thresholds; recall can
     be raised by unioning several seeds.
+
+    ``center`` biases each hyperplane through the data centroid:
+    bit_p = (dot(v, p) >= avg_rows dot(v, p)). Real embedding models
+    produce anisotropic vectors clustered around a mean direction, and
+    planes through the ORIGIN leave that mass on one side — the r3 sf1
+    plan audit measured one sign-bucket holding 19% of all vectors
+    (3 746/20 000), making the bucket join quadratic in that clump.
+    Centering costs one tiny aggregate (n_planes averages, like IVF's
+    centroid collect) and rebalances the buckets; candidates are still
+    scored with the ORIGINAL vectors, so pair scores are unaffected.
     """
     from .similarity import random_hyperplanes, _dot, _norm
 
@@ -193,10 +221,21 @@ def embedding_neardup_pairs(
     if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         planes = random_hyperplanes(dim, n_planes, seed)
-        bits = [
-            F.when(_dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
+        projs = [
+            _dot(F.col("__v"), F.array(*[F.lit(x) for x in p]))
             for p in planes
+        ]
+        if center:
+            row = v.agg(*[F.avg(pr).alias(f"__b{i}")
+                          for i, pr in enumerate(projs)]).first()
+            # rounded so an engine-replayed oracle (different summation
+            # order in avg) lands on the identical boundary value
+            biases = [round(row[i] or 0.0, 6) for i in range(len(planes))]
+        else:
+            biases = [0.0] * len(planes)
+        bits = [
+            F.when(pr >= F.lit(b), F.lit("1")).otherwise(F.lit("0"))
+            for pr, b in zip(projs, biases)
         ]
         v = v.withColumn("__bucket", F.concat(*bits))
         cond = [F.col("a.__bucket") == F.col("b.__bucket")]
@@ -230,8 +269,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     by bit-slices for a banding search, same shape as MinHash-LSH.
     """
     w = F.transform(words(text_col), F.lower)
-    # token hash = first 8 hex chars of md5 → 32-bit int
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    # token hash from the md5 hex digest: first 8 hex chars → low 32
+    # bits (unchanged vs the 32-bit oracle); for wider fingerprints the
+    # next 8 hex chars fill bits 32-63 (without this, bits > 32 would be
+    # constant-zero and the upper bit-slices would bucket EVERY doc
+    # together — the opposite of banding)
+    def tok_hash(t):
+        lo = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        if bits <= 32:
+            return lo
+        hi = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+        return lo.bitwiseOR(F.shiftleft(hi, 32))
+
     exploded = df.select(F.col(id_col), F.explode(w).alias("tok"))
     exploded = exploded.withColumn("h", tok_hash(F.col("tok")))
     votes = [
@@ -243,9 +292,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     per_doc = exploded.groupBy(id_col).agg(*votes)
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        # shiftleft + bitwiseOR, not integer addition: bit 63 as a
+        # Python literal would overflow the signed long under ANSI mode
+        bit = F.when(F.col(f"v{b}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -85,7 +85,12 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # ∈ [-1, 1)
+            # (state>>33) ∈ [0, 2^31) — divide by 2^30 for [-1, 1).
+            # (r3 fix: dividing by 2^31 gave [-1, 0): every component of
+            # every plane negative, planes pairwise-cos ≈ 0.74, so k
+            # planes acted like ~2 and sign-buckets degenerated into one
+            # mega-bucket holding 19% of all vectors)
+            row.append(((state >> 33) / float(1 << 30)) - 1.0)  # ∈ [-1, 1)
         planes.append(row)
     return planes
 

@@ -1,0 +1,350 @@
+"""Golden-output conformance sweep (VERDICT r2 item 10).
+
+A representative subset of the kg-construct test-case FAMILIES the
+reference passes (SURVEY §5 / the KGCW workbook matrices: RMLTC core
+R2RML/RML cases, RML-star, RML-CC collections, RML-LV logical views),
+re-authored from the spec surface as fixture mappings with the COMPLETE
+expected triple set — each case asserts sorted-output equality, not
+membership, so extra or missing triples fail.
+
+Case naming follows the public suite's numbering for cross-reference
+(e.g. 0001a = simple reference literal); data and mappings are written
+fresh here, not copied from any suite.
+"""
+
+import json
+
+import pytest
+
+from sdm_rdfizer_spark import materialize
+
+PFX = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+@prefix ex: <http://example.com/> .
+"""
+
+STUDENT_CSV = "ID,Name,Sport\n10,Venus,Tennis\n20,Ada,\n"
+SPORT_CSV = "SID,Label\nTennis,Lawn Tennis\n"
+
+
+def _run(spark, tmp_path, files: dict, mapping: str, **kw):
+    for name, content in files.items():
+        (tmp_path / name).write_text(content)
+    df = materialize(spark, PFX + mapping.replace("@DIR@", str(tmp_path)), **kw)
+    cols = ["s", "p", "o", "g"]
+    out = []
+    for r in df.select(*cols).collect():
+        if r["g"] is None:
+            out.append(f"{r['s']} {r['p']} {r['o']} .")
+        else:
+            out.append(f"{r['s']} {r['p']} {r['o']} {r['g']} .")
+    return sorted(out)
+
+
+# each case: (files, mapping, expected sorted N-Triples/N-Quads lines)
+CASES = {
+    # RMLTC0001a family: single reference-valued literal
+    "0001a_reference_literal": (
+        {"student.csv": STUDENT_CSV},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/student.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+        [
+            '<http://example.com/10> <http://xmlns.com/foaf/0.1/name> "Venus" .',
+            '<http://example.com/20> <http://xmlns.com/foaf/0.1/name> "Ada" .',
+        ],
+    ),
+    # RMLTC0000 family: subject + class only
+    "0000_class_only": (
+        {"student.csv": STUDENT_CSV},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/student.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/Student/{ID}"; rr:class foaf:Person ] .
+""",
+        [
+            "<http://example.com/Student/10> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            "<http://xmlns.com/foaf/0.1/Person> .",
+            "<http://example.com/Student/20> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            "<http://xmlns.com/foaf/0.1/Person> .",
+        ],
+    ),
+    # RMLTC0004a family: rr:termType on object maps; NULL-valued
+    # reference drops the triple (Ada has no Sport)
+    "0004a_termtypes_and_null_drop": (
+        {"student.csv": STUDENT_CSV},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/student.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate ex:sport; rr:objectMap [
+      rml:reference "Sport"; rr:termType rr:Literal ] ];
+  rr:predicateObjectMap [ rr:predicate ex:sportIri; rr:objectMap [
+      rr:template "http://example.com/sport/{Sport}"; rr:termType rr:IRI ] ] .
+""",
+        [
+            '<http://example.com/10> <http://example.com/sport> "Tennis" .',
+            "<http://example.com/10> <http://example.com/sportIri> "
+            "<http://example.com/sport/Tennis> .",
+        ],
+    ),
+    # RMLTC0006a family: constant shortcuts (rr:subject/predicate/object)
+    "0006a_constants": (
+        {"one.csv": "k\n1\n"},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/one.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subject ex:BadStudent;
+  rr:predicateObjectMap [ rr:predicate ex:description; rr:object "Bad" ];
+  rr:predicateObjectMap [ rr:predicate ex:peer; rr:object ex:OtherStudent ] .
+""",
+        [
+            '<http://example.com/BadStudent> <http://example.com/description> "Bad" .',
+            "<http://example.com/BadStudent> <http://example.com/peer> "
+            "<http://example.com/OtherStudent> .",
+        ],
+    ),
+    # RMLTC0007h family: named-graph emission (rr:graphMap) → quads
+    "0007h_named_graph": (
+        {"student.csv": STUDENT_CSV},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/student.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}";
+                  rr:graphMap [ rr:constant ex:PersonGraph ] ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+        [
+            '<http://example.com/10> <http://xmlns.com/foaf/0.1/name> "Venus" '
+            "<http://example.com/PersonGraph> .",
+            '<http://example.com/20> <http://xmlns.com/foaf/0.1/name> "Ada" '
+            "<http://example.com/PersonGraph> .",
+        ],
+    ),
+    # RMLTC0009a family: join with condition across two sources
+    "0009a_join": (
+        {"student.csv": STUDENT_CSV, "sport.csv": SPORT_CSV},
+        """
+<#S> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/student.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate ex:plays; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "Sport"; rr:parent "SID" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/sport.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/sport/{SID}" ] .
+""",
+        [
+            "<http://example.com/10> <http://example.com/plays> "
+            "<http://example.com/sport/Tennis> .",
+        ],
+    ),
+    # RMLTC0015a family: language tags
+    "0015a_language": (
+        {"country.csv": "Code,Name\nBO,Bolivia\n"},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/country.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{Code}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [
+      rml:reference "Name"; rr:language "en" ] ] .
+""",
+        ['<http://example.com/BO> <http://example.com/name> "Bolivia"@en .'],
+    ),
+    # RMLTC0002e family: blank-node subjects
+    "0002e_blank_subject": (
+        {"student.csv": STUDENT_CSV},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/student.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{ID}"; rr:termType rr:BlankNode ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+        [
+            '_:10 <http://xmlns.com/foaf/0.1/name> "Venus" .',
+            '_:20 <http://xmlns.com/foaf/0.1/name> "Ada" .',
+        ],
+    ),
+    # RMLTC with datatype decoration
+    "0016a_datatype": (
+        {"p.csv": "id,amount\n1,12.5\n"},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:amount; rr:objectMap [
+      rml:reference "amount"; rr:datatype xsd:double ] ] .
+""",
+        [
+            '<http://example.com/1> <http://example.com/amount> '
+            '"12.5"^^<http://www.w3.org/2001/XMLSchema#double> .',
+        ],
+    ),
+    # JSON iterator family (RMLTC with ql:JSONPath)
+    "json_iterator": (
+        {"data.json": json.dumps(
+            {"students": [{"ID": 1, "Name": "Venus"},
+                          {"ID": 2, "Name": "Ada"}]})},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/data.json";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.students[*]" ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+        [
+            '<http://example.com/1> <http://xmlns.com/foaf/0.1/name> "Venus" .',
+            '<http://example.com/2> <http://xmlns.com/foaf/0.1/name> "Ada" .',
+        ],
+    ),
+    # XML iterator family (ql:XPath)
+    "xml_iterator": (
+        {"data.xml": "<students>"
+                     '<student ID="1"><Name>Venus</Name></student>'
+                     '<student ID="2"><Name>Ada</Name></student>'
+                     "</students>"},
+        """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/data.xml";
+                      rml:referenceFormulation ql:XPath;
+                      rml:iterator "/students/student" ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+        [
+            '<http://example.com/1> <http://xmlns.com/foaf/0.1/name> "Venus" .',
+            '<http://example.com/2> <http://xmlns.com/foaf/0.1/name> "Ada" .',
+        ],
+    ),
+    # RMLSTAR family: quoted-triple object, same source (non-asserted)
+    "star_quoted_object": (
+        {"conf.csv": "entity,class,score\nAlice,Person,0.8\n"},
+        """
+<#Q> a rml:NonAssertedTriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/conf.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{entity}" ];
+  rr:predicateObjectMap [ rr:predicate rdf:type; rr:objectMap [
+      rr:template "http://example.com/{class}"; rr:termType rr:IRI ] ] .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/conf.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/stmt/{entity}" ];
+  rr:predicateObjectMap [ rr:predicate ex:confidence; rr:objectMap [
+      rml:quotedTriplesMap <#Q> ] ] .
+""",
+        [
+            "<http://example.com/stmt/Alice> <http://example.com/confidence> "
+            "<< <http://example.com/Alice> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            "<http://example.com/Person> >> .",
+        ],
+    ),
+}
+
+
+def _cc_list_expected():
+    # the engine's deterministic blank nodes (gather.py): collection node
+    # = _:g + md5(subject||predicate||items⟨US⟩-joined); cell k =
+    # _: + md5("{node}|{k}")
+    import hashlib
+
+    s = "<http://example.com/10>"
+    p = "<http://example.com/sports>"
+    items = ['"Tennis"', '"Judo"']
+    node = "_:g" + hashlib.md5((s + p + "\x1f".join(items)).encode()).hexdigest()
+    c0 = "_:" + hashlib.md5(f"{node}|0".encode()).hexdigest()
+    c1 = "_:" + hashlib.md5(f"{node}|1".encode()).hexdigest()
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    return [
+        f"{s} {p} {c0} .",
+        f'{c0} <{rdf}first> "Tennis" .',
+        f"{c0} <{rdf}rest> {c1} .",
+        f'{c1} <{rdf}first> "Judo" .',
+        f"{c1} <{rdf}rest> <{rdf}nil> .",
+    ]
+
+
+CASES["star_quoted_join"] = (
+    # RMLSTAR family: quoted map with rr:joinCondition
+    {"facts.csv": "fid,person\nf1,alice\nf2,nobody\n",
+     "rel.csv": "who,whom\nalice,bob\n"},
+    """
+<#Fact> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/facts.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/fact/{fid}" ];
+  rr:predicateObjectMap [ rr:predicate ex:states; rr:objectMap [
+      rml:quotedTriplesMap <#Rel>;
+      rr:joinCondition [ rr:child "person"; rr:parent "who" ] ] ] .
+<#Rel> a rml:NonAssertedTriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/rel.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{who}" ];
+  rr:predicateObjectMap [ rr:predicate ex:knows; rr:objectMap [
+      rr:template "http://example.com/p/{whom}" ] ] .
+""",
+    [
+        "<http://example.com/fact/f1> <http://example.com/states> "
+        "<< <http://example.com/p/alice> <http://example.com/knows> "
+        "<http://example.com/p/bob> >> .",
+    ],
+)
+
+CASES["lv_projection_left_join"] = (
+    # RML-LV family: view fields + left join against a parent view
+    {"emp.csv": "eid,dept\ne1,d1\ne2,dX\n",
+     "dept.csv": "did,dname\nd1,Eng\n"},
+    """
+@prefix rl: <http://w3id.org/rml/> .
+<#M> a rr:TriplesMap;
+  rl:logicalSource [
+    rl:viewOn [ rl:source [ rl:path "@DIR@/emp.csv" ];
+                rl:referenceFormulation ql:CSV ];
+    rl:field [ rl:fieldName "eid"; rl:reference "eid" ];
+    rl:field [ rl:fieldName "dept"; rl:reference "dept" ];
+    rl:leftJoin [
+      rl:parentLogicalView [
+        rl:viewOn [ rl:source [ rl:path "@DIR@/dept.csv" ];
+                    rl:referenceFormulation ql:CSV ];
+        rl:field [ rl:fieldName "did"; rl:reference "did" ];
+        rl:field [ rl:fieldName "dname"; rl:reference "dname" ];
+      ];
+      rl:joinCondition [ rl:child "dept"; rl:parent "did" ];
+      rl:field [ rl:fieldName "deptname"; rl:reference "dname" ];
+    ];
+  ];
+  rr:subjectMap [ rr:template "http://example.com/e/{eid}" ];
+  rr:predicateObjectMap [ rr:predicate ex:deptName;
+      rr:objectMap [ rml:reference "deptname" ] ] .
+""",
+    # left join: e2 has no matching dept → no deptName triple
+    ['<http://example.com/e/e1> <http://example.com/deptName> "Eng" .'],
+)
+
+CASES["cc_list"] = (
+    {"sports.csv": "ID,s1,s2\n10,Tennis,Judo\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/sports.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate ex:sports; rr:objectMap [
+      rml:gather ( [ rml:reference "s1" ] [ rml:reference "s2" ] );
+      rml:gatherAs rdf:List ] ] .
+""",
+    _cc_list_expected(),
+)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_golden_output(spark, tmp_path, case):
+    files, mapping, expected = CASES[case]
+    assert _run(spark, tmp_path, files, mapping) == sorted(expected)

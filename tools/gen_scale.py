@@ -1,0 +1,88 @@
+"""Scale a testdata sf directory up by an integer factor (default 10×,
+sf0.1 → "sf1") for large-scale bench runs.
+
+Fact tables (orders, lineitem, events, documents, embeddings) are
+replicated with key offsets so join relationships hold; dimension tables
+(region, nation, customer, supplier, part) are copied verbatim — the
+"facts grow, dims don't" shape of a real warehouse. Replica documents get
+a per-replica token appended and embeddings a small deterministic
+perturbation so duplicate/near-duplicate rates stay realistic instead of
+exploding by the replication factor (10 identical copies of every doc
+would make pair-generating dedup queries measure a degenerate dup rate,
+not scale).
+
+Deterministic (seed fixed per replica); writes only under the output dir.
+
+Usage: python tools/gen_scale.py [--src /root/testdata/sf0.1]
+                                 [--dst /tmp/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+KEY_STRIDE = 10_000_000_000
+
+
+def _offset(col: pa.ChunkedArray, i: int) -> pa.Array:
+    return pa.compute.add(col, i * KEY_STRIDE)
+
+
+def scale_table(name: str, src: str, dst: str, factor: int) -> int:
+    t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+    reps = []
+    for i in range(factor):
+        cols = {}
+        for field in t.schema:
+            c = t.column(field.name)
+            if i == 0:
+                cols[field.name] = c
+                continue
+            if field.name in ("o_orderkey", "l_orderkey", "event_id",
+                              "doc_id", "vec_id", "user_id"):
+                cols[field.name] = _offset(c, i)
+            elif field.name == "text":
+                # distinct replica text: append a replica token so exact/
+                # near-dup pair counts scale linearly, not quadratically
+                cols[field.name] = pa.compute.binary_join_element_wise(
+                    c.cast(pa.string()), f" r{i}", " ")
+            elif field.name == "embedding":
+                rng = np.random.default_rng(1000 + i)
+                flat = c.combine_chunks()
+                vals = flat.values.to_numpy(zero_copy_only=False)
+                noise = rng.normal(0, 0.01, size=vals.shape).astype(np.float32)
+                cols[field.name] = pa.ListArray.from_arrays(
+                    flat.offsets, pa.array(vals + noise, type=pa.float32()))
+            else:
+                cols[field.name] = c
+        reps.append(pa.table(cols, schema=None))
+    out = pa.concat_tables(reps)
+    pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+    return out.num_rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    for d in DIMS:
+        shutil.copyfile(os.path.join(args.src, f"{d}.parquet"),
+                        os.path.join(args.dst, f"{d}.parquet"))
+        print(f"{d}: copied")
+    for f in ["orders", "lineitem", "events", "documents", "embeddings"]:
+        n = scale_table(f, args.src, args.dst, args.factor)
+        print(f"{f}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
