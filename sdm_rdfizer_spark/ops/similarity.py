@@ -78,7 +78,11 @@ def brute_force_topk(
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state — a
-    simple LCG keeps this reproducible across engines and platforms)."""
+    simple LCG keeps this reproducible across engines and platforms).
+
+    Size ``n_planes`` to the corpus: bucket occupancy ≈ n / 2^n_planes
+    and candidate pairs grow with occupancy², so fixed plane counts turn
+    quadratic as data scales — see ``ops.dedup.adaptive_n_planes``."""
     planes = []
     state = seed
     for _ in range(n_planes):

@@ -257,3 +257,77 @@ def test_repetition_stats_flags_repetitive_docs(spark):
     # shuffle-free: the plan contains no Exchange
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_adaptive_n_planes_occupancy_scaling():
+    """Bucket count tracks corpus size (constant occupancy target) with
+    a floor that pins the sf0.01 oracle corpus at 6 planes."""
+    from sdm_rdfizer_spark.ops.dedup import adaptive_n_planes
+
+    assert adaptive_n_planes(0) == 6
+    assert adaptive_n_planes(500) == 6       # oracle corpus — must not move
+    assert adaptive_n_planes(2_000) == 8
+    assert adaptive_n_planes(20_000) == 12
+    assert adaptive_n_planes(10**9) == 24    # capped
+    # monotone non-decreasing
+    vals = [adaptive_n_planes(n) for n in (10, 100, 10**4, 10**6, 10**8)]
+    assert vals == sorted(vals)
+
+
+def test_random_hyperplanes_not_degenerate():
+    """r3 regression: the LCG mapped to [-1, 0) — every component
+    negative, planes pairwise-correlated, sign-buckets degenerate."""
+    from sdm_rdfizer_spark.ops.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, 42)
+    flat = [x for p in planes for x in p]
+    assert any(x > 0 for x in flat) and any(x < 0 for x in flat)
+    frac_pos = sum(1 for x in flat if x > 0) / len(flat)
+    assert 0.4 < frac_pos < 0.6
+    # pairwise cosine of distinct planes stays small
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    sims = [abs(cos(planes[i], planes[j]))
+            for i in range(8) for j in range(i + 1, 8)]
+    assert max(sims) < 0.45
+
+
+def test_simhash_64bit_uses_upper_bits(spark):
+    """bits=64 fingerprints must vary in bits 32-63 (the widened token
+    hash) — constant-zero upper bits would collapse the upper bit-slice
+    buckets to one."""
+    from sdm_rdfizer_spark.ops.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, f"totally different text number {i} with words {i*7}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    fps = [r.simhash for r in simhash(df, bits=64).collect()]
+    uppers = {fp >> 32 for fp in fps}
+    assert len(uppers) > 1
+    # 32-bit fingerprints unchanged by the widening (oracle parity)
+    fps32 = [r.simhash for r in simhash(df, bits=32).collect()]
+    assert all(0 <= fp < (1 << 32) for fp in fps32)
+
+
+def test_embedding_lsh_centering_balances_buckets(spark):
+    """Centered hashing: a corpus clustered on one side of the origin
+    still splits across buckets (bias = mean projection)."""
+    import random
+
+    from sdm_rdfizer_spark.ops.dedup import embedding_neardup_pairs
+
+    rng = random.Random(7)
+    # all vectors in the positive orthant: origin-planes see one side
+    rows = [(i, [rng.uniform(0.5, 1.0) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(df, threshold=0.999, method="lsh",
+                                    n_planes=4, center=True)
+    # smoke: runs, respects id_a < id_b, and similarity is exact-scored
+    for r in pairs.collect():
+        assert r.id_a < r.id_b and r.sim >= 0.999
