@@ -344,6 +344,142 @@ CASES["cc_list"] = (
 )
 
 
+
+
+CASES["0008b_multi_column_template"] = (
+    # template drawing on two references
+    {"s.csv": "fn,ln\nAda,Lovelace\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{fn}_{ln}" ];
+  rr:predicateObjectMap [ rr:predicate ex:first; rr:objectMap [ rml:reference "fn" ] ] .
+""",
+    ['<http://example.com/p/Ada_Lovelace> <http://example.com/first> "Ada" .'],
+)
+
+CASES["0025_multi_condition_join"] = (
+    # join on TWO child/parent column pairs
+    {"child.csv": "a,b,v\n1,x,keep\n1,y,drop\n",
+     "parent.csv": "pa,pb\n1,x\n"},
+    """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/child.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/c/{v}" ];
+  rr:predicateObjectMap [ rr:predicate ex:ref; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "a"; rr:parent "pa" ];
+      rr:joinCondition [ rr:child "b"; rr:parent "pb" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/parent.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{pa}{pb}" ] .
+""",
+    ["<http://example.com/c/keep> <http://example.com/ref> "
+     "<http://example.com/p/1x> ."],
+)
+
+CASES["tsv_source"] = (
+    {"d.tsv": "id\tname\n7\tseven\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/d.tsv"; rml:referenceFormulation ql:TSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+""",
+    ['<http://example.com/7> <http://example.com/name> "seven" .'],
+)
+
+CASES["json_nested_iterator"] = (
+    # [*][*] nested-array iterator
+    {"m.json": json.dumps({"groups": [
+        {"items": [{"id": 1}, {"id": 2}]},
+        {"items": [{"id": 3}]}]})},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/m.json";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.groups[*].items[*]" ];
+  rr:subjectMap [ rr:template "http://example.com/i/{id}"; rr:class ex:Item ] .
+""",
+    [f"<http://example.com/i/{n}> "
+     "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+     "<http://example.com/Item> ." for n in (1, 2, 3)],
+)
+
+CASES["cc_bag_grouped_across_rows"] = (
+    # RMLCC: container grouped by the node template across rows
+    {"e.csv": "sid,course\ns1,math\ns1,art\ns2,bio\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/e.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/s/{sid}" ];
+  rr:predicateObjectMap [ rr:predicate ex:courses; rr:objectMap [
+      rr:template "http://example.com/bag/{sid}";
+      rml:gather ( [ rml:reference "course" ] );
+      rml:gatherAs rdf:Bag ] ] .
+""",
+    [
+        "<http://example.com/s/s1> <http://example.com/courses> "
+        "<http://example.com/bag/s1> .",
+        "<http://example.com/s/s2> <http://example.com/courses> "
+        "<http://example.com/bag/s2> .",
+        "<http://example.com/bag/s1> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Bag> .",
+        "<http://example.com/bag/s2> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Bag> .",
+        # default cross-row order: items sorted by value
+        '<http://example.com/bag/s1> '
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1> "art" .',
+        '<http://example.com/bag/s1> '
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_2> "math" .',
+        '<http://example.com/bag/s2> '
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1> "bio" .',
+    ],
+)
+
+CASES["fnml_function_object"] = (
+    # RML-FNML: FnO function as the object map
+    {"p.csv": "id,name\n1,ada\n"},
+    """
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:up; rr:objectMap [
+    fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ];
+      rr:predicateObjectMap [ rr:predicate grel:valueParam;
+                              rr:objectMap [ rml:reference "name" ] ];
+    ] ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/up> "ADA" .'],
+)
+
+CASES["non_asserted_not_emitted"] = (
+    # a NonAssertedTriplesMap contributes no triples of its own
+    {"c.csv": "e,cls\nAlice,Person\n"},
+    """
+<#Q> a rml:NonAssertedTriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{e}" ];
+  rr:predicateObjectMap [ rr:predicate ex:cls; rr:objectMap [ rml:reference "cls" ] ] .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/stmt/{e}" ];
+  rr:predicateObjectMap [ rr:predicate ex:about; rr:objectMap [
+      rml:quotedTriplesMap <#Q> ] ] .
+""",
+    [
+        "<http://example.com/stmt/Alice> <http://example.com/about> "
+        '<< <http://example.com/Alice> <http://example.com/cls> "Person" >> .',
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected = CASES[case]
