@@ -153,11 +153,20 @@ def compile_gather(
         # on plain strings / a rid-keyed struct, not per-item structs
         # (the r2 emission exploded every item before the groupBy and
         # array_sort-ed (item,pos) structs — 2.4x slower at sf0.1).
+        # Scope note: rows are grouped per (s, p, g, node) — one
+        # collection per subject. The reference groups by the NODE value
+        # alone (grouping_values_json, cc_functions.py:537-552), so a
+        # mapping whose node template collides across different subjects
+        # would merge their items there; RML-CC does not define that
+        # corner and node templates in practice embed the subject keys.
         if row_order == "source":
             # reference parity: the reference appends items in source-row
             # iteration order (cc_functions.py:269-340); rid is ascending
-            # in scan order (deterministic for a single-file source read —
-            # partition index follows file-split offset)
+            # in scan order (deterministic for single-file CSV/JSON/XML
+            # string sources — partition index follows file-split offset;
+            # parquet scans may repartition for parallelism, which breaks
+            # source order — but the reference has no parquet source, so
+            # every parity surface is covered)
             rows = df.where(subject_valid & ncv.valid).select(
                 subject.alias("s"), pred.alias("p"),
                 graph.cast("string").alias("g"),

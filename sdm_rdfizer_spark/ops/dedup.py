@@ -125,6 +125,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
     shingle: |A∩B| / |A∪B| ≥ threshold.
@@ -133,10 +134,26 @@ def ngram_jaccard_pairs(
     shingle — never a cartesian product); union sizes from per-doc
     distinct-shingle counts. At scale, run AFTER LSH candidate generation
     to bound the join fan-out.
+
+    ``max_df`` (off by default — the default is exact) drops shingles
+    appearing in more than that many documents from the INDEX before the
+    join — the classic stop-shingle cut: a shingle shared by k docs
+    contributes k² join rows, so a handful of boilerplate shingles can
+    dominate the shuffle. Dropped shingles still count toward |A| and
+    |B| (union sizes stay exact); only the measured intersection can
+    shrink, so the filter is PRECISION-SAFE: reported jaccard is a lower
+    bound and every reported pair is a true pair, but pairs whose
+    overlap lives mostly in ubiquitous shingles may be missed.
     """
     sh = shingles(words(text_col), shingle_n)
     docs = df.select(F.col(id_col), sh.alias("sh")).withColumn("sh_n", F.size("sh"))
     inv = docs.select(id_col, "sh_n", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        keep = (inv.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_df)
+                .select("shingle"))
+        inv = inv.join(keep, "shingle")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(

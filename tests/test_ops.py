@@ -331,3 +331,28 @@ def test_embedding_lsh_centering_balances_buckets(spark):
     # smoke: runs, respects id_a < id_b, and similarity is exact-scored
     for r in pairs.collect():
         assert r.id_a < r.id_b and r.sim >= 0.999
+
+
+def test_ngram_jaccard_max_df_precision_safe(spark):
+    """Stop-shingle cut: ubiquitous shingles leave the index (join cost)
+    but still count toward union sizes — reported pairs remain true
+    pairs with a lower-bound score."""
+    from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
+
+    common = "the quick brown fox jumps over the lazy dog again and"
+    docs = spark.createDataFrame(
+        [(1, common + " alpha beta gamma delta"),
+         (2, common + " alpha beta gamma delta"),
+         (3, "completely unrelated text with other words entirely here")],
+        "doc_id long, text string")
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(docs, threshold=0.5,
+                                           max_df=2).collect()}
+    assert (1, 2) in exact
+    # every capped pair is a true pair with score <= the exact score
+    for pair, j in capped.items():
+        assert pair in exact and j <= exact[pair]
+    # docs 1/2 share every shingle (df=2 <= cap): still found, same score
+    assert capped.get((1, 2)) == exact[(1, 2)]
