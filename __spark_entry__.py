@@ -1453,6 +1453,19 @@ FROM m
 """
 
 
+def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup (stateful dropDuplicates over a file
+    stream, availableNow drain -> equals batch DISTINCT)."""
+    from sdm_rdfizer_spark.streaming import stream_dedup_exact
+
+    return stream_dedup_exact(spark, sf, key_cols=("event_type",))
+
+
+_STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
 def _q_streaming_events_window(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming path: events.parquet consumed as a file stream,
     watermarked tumbling-window aggregation, drained with an availableNow
@@ -1698,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "multimodal_features": _q_multimodal_features,
         "streaming_events_window": _q_streaming_events_window,
+        "streaming_dedup": _q_streaming_dedup,
         "events_sessionize": _q_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
     }
@@ -1743,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
+        "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

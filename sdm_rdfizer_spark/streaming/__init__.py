@@ -231,6 +231,33 @@ def stream_events_window(
     return run_available_now(agg, name=name, output_mode="complete")
 
 
+def stream_dedup_exact(
+    spark: SparkSession, sf_dir: str, *, key_cols=("event_type",),
+) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over a file
+    stream keeps state per key and emits only first occurrences — the
+    streaming counterpart of the batch digest-groupBy dedup
+    (SURVEY §2.7 beyond-reference; the reference's PTT is batch-only).
+    Drained with availableNow so the result equals the batch DISTINCT
+    (Spark's batch-parity guarantee), which is what makes it
+    oracle-checkable. In production, bound the state with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark``.
+    """
+    from ..engine import tune_session
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            "{events.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    deduped = sdf.select(*[F.col(c) for c in key_cols]).dropDuplicates(list(key_cols))
+    name = "stream_dedup_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(deduped, name=name, output_mode="append")
+
+
 def stateful_sessionize_stream(
     sdf: DataFrame,
     *,

@@ -90,3 +90,17 @@ def test_stateful_sessionize_stream_parity(spark):
         "mx", F.max("session_seq").over(Window.partitionBy("user_id")))
     expected = {tuple(r) for r in last.where("session_seq < mx").drop("mx").collect()}
     assert got == expected and got
+
+
+def test_stream_dedup_exact_matches_batch_distinct(spark):
+    """Streaming dropDuplicates drained with availableNow equals the
+    batch DISTINCT over the same file."""
+    from sdm_rdfizer_spark.streaming import stream_dedup_exact
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type for r in
+           stream_dedup_exact(spark, sf, key_cols=("event_type",)).collect()}
+    want = {r.event_type for r in
+            spark.read.parquet(f"{sf}/events.parquet")
+            .select("event_type").distinct().collect()}
+    assert got == want and len(got) > 0
