@@ -109,3 +109,37 @@ def test_reference_scope_ignores_graph(spark, csv_dir):
 def test_reference_scope_output_schema_clean(spark, csv_dir):
     df = materialize(spark, _mapping(csv_dir), dedup_scope="reference")
     assert df.columns == ["s", "p", "o", "g"]
+
+
+def test_reference_scope_with_logical_targets(spark, csv_dir):
+    """materialize_with_targets: the per-target dedup uses the same
+    reference keying and the __rule tag never leaks into outputs."""
+    from sdm_rdfizer_spark import materialize_with_targets
+
+    m = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://example.com/vocab/> .
+@prefix formats: <http://www.w3.org/ns/formats/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{csv_dir}/data.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/t/{{tid}}" ];
+  rr:predicateObjectMap [ rr:predicate owl:sameAs;
+    rr:objectMap [ rr:constant <http://example.com/canon/X>;
+                   rml:logicalTarget <#T> ] ];
+  rr:predicateObjectMap [ rr:predicate owl:sameAs;
+    rr:objectMap [ rr:template "{{alias}}"; rr:termType rr:IRI;
+                   rml:logicalTarget <#T> ] ] .
+<#T> rml:target [ rml:path "{csv_dir}/same.nt" ];
+  rml:serialization formats:N-Triples .
+"""
+    main, frames = materialize_with_targets(spark, m, dedup_scope="reference")
+    assert main.columns == ["s", "p", "o", "g"]
+    rows = main.collect()
+    # both rules survive for each of T1/T2 (reference PTT keying)
+    assert len(rows) == 4
+    (spec, frame), = frames.items()
+    assert frame.columns == ["s", "p", "o", "g"]
+    assert frame.count() == 4
