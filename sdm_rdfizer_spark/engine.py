@@ -66,7 +66,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def default_session(app: str = "sdm-rdfizer-spark", cpus: str | int = "*") -> SparkSession:
+def default_session(app: str = "sdm-rdfizer-spark", cpus: str | int = "*",
+                    driver_memory: str = "8g") -> SparkSession:
+    # in local mode the driver heap IS the executor heap for every core;
+    # Spark's 1g default collapses under 32 concurrent tasks (only
+    # effective when this call actually creates the JVM)
     return tune_session(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
@@ -74,6 +78,7 @@ def default_session(app: str = "sdm-rdfizer-spark", cpus: str | int = "*") -> Sp
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory)
         .getOrCreate()
     )
 
