@@ -269,8 +269,10 @@ class MappingPlanner:
 
     def _xml_parent_refs(self, key: tuple) -> list[str]:
         """Parent-axis (``..``) references any TriplesMap makes against
-        this XML source — they need the driver-side full parse (the
-        distributed record split cannot see ancestors)."""
+        this XML source — the scan then splits the file on the ancestor
+        element the refs reach (so ``..`` resolves in-fragment on
+        executors), falling back to the driver-side full parse when the
+        iterator doesn't name that ancestor."""
         refs: list = []
         for tm in self.tms:
             if tm.source.cache_key() != key:

@@ -697,13 +697,17 @@ def _xml_fragment_rows(rec: str, local: str, pred: str | None,
 
 
 def _read_xml(spark: SparkSession, ls: LogicalSource) -> DataFrame:
-    """XML scan with an XPath-ish iterator — distributed by default,
-    driver-side full parse for iterators without a concrete row tag or
-    mappings using parent-axis (``..``) references (the record split
-    cannot see ancestors; the planner routes those here via the
-    ``xml_parent_refs`` option)."""
-    if ls.options.get("xml_parent_refs"):
-        return _read_xml_driver(spark, ls)
+    """XML scan with an XPath-ish iterator — distributed by default.
+
+    Parent-axis (``..``) references (planner-routed via the
+    ``xml_parent_refs`` option) stay distributed when the iterator path
+    names the ancestor: the file is split on the ancestor element D
+    levels above the row tag (D = deepest ``..`` any ref walks), each
+    fragment then contains every row together with the ancestors those
+    rows reference, so ``..`` resolves executor-side. Iterators too
+    shallow/opaque to locate the ancestor (relative single-segment,
+    wildcard ancestor) fall back to the driver-side full parse, as do
+    iterators without a concrete row tag."""
     try:
         return _read_xml_distributed(spark, ls)
     except _XmlSplitUnsupported:
@@ -716,6 +720,84 @@ def _read_xml(spark: SparkSession, ls: LogicalSource) -> DataFrame:
 #: ``xml_full_schema_scan`` for exact discovery (persists the record
 #: frame so the file is still read from disk once).
 XML_SCHEMA_SAMPLE_RECORDS = 512
+
+
+def _xml_parent_split(iterator: str | None,
+                      parent_refs: list[str]) -> tuple[str, list[str]]:
+    """(ancestor local tag, relative row-path segments) for a
+    parent-axis-aware distributed split.
+
+    The deepest ``..`` any ref walks (D) determines the split unit: the
+    iterator's segment D levels above the row tag. Splitting the file on
+    that ancestor's closing tag yields fragments that contain each row
+    together with every ancestor its refs reach, so ``..`` resolves
+    inside the fragment (reference builds a whole-document child→parent
+    map instead, semantify.py:3935-3936 — fine single-threaded, not
+    distributable). Raises _XmlSplitUnsupported when the iterator does
+    not name the ancestor (too shallow, wildcard, or predicated)."""
+    it = (iterator or "").strip()
+    parts = [p for p in it.split("/") if p]
+    depth = 0
+    for ref in parent_refs:
+        level = ref.split("@", 1)[0]
+        depth = max(depth, sum(1 for s in level.split("/") if s == ".."))
+    if depth < 1 or len(parts) < depth + 1:
+        raise _XmlSplitUnsupported(
+            f"iterator {iterator!r} does not name the ancestor that "
+            f"parent-axis refs {parent_refs} reach")
+    anc_seg = parts[-1 - depth]
+    anc_local = anc_seg.split(":")[-1]
+    if not anc_local or anc_local in ("*", ".", "..") or "[" in anc_seg:
+        raise _XmlSplitUnsupported(
+            f"ancestor segment {anc_seg!r} is not a concrete tag")
+    return anc_local, parts[-depth:]
+
+
+def _iter_rel(el, segs: list[str], ns: dict[str, str]):
+    """Descend ``segs`` under ``el`` matching LOCAL names (namespaces
+    stripped, like _xml_row_dict / the reference's tag.split('}')[-1]);
+    predicated segments go through ns-aware iterfind."""
+    if not segs:
+        yield el
+        return
+    seg = segs[0]
+    if "[" in seg:
+        for c in el.iterfind(seg, ns):
+            yield from _iter_rel(c, segs[1:], ns)
+        return
+    local = seg.split(":")[-1]
+    for c in el:
+        if c.tag.split("}")[-1] == local or local == "*":
+            yield from _iter_rel(c, segs[1:], ns)
+
+
+def _xml_parent_fragment_rows(
+        rec: str, anc_local: str, rel_segs: list[str],
+        parent_refs: list[str], ns: dict[str, str],
+) -> tuple[list[dict[str, str]], int]:
+    """Rows (with parent-axis columns resolved) from one ancestor-level
+    record; ``(rows, dropped)`` like _xml_fragment_rows."""
+    import xml.etree.ElementTree as ET
+
+    decls = "".join(
+        f' xmlns:{p}="{u}"' if p else f' xmlns="{u}"'
+        for p, u in ns.items()
+    )
+    out, dropped = [], 0
+    for el_str in _xml_scan_rows(rec, anc_local):
+        try:
+            root = ET.fromstring(f"<__sdmr{decls}>{el_str}</__sdmr>")
+        except ET.ParseError:
+            dropped += 1
+            continue
+        for anc in root:
+            parent_map = {c: p for p in anc.iter() for c in p}
+            for el in _iter_rel(anc, rel_segs, ns):
+                row = _xml_row_dict(el)
+                for ref in parent_refs:
+                    row[ref] = _resolve_parent_ref(el, ref, parent_map, ns)
+                out.append(row)
+    return out, dropped
 
 
 def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
@@ -733,6 +815,21 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     local, pred = _xml_iterator_segment(ls.iterator)
     ns = _xml_head_namespaces(ls.source)
 
+    prefs = [r for r in
+             (ls.options.get("xml_parent_refs") or "").split("\x1f") if r]
+    if prefs:
+        # split on the ancestor element so ``..`` resolves in-fragment
+        split_local, rel_segs = _xml_parent_split(ls.iterator, prefs)
+
+        def frag_rows(rec):
+            return _xml_parent_fragment_rows(
+                rec, split_local, rel_segs, prefs, ns)
+    else:
+        split_local = local
+
+        def frag_rows(rec):
+            return _xml_fragment_rows(rec, local, pred, ns)
+
     # literal delimiter as the document writes it (prefix included): found
     # in the head, else assume the plain local name — a miss only costs
     # record granularity (the scanner still extracts complete elements)
@@ -742,8 +839,9 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             head = f.read(_XML_HEAD_BYTES).decode("utf-8", "replace")
     except OSError:
         head = ""
-    m = _re.search(rf"<((?:[\w.-]+:)?{_re.escape(local)})(?=[\s/>])", head)
-    littag = m.group(1) if m else local
+    m = _re.search(rf"<((?:[\w.-]+:)?{_re.escape(split_local)})(?=[\s/>])",
+                   head)
+    littag = m.group(1) if m else split_local
 
     records = (
         spark.read.option("lineSep", f"</{littag}>").text(ls.source)
@@ -758,7 +856,7 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         sample = records.limit(XML_SCHEMA_SAMPLE_RECORDS).collect()
         ks: set[str] = set()
         for r in sample:
-            rows, nd = _xml_fragment_rows(r.value, local, pred, ns)
+            rows, nd = frag_rows(r.value)
             sample_dropped += nd
             for row in rows:
                 ks.update(row)
@@ -774,7 +872,7 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             for pdf in batches:
                 ks: set[str] = set()
                 for rec in pdf["value"]:
-                    rows, _ = _xml_fragment_rows(rec, local, pred, ns)
+                    rows, _ = frag_rows(rec)
                     for row in rows:
                         ks.update(row)
                 yield pd.DataFrame({"k": sorted(ks)})
@@ -801,7 +899,7 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             data: dict[str, list] = {c: [] for c in cols}
             n_dropped = 0
             for rec in pdf["value"]:
-                rows, nd = _xml_fragment_rows(rec, local, pred, ns)
+                rows, nd = frag_rows(rec)
                 n_dropped += nd
                 for row in rows:
                     for c in cols:

@@ -205,3 +205,101 @@ def test_parent_axis_reference_via_mapping(spark, tmp_path):
         ("<http://x.org/item/b>", "<http://x.org/shop/s1>"),
         ("<http://x.org/item/c>", "<http://x.org/shop/s2>"),
     }
+
+
+def _no_driver_fallback(monkeypatch):
+    """Make any driver-side full-parse fallback an error."""
+    from sdm_rdfizer_spark import sources
+
+    def boom(*a, **k):
+        raise AssertionError("driver fallback used; expected distributed scan")
+
+    monkeypatch.setattr(sources, "_read_xml_driver", boom)
+
+
+def test_parent_axis_distributed_one_level(spark, tmp_path, monkeypatch):
+    """'..' refs stay DISTRIBUTED when the iterator names the ancestor:
+    the scan splits on the ancestor tag and resolves '..' in-fragment."""
+    _no_driver_fallback(monkeypatch)
+    p = tmp_path / "shops_dist.xml"
+    p.write_text(
+        "<shops>"
+        '<shop id="s1"><name>north</name><item sku="a"/><item sku="b"/></shop>'
+        '<shop id="s2"><name>south</name><item sku="c"/></shop>'
+        "</shops>"
+    )
+    ls = LogicalSource(
+        source=str(p), fmt="xml", iterator="/shops/shop/item",
+        options={"xml_parent_refs": "../@id\x1f../name"})
+    df = read_source(spark, ls)
+    got = sorted((r["sku"], r["../@id"], r["../name"])
+                 for r in (x.asDict() for x in df.collect()))
+    assert got == [("a", "s1", "north"), ("b", "s1", "north"),
+                   ("c", "s2", "south")]
+
+
+def test_parent_axis_distributed_two_levels(spark, tmp_path, monkeypatch):
+    """'../../@attr' splits two levels up; intermediate attrs resolve too."""
+    _no_driver_fallback(monkeypatch)
+    p = tmp_path / "regions.xml"
+    p.write_text(
+        "<world>"
+        '<region code="eu"><shop id="s1"><item sku="a"/></shop>'
+        '<shop id="s2"><item sku="b"/></shop></region>'
+        '<region code="us"><shop id="s3"><item sku="c"/></shop></region>'
+        "</world>"
+    )
+    ls = LogicalSource(
+        source=str(p), fmt="xml", iterator="/world/region/shop/item",
+        options={"xml_parent_refs": "../../@code\x1f../@id"})
+    df = read_source(spark, ls)
+    got = sorted((r["sku"], r["../../@code"], r["../@id"])
+                 for r in (x.asDict() for x in df.collect()))
+    assert got == [("a", "eu", "s1"), ("b", "eu", "s2"), ("c", "us", "s3")]
+
+
+def test_parent_axis_shallow_iterator_falls_back(spark, tmp_path):
+    """A relative single-segment iterator can't locate the ancestor —
+    the scan falls back to the driver full parse and still resolves."""
+    p = tmp_path / "flat.xml"
+    p.write_text(
+        '<shops><shop id="s1"><item sku="a"/></shop></shops>')
+    ls = LogicalSource(
+        source=str(p), fmt="xml", iterator=".//item",
+        options={"xml_parent_refs": "../@id"})
+    df = read_source(spark, ls)
+    got = [(r["sku"], r["../@id"]) for r in (x.asDict() for x in df.collect())]
+    assert got == [("a", "s1")]
+
+
+def test_parent_axis_mapping_uses_distributed_scan(spark, tmp_path, monkeypatch):
+    """End-to-end: the planner's xml_parent_refs routing now reaches the
+    ancestor-split distributed scan, not the driver parse."""
+    _no_driver_fallback(monkeypatch)
+    from sdm_rdfizer_spark import materialize
+
+    p = tmp_path / "shops_e2e.xml"
+    p.write_text(
+        "<shops>"
+        '<shop id="s1"><item sku="a"/><item sku="b"/></shop>'
+        '<shop id="s2"><item sku="c"/></shop>'
+        "</shops>"
+    )
+    m = f"""
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+        @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+        @prefix ex: <http://x.org/> .
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{p}"; rml:referenceFormulation ql:XPath;
+                              rml:iterator "/shops/shop/item" ];
+          rr:subjectMap [ rr:template "http://x.org/item/{{sku}}" ];
+          rr:predicateObjectMap [ rr:predicate ex:shop; rr:objectMap [
+              rr:template "http://x.org/shop/{{../@id}}" ] ] .
+    """
+    got = {(r.s, r.o) for r in materialize(spark, m).collect()}
+    assert got == {
+        ("<http://x.org/item/a>", "<http://x.org/shop/s1>"),
+        ("<http://x.org/item/b>", "<http://x.org/shop/s1>"),
+        ("<http://x.org/item/c>", "<http://x.org/shop/s2>"),
+    }
