@@ -480,6 +480,262 @@ CASES["non_asserted_not_emitted"] = (
 )
 
 
+CASES["0018a_percent_encoding"] = (
+    # IRI-unsafe template values percent-encode (reference quote(v,
+    # safe='_-.~:@=+%'), functions.py:580-582): space→%20, slash→%2F
+    {"n.csv": "Name\nVenus Williams\na/b\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/n.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{Name}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+    [
+        '<http://example.com/Venus%20Williams> '
+        '<http://xmlns.com/foaf/0.1/name> "Venus Williams" .',
+        '<http://example.com/a%2Fb> <http://xmlns.com/foaf/0.1/name> "a/b" .',
+    ],
+)
+
+CASES["0012a_duplicate_rows_collapse"] = (
+    # duplicate source rows produce ONE triple (the reference's PTT
+    # dedup, semantify.py:53-54; ours: dropDuplicates before sink)
+    {"d.csv": "ID,Name\n10,Venus\n10,Venus\n20,Ada\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/d.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name; rr:objectMap [ rml:reference "Name" ] ] .
+""",
+    [
+        '<http://example.com/10> <http://xmlns.com/foaf/0.1/name> "Venus" .',
+        '<http://example.com/20> <http://xmlns.com/foaf/0.1/name> "Ada" .',
+    ],
+)
+
+CASES["0007b_multiple_classes"] = (
+    # rr:class is multi-valued → one rdf:type triple per class
+    {"s.csv": "ID\n10\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}";
+                  rr:class foaf:Person, ex:Student ] .
+""",
+    [
+        "<http://example.com/10> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://xmlns.com/foaf/0.1/Person> .",
+        "<http://example.com/10> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.com/Student> .",
+    ],
+)
+
+CASES["0007e_pom_level_graph"] = (
+    # graphMap on the predicateObjectMap routes ONLY that POM's triples
+    # into the named graph; other POMs stay in the default graph
+    {"s.csv": "ID,Name\n10,Venus\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name;
+      rr:objectMap [ rml:reference "Name" ];
+      rr:graphMap [ rr:constant ex:NameGraph ] ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "ID" ] ] .
+""",
+    [
+        '<http://example.com/10> <http://xmlns.com/foaf/0.1/name> "Venus" '
+        "<http://example.com/NameGraph> .",
+        '<http://example.com/10> <http://example.com/id> "10" .',
+    ],
+)
+
+CASES["0001b_default_graph_constant"] = (
+    # rr:graphMap [ rr:constant rr:defaultGraph ] = no named graph
+    {"s.csv": "ID\n10\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}";
+                  rr:graphMap [ rr:constant rr:defaultGraph ] ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "ID" ] ] .
+""",
+    ['<http://example.com/10> <http://example.com/id> "10" .'],
+)
+
+CASES["0005a_iri_from_reference"] = (
+    # reference-valued object with rr:termType rr:IRI: the column value
+    # IS the IRI (no encoding — reference semantify.py:6328-6381)
+    {"s.csv": "ID,homepage\n10,http://venus.example.org/\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:homepage; rr:objectMap [
+      rml:reference "homepage"; rr:termType rr:IRI ] ] .
+""",
+    [
+        "<http://example.com/10> <http://xmlns.com/foaf/0.1/homepage> "
+        "<http://venus.example.org/> .",
+    ],
+)
+
+CASES["language_map_reference"] = (
+    # map-valued language tag: rml:languageMap with a reference
+    {"c.csv": "Code,Name,lang\nBO,Bolivia,es\nFR,France,fr\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{Code}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [
+      rml:reference "Name"; rml:languageMap [ rml:reference "lang" ] ] ] .
+""",
+    [
+        '<http://example.com/BO> <http://example.com/name> "Bolivia"@es .',
+        '<http://example.com/FR> <http://example.com/name> "France"@fr .',
+    ],
+)
+
+CASES["datatype_map_reference"] = (
+    # map-valued datatype: rml:datatypeMap with a reference holding the
+    # datatype IRI per row
+    {"m.csv": "id,v,dt\n1,12.5,http://www.w3.org/2001/XMLSchema#double\n"
+              "2,t,http://www.w3.org/2001/XMLSchema#string\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/m.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:val; rr:objectMap [
+      rml:reference "v"; rml:datatypeMap [ rml:reference "dt" ] ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/val> '
+        '"12.5"^^<http://www.w3.org/2001/XMLSchema#double> .',
+        '<http://example.com/2> <http://example.com/val> '
+        '"t"^^<http://www.w3.org/2001/XMLSchema#string> .',
+    ],
+)
+
+CASES["0011_mn_join_multiplicity"] = (
+    # N-M join: every matching parent row yields a triple; duplicate
+    # (child,parent) pairs collapse to one
+    {"takes.csv": "sid,course\n10,db\n10,ai\n20,db\n",
+     "course.csv": "cid,term\ndb,fall\ndb,spring\nai,fall\n"},
+    """
+<#S> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/takes.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/student/{sid}" ];
+  rr:predicateObjectMap [ rr:predicate ex:takes; rr:objectMap [
+      rr:parentTriplesMap <#C>;
+      rr:joinCondition [ rr:child "course"; rr:parent "cid" ] ] ] .
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/course.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/course/{cid}/{term}" ] .
+""",
+    [
+        "<http://example.com/student/10> <http://example.com/takes> "
+        "<http://example.com/course/db/fall> .",
+        "<http://example.com/student/10> <http://example.com/takes> "
+        "<http://example.com/course/db/spring> .",
+        "<http://example.com/student/10> <http://example.com/takes> "
+        "<http://example.com/course/ai/fall> .",
+        "<http://example.com/student/20> <http://example.com/takes> "
+        "<http://example.com/course/db/fall> .",
+        "<http://example.com/student/20> <http://example.com/takes> "
+        "<http://example.com/course/db/spring> .",
+    ],
+)
+
+CASES["json_double_wildcard"] = (
+    # nested-array iterator `[*][*]`: one row per inner element
+    {"g.json": json.dumps({"grid": [[{"v": "a"}, {"v": "b"}], [{"v": "c"}]]})},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/g.json";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.grid[*][*]" ];
+  rr:subjectMap [ rr:template "http://example.com/{v}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+""",
+    [
+        '<http://example.com/a> <http://example.com/v> "a" .',
+        '<http://example.com/b> <http://example.com/v> "b" .',
+        '<http://example.com/c> <http://example.com/v> "c" .',
+    ],
+)
+
+CASES["xml_text_and_attr_refs"] = (
+    # XML rows expose element text (#text), child text, and attributes
+    {"t.xml": "<books>"
+              '<book isbn="1"><title lang="en">Dune</title></book>'
+              '<book isbn="2"><title lang="fr">Nuit</title></book>'
+              "</books>"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/t.xml";
+                      rml:referenceFormulation ql:XPath;
+                      rml:iterator "/books/book" ];
+  rr:subjectMap [ rr:template "http://example.com/book/{isbn}" ];
+  rr:predicateObjectMap [ rr:predicate ex:title; rr:objectMap [ rml:reference "title" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:lang; rr:objectMap [ rml:reference "title@lang" ] ] .
+""",
+    [
+        '<http://example.com/book/1> <http://example.com/title> "Dune" .',
+        '<http://example.com/book/1> <http://example.com/lang> "en" .',
+        '<http://example.com/book/2> <http://example.com/title> "Nuit" .',
+        '<http://example.com/book/2> <http://example.com/lang> "fr" .',
+    ],
+)
+
+CASES["xml_parent_axis_ref"] = (
+    # parent-axis ('..') reference resolves the enclosing element's
+    # attribute (reference parent_map, semantify.py:3935-3936)
+    {"s.xml": "<shops>"
+              '<shop id="s1"><item sku="a"/><item sku="b"/></shop>'
+              '<shop id="s2"><item sku="c"/></shop>'
+              "</shops>"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.xml";
+                      rml:referenceFormulation ql:XPath;
+                      rml:iterator "/shops/shop/item" ];
+  rr:subjectMap [ rr:template "http://example.com/item/{sku}" ];
+  rr:predicateObjectMap [ rr:predicate ex:shop; rr:objectMap [
+      rr:template "http://example.com/shop/{../@id}" ] ] .
+""",
+    [
+        "<http://example.com/item/a> <http://example.com/shop> "
+        "<http://example.com/shop/s1> .",
+        "<http://example.com/item/b> <http://example.com/shop> "
+        "<http://example.com/shop/s1> .",
+        "<http://example.com/item/c> <http://example.com/shop> "
+        "<http://example.com/shop/s2> .",
+    ],
+)
+
+CASES["star_quoted_subject_same_source"] = (
+    # RML-star: the quoted triple in SUBJECT position (no join)
+    {"c.csv": "e,cls,conf\nAlice,Person,0.9\n"},
+    """
+<#Q> a rml:NonAssertedTriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{e}" ];
+  rr:predicateObjectMap [ rr:predicate ex:cls; rr:objectMap [ rml:reference "cls" ] ] .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rml:subjectMap [ rml:quotedTriplesMap <#Q> ];
+  rr:predicateObjectMap [ rr:predicate ex:confidence; rr:objectMap [
+      rml:reference "conf" ] ] .
+""",
+    [
+        '<< <http://example.com/Alice> <http://example.com/cls> "Person" >> '
+        '<http://example.com/confidence> "0.9" .',
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected = CASES[case]
