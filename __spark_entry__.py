@@ -1666,6 +1666,94 @@ SELECT s, p, o FROM (
 # driver contract
 # ---------------------------------------------------------------------------
 
+def _q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cross-document span dedup: 10-word spans, keep the
+    globally-first occurrence of each distinct span, reassemble the
+    survivors per document. One shuffle keyed on md5(span)."""
+    from sdm_rdfizer_spark.ops.dedup import dedup_spans
+
+    return dedup_spans(_docs(spark, sf), span_words=10)
+
+
+_DEDUP_SPANS_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+sp AS (
+  SELECT doc_id, CAST(i AS INT) AS span_pos,
+         array_to_string(toks[i*10+1 : i*10+10], ' ') AS span
+  FROM w, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS t(i)
+),
+kept AS (
+  SELECT doc_id, span_pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_pos) AS rn
+  FROM sp
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_spans_kept,
+         string_agg(span, ' ' ORDER BY span_pos) AS text_dedup
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+),
+ns AS (SELECT doc_id, CAST(ceil(len(toks)/10.0) AS INT) AS n_spans FROM w)
+SELECT ns.doc_id, ns.n_spans, coalesce(a.n_spans_kept, 0) AS n_spans_kept,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM ns LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over the corpus: per-kind match counts + the
+    scrubbed text, all inside whole-stage codegen."""
+    from sdm_rdfizer_spark.ops.text import pii_scrub
+
+    out = pii_scrub(_docs(spark, sf))
+    cols = ["doc_id"]
+    cols += [F.col(c).cast("long").alias(c)
+             for c in out.columns if c.startswith("pii_")]
+    return out.select(*cols, "text_scrubbed")
+
+
+def _pii_scrub_oracle() -> str:
+    from sdm_rdfizer_spark.ops.text import PII_PATTERNS
+
+    expr, sel = "text", []
+    for kind, pat, tok in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        sel.append(f"len(regexp_extract_all({expr}, '{p}')) AS pii_{kind}")
+        expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+    return ("SELECT doc_id, " + ", ".join(sel)
+            + f", {expr} AS text_scrubbed FROM documents")
+
+
+_SAMPLE_FRACTIONS = {"en": 0.25, "es": 0.5, "zh": 1.0}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language sampling keyed on md5(doc_id) — the
+    kept set is invariant to partitioning, cluster size, and reruns
+    (df.sample() is none of those). Pure filter, no shuffle."""
+    from sdm_rdfizer_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf), _SAMPLE_FRACTIONS, "lang",
+        default_fraction=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_sample_oracle() -> str:
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    whens = " ".join(
+        f"WHEN lang = '{v}' THEN {int(round(f * 1000))}"
+        for v, f in sorted(_SAMPLE_FRACTIONS.items()))
+    return f"""
+WITH h AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS h FROM documents)
+SELECT doc_id, lang, source FROM h
+WHERE ({hex2int})::BIGINT % 1000
+      < CASE {whens} ELSE {int(round(_SAMPLE_DEFAULT * 1000))} END
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_customer_graph(spark, "/root/testdata/sf0.001")
@@ -1710,6 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "text_repetition": _q_text_repetition,
         "multimodal_features": _q_multimodal_features,
+        "dedup_spans": _q_dedup_spans,
+        "text_pii_scrub": _q_pii_scrub,
+        "sample_stratified": _q_stratified_sample,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
         "events_sessionize": _q_sessionize,
@@ -1756,6 +1847,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_oracle(),
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
+        "dedup_spans": _DEDUP_SPANS_ORACLE,
+        "text_pii_scrub": _pii_scrub_oracle(),
+        "sample_stratified": _stratified_sample_oracle(),
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

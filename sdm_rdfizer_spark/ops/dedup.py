@@ -462,3 +462,61 @@ def dedup_canonical(
         .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
     return out
+
+
+def dedup_spans(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", span_words: int = 10) -> DataFrame:
+    """Cross-document span dedup (C4-style line/span dedup): split every
+    document into consecutive ``span_words``-word spans, keep only the
+    GLOBALLY first occurrence of each distinct span (ordered by
+    (id, position)), and reassemble the surviving spans per document.
+
+    Returns (id, n_spans, n_spans_kept, text_dedup); a document whose
+    every span appeared earlier elsewhere comes back with an empty
+    text_dedup rather than vanishing.
+
+    Scale posture: ONE shuffle keyed on md5(span) — 32-byte keys, never
+    the raw span text as the hash key — then one groupBy(id) to
+    reassemble. No all-pairs comparison anywhere; skew is bounded by the
+    most-frequent span, which exact/minhash dedup upstream should have
+    already collapsed.
+    """
+    from pyspark.sql.window import Window
+
+    w = words(text_col)
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    # guard: F.sequence(0, -1) would yield [0, -1] for empty docs
+    spans = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * span_words + 1, span_words), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_pos", "span"),
+    ).withColumn("span_h", F.md5("span"))
+    win = Window.partitionBy("span_h").orderBy(id_col, "span_pos")
+    kept = (
+        ex.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "span_h")
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_pos", "span"))),
+                lambda s: s["span"]),
+            " ").alias("text_dedup"),
+    )
+    return (
+        df.select(F.col(id_col), n_spans.alias("n_spans"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col, "n_spans",
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -173,3 +173,36 @@ def repetition_stats(
         (F.col("dup_word_frac") > max_dup_word_frac)
         | (F.col("top_bigram_frac") > max_top_bigram_frac),
     )
+
+
+# PII patterns valid in BOTH Java regex (Spark) and RE2 (portable
+# oracles). Replacement order matters: specific before generic so the
+# phone pattern can't eat an SSN or IP first.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?\b\d[\d .()-]{6,}\d\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, SSN-style ids, IPv4 addresses,
+    phone-like digit runs) with typed placeholder tokens, plus a per-kind
+    match count column (``pii_<kind>``).
+
+    Pure Column expressions — a chain of regexp_replace stays inside
+    whole-stage codegen, so scrubbing a 100 TB corpus is scan-bound.
+    Each kind is counted on the text AFTER the earlier (more specific)
+    kinds were replaced, so counts don't overlap: an SSN is not also a
+    phone (placeholder tokens contain no digits and are never
+    re-matched).
+    """
+    out_cols = ["*"]
+    scrubbed = F.col(text_col)
+    for kind, pat, tok in PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .alias(f"pii_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    return df.select(*out_cols, scrubbed.alias("text_scrubbed"))

@@ -356,3 +356,78 @@ def test_ngram_jaccard_max_df_precision_safe(spark):
         assert pair in exact and j <= exact[pair]
     # docs 1/2 share every shingle (df=2 <= cap): still found, same score
     assert capped.get((1, 2)) == exact[(1, 2)]
+
+
+def test_dedup_spans_drops_repeated_spans_globally(spark):
+    from sdm_rdfizer_spark.ops.dedup import dedup_spans
+
+    # doc B repeats doc A's first span verbatim; doc C is unique
+    a = "one two three four five"          # 1 span of 5
+    b = "one two three four five six seven"  # span1 == A's span, span2 fresh
+    c = "eight nine"
+    df = spark.createDataFrame(
+        [("A", a), ("B", b), ("C", c)], "doc_id string, text string")
+    out = {r.doc_id: r for r in dedup_spans(df, span_words=5).collect()}
+    assert (out["A"].n_spans, out["A"].n_spans_kept) == (1, 1)
+    # B's first span was seen at A (lower id) → dropped; second kept
+    assert (out["B"].n_spans, out["B"].n_spans_kept) == (2, 1)
+    assert out["B"].text_dedup == "six seven"
+    assert out["C"].text_dedup == "eight nine"
+
+
+def test_dedup_spans_empty_and_fully_duplicate_doc(spark):
+    from sdm_rdfizer_spark.ops.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [("A", "x y z"), ("B", "x y z"), ("E", "   ")],
+        "doc_id string, text string")
+    out = {r.doc_id: r for r in dedup_spans(df, span_words=3).collect()}
+    assert out["A"].text_dedup == "x y z"
+    # every span of B already appeared in A → empty, row still present
+    assert (out["B"].n_spans_kept, out["B"].text_dedup) == (0, "")
+    assert (out["E"].n_spans, out["E"].text_dedup) == (0, "")
+
+
+def test_pii_scrub_kinds_and_nonoverlap(spark):
+    from sdm_rdfizer_spark.ops.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [("1", "mail a@b.com ip 10.0.0.1 ssn 123-45-6789 tel +1 (415) 555-0100 end")],
+        "id string, text string")
+    r = pii_scrub(df).collect()[0]
+    assert (r.pii_email, r.pii_ssn, r.pii_ipv4, r.pii_phone) == (1, 1, 1, 1)
+    assert r.text_scrubbed == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> end"
+
+
+def test_pii_scrub_clean_text_unchanged(spark):
+    from sdm_rdfizer_spark.ops.text import pii_scrub
+
+    df = spark.createDataFrame([("1", "no pii here at all")],
+                               "id string, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r.text_scrubbed == "no pii here at all"
+    assert (r.pii_email, r.pii_ssn, r.pii_ipv4, r.pii_phone) == (0, 0, 0, 0)
+
+
+def test_hash_sample_deterministic_and_subset_nested(spark):
+    from sdm_rdfizer_spark.ops.sampling import hash_sample
+
+    df = spark.createDataFrame([(str(i),) for i in range(400)], "doc_id string")
+    k10 = {r.doc_id for r in hash_sample(df, 0.1).collect()}
+    k10b = {r.doc_id for r in hash_sample(df.repartition(7), 0.1).collect()}
+    k30 = {r.doc_id for r in hash_sample(df, 0.3).collect()}
+    assert k10 == k10b                      # invariant to partitioning
+    assert k10 <= k30                       # nested: raising the rate only adds
+    assert 0.03 < len(k10) / 400 < 0.2      # roughly the asked fraction
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from sdm_rdfizer_spark.ops.sampling import stratified_sample
+
+    rows = [(f"d{i}", "en" if i % 2 else "is") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = stratified_sample(df, {"en": 0.2, "is": 1.0}, "lang").groupBy(
+        "lang").count().collect()
+    got = {r.lang: r["count"] for r in out}
+    assert got["is"] == 300                 # keep-all stratum is complete
+    assert 20 <= got["en"] <= 100           # ~20% of 300
