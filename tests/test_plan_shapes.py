@@ -102,3 +102,27 @@ def test_xml_sample_scan_single_filescan(spark, tmp_path):
 """
     plan = _plan(materialize(spark, m))
     assert plan.count("FileScan") == 1, plan
+
+
+def test_sampling_is_pure_filter(spark, entry):
+    """Deterministic sampling compiles to a filter over the scan — no
+    shuffle, no Python, and column pruning still reaches the scan."""
+    for q in ("sample_stratified",):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "Exchange" not in plan, q
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan and "text" not in scan[0]  # text column pruned away
+
+
+def test_pii_scrub_shuffle_free(spark, entry):
+    plan = _plan(entry.queries()["text_pii_scrub"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_dedup_spans_shuffle_budget(spark, entry):
+    """Span dedup: window shuffle on the span hash + reassembly groupBy
+    + the reassembly join — nothing quadratic, no cartesian."""
+    plan = _plan(entry.queries()["dedup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4, plan
