@@ -475,7 +475,9 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     every span appeared earlier elsewhere comes back with an empty
     text_dedup rather than vanishing.
 
-    Scale posture: ONE shuffle keyed on md5(span) — 32-byte keys, never
+    Scale posture: ONE scan of the corpus (posexplode_outer keeps empty
+    documents alive without a join-back that would read the text column
+    twice), one window shuffle keyed on md5(span) — 32-byte keys, never
     the raw span text as the hash key — then one groupBy(id) to
     reassemble. No all-pairs comparison anywhere; skew is bounded by the
     most-frequent span, which exact/minhash dedup upstream should have
@@ -495,28 +497,28 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     ).otherwise(F.array().cast("array<string>"))
 
     ex = df.select(
-        F.col(id_col), F.posexplode(spans).alias("span_pos", "span"),
-    ).withColumn("span_h", F.md5("span"))
+        F.col(id_col), n_spans.alias("n_spans"),
+        F.posexplode_outer(spans).alias("span_pos", "span"),
+    ).withColumn(
+        # empty documents' NULL spans never win the window; salt them by
+        # id so a corpus with many empty docs doesn't pile one partition
+        "span_h",
+        F.coalesce(F.md5("span"),
+                   F.concat(F.lit("\x00"), F.col(id_col).cast("string"))))
+    # global first occurrence per distinct span; the NULL row an empty
+    # document gets from posexplode_outer never wins (filtered below)
     win = Window.partitionBy("span_h").orderBy(id_col, "span_pos")
-    kept = (
-        ex.withColumn("__rn", F.row_number().over(win))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "span_h")
-    )
-    agg = kept.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_spans_kept"),
+    marked = ex.withColumn(
+        "__keep",
+        F.col("span").isNotNull() & (F.row_number().over(win) == 1))
+    kept_struct = F.when(F.col("__keep"),
+                         F.struct("span_pos", "span"))
+    return marked.groupBy(id_col).agg(
+        F.first("n_spans").alias("n_spans"),
+        F.sum(F.col("__keep").cast("int")).cast("int").alias("n_spans_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("span_pos", "span"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["span"]),
             " ").alias("text_dedup"),
-    )
-    return (
-        df.select(F.col(id_col), n_spans.alias("n_spans"))
-        .join(agg, id_col, "left")
-        .select(
-            id_col, "n_spans",
-            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-        )
     )

@@ -120,9 +120,11 @@ def test_pii_scrub_shuffle_free(spark, entry):
 
 
 def test_dedup_spans_shuffle_budget(spark, entry):
-    """Span dedup: window shuffle on the span hash + reassembly groupBy
-    + the reassembly join — nothing quadratic, no cartesian."""
+    """Span dedup: ONE corpus scan (posexplode_outer, no join-back that
+    would re-read the text column), window shuffle on the span hash +
+    reassembly groupBy — no join, nothing quadratic."""
     plan = _plan(entry.queries()["dedup_spans"](spark, SF))
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 1, plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert shuffles <= 4, plan
+    assert shuffles <= 2, plan

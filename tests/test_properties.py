@@ -72,3 +72,20 @@ def test_iri_encoding_produces_parseable_terms(spark, vals):
     for r in out:
         for ch in ' "<>\n\t':
             assert ch not in (r["e"] or "")
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="ab c/#?&=%+*.~:@_-!$'(),;[]{}|^`\\😀éß",
+                        max_size=24), min_size=1, max_size=30))
+def test_iri_encoding_matches_reference_quote(spark, vals):
+    """EXACT parity with the reference's encoder — urllib.parse.quote(v,
+    safe='_-.~:@=+%') (reference functions.py:580-582) — character for
+    character, including multi-byte UTF-8 and the pre-encoded-%% corner."""
+    from urllib.parse import quote
+
+    from sdm_rdfizer_spark.compiler.terms import encode_iri_component
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    out = df.select("v", encode_iri_component(F.col("v")).alias("e")).collect()
+    for r in out:
+        assert r["e"] == quote(r["v"], safe="_-.~:@=+%"), r["v"]
