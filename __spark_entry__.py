@@ -1723,6 +1723,68 @@ def _pii_scrub_oracle() -> str:
             + f", {expr} AS text_scrubbed FROM documents")
 
 
+def _q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule composite keep/drop verdict with per-rule reasons."""
+    from sdm_rdfizer_spark.ops.text import quality_filter
+
+    out = quality_filter(_docs(spark, sf))
+    return out.select(
+        "doc_id", "n_words", "keep",
+        F.array_join("reasons", ",").alias("reasons"))
+
+
+def _quality_filter_oracle() -> str:
+    from sdm_rdfizer_spark.ops.text import GOPHER_THRESHOLDS as T
+    from sdm_rdfizer_spark.ops.text import STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, list_transform({_WORDS_SQL}, x -> lower(x)) AS ws
+  FROM documents
+), bgl AS (
+  SELECT doc_id,
+         [ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws), 1))] AS bgs
+  FROM w
+), bg AS (
+  SELECT doc_id, unnest(bgs) AS bigram FROM bgl
+), bc AS (
+  SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams FROM (
+    SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+), base AS (
+  SELECT w.doc_id, len(ws) AS n,
+         CASE WHEN len(ws) > 0
+              THEN round(list_sum(list_transform(ws, x -> length(x)))
+                         / len(ws)::DOUBLE, 4) ELSE 0.0 END AS mean_wl,
+         round(len(regexp_extract_all(text, '[^\\w\\s]'))
+               / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+         len(list_filter(ws, x -> list_contains([{sw}], x))) AS stop_hits,
+         CASE WHEN len(ws) > 0
+              THEN round(1 - len(list_distinct(ws)) / len(ws)::DOUBLE, 6)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN coalesce(bc.n_bigrams, 0) > 0
+              THEN round(bc.top_bigram / bc.n_bigrams::DOUBLE, 6)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id
+), r AS (
+  SELECT doc_id, n, list_filter([
+      CASE WHEN n < {T["min_words"]} THEN 'too_few_words' END,
+      CASE WHEN n > {T["max_words"]} THEN 'too_many_words' END,
+      CASE WHEN n > 0 AND mean_wl < {T["min_mean_word_len"]} THEN 'short_words' END,
+      CASE WHEN mean_wl > {T["max_mean_word_len"]} THEN 'long_words' END,
+      CASE WHEN punct_ratio > {T["max_punct_ratio"]} THEN 'punct_heavy' END,
+      CASE WHEN stop_hits < {T["min_stopword_hits"]} THEN 'low_stopwords' END,
+      CASE WHEN dup_word_frac > {T["max_dup_word_frac"]} THEN 'dup_words' END,
+      CASE WHEN top_bigram_frac > {T["max_top_bigram_frac"]} THEN 'rep_bigrams' END
+    ], x -> x IS NOT NULL) AS reasons
+  FROM base
+)
+SELECT doc_id, n::BIGINT AS n_words, len(reasons) = 0 AS keep,
+       array_to_string(reasons, ',') AS reasons FROM r
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.25, "es": 0.5, "zh": 1.0}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1800,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "dedup_spans": _q_dedup_spans,
         "text_pii_scrub": _q_pii_scrub,
+        "text_quality_filter": _q_quality_filter,
         "sample_stratified": _q_stratified_sample,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
@@ -1849,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_ORACLE,
         "dedup_spans": _DEDUP_SPANS_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
+        "text_quality_filter": _quality_filter_oracle(),
         "sample_stratified": _stratified_sample_oracle(),
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,

@@ -206,3 +206,71 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             .alias(f"pii_{kind}"))
         scrubbed = F.regexp_replace(scrubbed, pat, tok)
     return df.select(*out_cols, scrubbed.alias("text_scrubbed"))
+
+
+#: Gopher-rule defaults (Rae et al. 2021 §A1.1 shapes, tuned mild): a
+#: document must look like running prose to survive.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_punct_ratio": 0.2,
+    "min_stopword_hits": 2,
+    "max_dup_word_frac": 0.9,
+    "max_top_bigram_frac": 0.18,
+}
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", **overrides) -> DataFrame:
+    """Gopher-style composite keep/drop decision per document.
+
+    Combines the individual quality signals (length bounds, mean word
+    length, punctuation density, stopword presence, word/bigram
+    repetition) into one verdict: (id, n_words, keep, reasons) where
+    ``reasons`` lists every violated rule in a fixed order — pipelines
+    log the reasons histogram to see WHY the corpus shrank.
+
+    Single pass of pure Column expressions: HOF folds over the word
+    array, no explode, no shuffle, column pruning reaches the scan.
+    """
+    t = {**GOPHER_THRESHOLDS, **overrides}
+    w = F.transform(words(text_col), F.lower)
+    n = F.size(w)
+    char_sum = F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wl = F.when(n > 0, F.round(char_sum / n, 4)).otherwise(F.lit(0.0))
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = F.round(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+        / F.greatest(n_chars, F.lit(1)), 6)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    dup_word_frac = F.when(
+        n > 0, F.round(1 - F.size(F.array_distinct(w)) / n, 6)).otherwise(0.0)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(w, 1, m), F.slice(w, 2, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    nb = F.size(bigrams)
+    top_bigram_frac = F.when(
+        nb > 0, F.round(_max_run(F.array_sort(bigrams)) / nb, 6)).otherwise(0.0)
+
+    rules = [
+        ("too_few_words", n < t["min_words"]),
+        ("too_many_words", n > t["max_words"]),
+        ("short_words", (n > 0) & (mean_wl < t["min_mean_word_len"])),
+        ("long_words", mean_wl > t["max_mean_word_len"]),
+        ("punct_heavy", punct_ratio > t["max_punct_ratio"]),
+        ("low_stopwords", stop_hits < t["min_stopword_hits"]),
+        ("dup_words", dup_word_frac > t["max_dup_word_frac"]),
+        ("rep_bigrams", top_bigram_frac > t["max_top_bigram_frac"]),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+        lambda x: x.isNotNull())
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -431,3 +431,39 @@ def test_stratified_sample_rates_per_stratum(spark):
     got = {r.lang: r["count"] for r in out}
     assert got["is"] == 300                 # keep-all stratum is complete
     assert 20 <= got["en"] <= 100           # ~20% of 300
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    from sdm_rdfizer_spark.ops.text import quality_filter
+
+    prose = ("the cat sat on the mat and it was a fine day for all of the "
+             "people in the town because the sun was out and the air was "
+             "warm and the birds sang in the trees above the quiet street "
+             "while children played games near the old stone wall")
+    rows = [
+        ("good", prose),                           # passes everything
+        ("short", "the cat sat"),                  # too_few_words
+        ("rep", "the " + "spam spam " * 60),       # rep_bigrams + dup_words
+        ("nostop", " ".join(f"w{i}" for i in range(60))),  # low_stopwords
+        ("punct", "the !!! ??? *** " + "!?*;: " * 30),     # punct_heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out["good"].keep and out["good"].reasons == []
+    assert "too_few_words" in out["short"].reasons
+    assert "rep_bigrams" in out["rep"].reasons
+    assert "dup_words" in out["rep"].reasons
+    assert "low_stopwords" in out["nostop"].reasons
+    assert "punct_heavy" in out["punct"].reasons
+    assert not any(out[k].keep for k in ("short", "rep", "nostop", "punct"))
+
+
+def test_quality_filter_threshold_overrides(spark):
+    from sdm_rdfizer_spark.ops.text import quality_filter
+
+    df = spark.createDataFrame([("d", "the cat sat on a mat")],
+                               "doc_id string, text string")
+    strict = quality_filter(df, min_words=10).collect()[0]
+    lax = quality_filter(df, min_words=2).collect()[0]
+    assert "too_few_words" in strict.reasons
+    assert "too_few_words" not in lax.reasons
