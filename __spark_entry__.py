@@ -1785,6 +1785,28 @@ SELECT doc_id, n::BIGINT AS n_words, len(reasons) = 0 AS keep,
 """
 
 
+def _q_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies (BPE-prep counting
+    pass): two-level hash agg, shuffle bounded by per-doc vocab."""
+    from sdm_rdfizer_spark.ops.text import vocabulary
+
+    return vocabulary(_docs(spark, sf), min_count=2)
+
+
+_VOCABULARY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, list_transform({_WORDS_SQL}, x -> lower(x)) AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(ws) AS token FROM w
+), tf AS (
+  SELECT token, doc_id, count(*) AS tf FROM ex GROUP BY token, doc_id
+)
+SELECT token, count(*)::BIGINT AS n_docs, sum(tf)::BIGINT AS n_occurrences
+FROM tf GROUP BY token HAVING sum(tf) >= 2
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.25, "es": 0.5, "zh": 1.0}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1863,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "text_pii_scrub": _q_pii_scrub,
         "text_quality_filter": _q_quality_filter,
+        "text_vocabulary": _q_vocabulary,
         "sample_stratified": _q_stratified_sample,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
@@ -1913,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _DEDUP_SPANS_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
+        "text_vocabulary": _VOCABULARY_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,

@@ -274,3 +274,41 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               id_col: str | None = "doc_id", *,
+               min_count: int = 1, lowercase: bool = True) -> DataFrame:
+    """Corpus vocabulary: (token, n_docs, n_occurrences) for every
+    whitespace token appearing at least ``min_count`` times — the
+    counting pass a tokenizer/BPE training job starts from.
+
+    Plan shape: explode → two-level hash aggregation. Level 1 groups by
+    (token, doc): because one document's tokens always sit in one
+    partition, the map-side partial aggregation collapses term
+    frequencies BEFORE the shuffle — shuffle volume is per-doc
+    vocabulary, not corpus token count. Level 2 groups by token to sum
+    tf and count docs. The min_count filter runs post-aggregate
+    (HAVING), pruning the long tail before any downstream join.
+    """
+    w = words(text_col)
+    if lowercase:
+        w = F.transform(w, F.lower)
+    if id_col is None:
+        # no id: a synthetic one must be pinned BEFORE the explode —
+        # monotonically_increasing_id in the same select would be
+        # re-evaluated per exploded row (nondeterministic expr under
+        # Generate), silently making n_docs == n_occurrences
+        base = df.select(F.monotonically_increasing_id().alias("__doc"),
+                         w.alias("__w")).localCheckpoint(eager=False)
+        tok = base.select("__doc", F.explode("__w").alias("token"))
+    else:
+        tok = df.select(F.col(id_col).alias("__doc"),
+                        F.explode(w).alias("token"))
+    tf = tok.groupBy("token", "__doc").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("tf").cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )

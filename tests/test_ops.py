@@ -467,3 +467,18 @@ def test_quality_filter_threshold_overrides(spark):
     lax = quality_filter(df, min_words=2).collect()[0]
     assert "too_few_words" in strict.reasons
     assert "too_few_words" not in lax.reasons
+
+
+def test_vocabulary_counts_docs_and_occurrences(spark):
+    from sdm_rdfizer_spark.ops.text import vocabulary
+
+    df = spark.createDataFrame(
+        [("a", "cat cat dog"), ("b", "Dog bird"), ("c", "cat")],
+        "doc_id string, text string")
+    got = {r.token: (r.n_docs, r.n_occurrences)
+           for r in vocabulary(df).collect()}
+    assert got["cat"] == (2, 3)
+    assert got["dog"] == (2, 2)   # lowercased merge
+    assert got["bird"] == (1, 1)
+    filtered = {r.token for r in vocabulary(df, min_count=2).collect()}
+    assert filtered == {"cat", "dog"}
