@@ -1838,6 +1838,93 @@ WHERE ({hex2int})::BIGINT % 1000
 """
 
 
+def _q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF keywords: tf agg + df window (one shuffle on
+    term, saves a groupBy+join) + row_number top-k cut."""
+    from sdm_rdfizer_spark.ops.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf), k=5)
+
+
+_TFIDF_TOPK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, list_transform({_WORDS_SQL}, x -> lower(x)) AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS term FROM w
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), d AS (
+  SELECT doc_id, term, tf,
+         count(*) OVER (PARTITION BY term) AS df,
+         (SELECT count(*) FROM documents)::DOUBLE AS n
+  FROM tf
+), s AS (
+  SELECT doc_id, term, tf, df, round(tf * ln(n / df), 6) AS tfidf FROM d
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, tfidf,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term)::BIGINT AS rnk
+FROM s QUALIFY rnk <= 5
+"""
+
+
+def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, lang) corpus report: one fully map-side-combinable
+    hash aggregation; avg exact (long sum / long count) pre-round."""
+    from sdm_rdfizer_spark.ops.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf))
+
+
+_CORPUS_STATS_ORACLE = f"""
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(len({_WORDS_SQL}))::BIGINT AS n_words,
+       sum(length(text))::BIGINT AS n_chars,
+       min(length(text))::BIGINT AS min_chars,
+       max(length(text))::BIGINT AS max_chars,
+       round(sum(length(text)) / count(*), 6) AS avg_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs from source 'src0' act as the
+    eval set; every other doc is checked for 8-gram overlap. The
+    benchmark's distinct shingles are broadcast; left join keeps clean
+    docs in the report."""
+    from sdm_rdfizer_spark.ops.dedup import ngram_decontaminate
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return ngram_decontaminate(corpus, bench, shingle_n=8)
+
+
+_SHINGLE8_SQL = ("list_distinct([array_to_string(ws[i+1:i+8], ' ') "
+                 "FOR i IN range(0, greatest(len(ws)-8, 0)+1)])")
+
+_DECONTAMINATE_ORACLE = f"""
+WITH cw AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE source != 'src0'
+), csh AS (
+  SELECT doc_id, {_SHINGLE8_SQL} AS shs FROM cw
+), ce AS (
+  SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS shingle FROM csh
+), bw AS (
+  SELECT {_WORDS_SQL} AS ws FROM documents WHERE source = 'src0'
+), bsh AS (
+  SELECT DISTINCT unnest({_SHINGLE8_SQL}) AS shingle FROM bw
+)
+SELECT c.doc_id, c.n_shingles::BIGINT AS n_shingles,
+       count(b.shingle)::BIGINT AS n_contaminated,
+       round(count(b.shingle) / greatest(c.n_shingles, 1), 6) AS contamination,
+       count(b.shingle) > 0 AS contaminated
+FROM ce c LEFT JOIN bsh b USING (shingle)
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_customer_graph(spark, "/root/testdata/sf0.001")
@@ -1886,6 +1973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_pii_scrub,
         "text_quality_filter": _q_quality_filter,
         "text_vocabulary": _q_vocabulary,
+        "text_tfidf_topk": _q_tfidf_topk,
+        "corpus_stats": _q_corpus_stats,
+        "text_decontaminate": _q_decontaminate,
         "sample_stratified": _q_stratified_sample,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
@@ -1937,6 +2027,9 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,
+        "text_tfidf_topk": _TFIDF_TOPK_ORACLE,
+        "corpus_stats": _CORPUS_STATS_ORACLE,
+        "text_decontaminate": _DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,

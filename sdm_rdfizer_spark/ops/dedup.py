@@ -522,3 +522,57 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
                 lambda s: s["span"]),
             " ").alias("text_dedup"),
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    word n-grams also appear anywhere in the benchmark/eval set.
+
+    Returns (id, n_shingles, n_contaminated, contamination, contaminated)
+    for EVERY corpus document — contamination = n_contaminated /
+    n_shingles, contaminated = any overlap at all. Training pipelines
+    drop (or flag) contaminated docs before eval sets leak into training
+    data.
+
+    Plan shape: one scan of the corpus (size + explode in the same
+    projection), the benchmark's distinct shingle set broadcast to every
+    executor (eval sets are small by definition — for a huge benchmark
+    set ``broadcast_benchmark=False`` and AQE picks the join), a LEFT
+    join so clean docs survive, one aggregation back to doc grain.
+    Shingle arrays are already distinct per doc (``shingles``), so the
+    hit count needs no second distinct.
+    """
+    sh = shingles(words(text_col), shingle_n)
+    c = corpus.select(
+        F.col(id_col),
+        F.size(sh).alias("n_shingles"),
+        F.explode_outer(sh).alias("shingle"),
+    )
+    b = (benchmark.select(F.explode(sh).alias("shingle"))
+         .dropDuplicates()
+         .withColumn("__hit", F.lit(1)))
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "shingle", "left")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+             .alias("n_contaminated"))
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_contaminated",
+            F.round(F.col("n_contaminated")
+                    / F.greatest(F.col("n_shingles"), F.lit(1)), 6)
+            .alias("contamination"),
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
+    )

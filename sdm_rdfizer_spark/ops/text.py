@@ -312,3 +312,72 @@ def vocabulary(df: DataFrame, text_col: str = "text",
              F.sum("tf").cast("long").alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *,
+               k: int = 5, lowercase: bool = True) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF.
+
+    Returns (id, term, tf, df, tfidf, rnk) for each document's k
+    highest-scoring terms, tfidf = tf * ln(N / df), ties broken by term
+    (deterministic output).
+
+    Plan shape — three shuffles, each on a natural key, no driver state:
+      1. groupBy(id, term): term frequencies. Map-side partial
+         aggregation collapses in-doc repeats before the shuffle.
+      2. a count window partitioned by term: document frequency. Using
+         a window instead of a groupBy+join saves one shuffle — the tf
+         frame is repartitioned by term once and df lands on every row
+         in place.
+      3. row_number window partitioned by id: the top-k cut.
+    The corpus size N is a single scalar aggregate cross-joined back as
+    a broadcast literal — no collect of anything wider than one number.
+    """
+    from pyspark.sql import Window
+
+    w = words(text_col)
+    if lowercase:
+        w = F.transform(w, F.lower)
+    tok = df.select(F.col(id_col), F.explode(w).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").cast("double").alias("__n"))
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    scored = (
+        tf.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf",
+                    F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term")))
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= k)
+        .select(F.col(id_col), "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 by: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Per-group corpus report: doc/word/char counts and length stats.
+
+    The reporting pass every corpus job ends with. One hash aggregation;
+    every aggregate (count/sum/min/max/avg over integer lengths) is
+    map-side combinable, so shuffle volume is one row per group per
+    input partition regardless of corpus size. avg stays exact (long
+    sum / long count) before the final round.
+    """
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words(text_col))
+    return df.groupBy(*[F.col(c) for c in by]).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_words).cast("long").alias("n_words"),
+        F.sum(n_chars).cast("long").alias("n_chars"),
+        F.min(n_chars).cast("long").alias("min_chars"),
+        F.max(n_chars).cast("long").alias("max_chars"),
+        F.round(F.sum(n_chars) / F.count("*"), 6).alias("avg_chars"),
+    )

@@ -482,3 +482,83 @@ def test_vocabulary_counts_docs_and_occurrences(spark):
     assert got["bird"] == (1, 1)
     filtered = {r.token for r in vocabulary(df, min_count=2).collect()}
     assert filtered == {"cat", "dog"}
+
+
+def test_tfidf_topk_scores_and_ranks(spark):
+    from sdm_rdfizer_spark.ops.text import tfidf_topk
+
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "banana cherry cherry date"),
+         (3, "apple date date date")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets exactly k=2 rows, ranked 1..2
+    for doc_id, rows in by_doc.items():
+        assert sorted(r["rnk"] for r in rows) == [1, 2]
+    # doc 1: apple tf=2 df=2 → 2*ln(3/2); banana/cherry tf=1 df=2
+    top1 = next(r for r in by_doc[1] if r["rnk"] == 1)
+    assert top1["term"] == "apple"
+    assert top1["tfidf"] == pytest.approx(round(2 * math.log(3 / 2), 6))
+    # ubiquitous term (df == n_docs) scores exactly 0
+    flat = {r["term"]: r for r in out}
+    for r in out:
+        if r["df"] == 3:
+            assert r["tfidf"] == 0.0
+    # tie-break is by term ascending: doc 2 has banana(tf1,df2) and
+    # cherry(tf2,df2) — cherry wins on score, then date(df2? no: df=2)
+    top2 = [r for r in by_doc[2]]
+    assert next(r["term"] for r in top2 if r["rnk"] == 1) == "cherry"
+
+
+def test_corpus_stats_exact_aggregates(spark):
+    from sdm_rdfizer_spark.ops.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [("s1", "en", "one two"), ("s1", "en", "three"), ("s1", "fr", "a b c")],
+        ["source", "lang", "text"],
+    )
+    out = {(r["source"], r["lang"]): r for r in corpus_stats(df).collect()}
+    r = out[("s1", "en")]
+    assert r["n_docs"] == 2 and r["n_words"] == 3
+    assert r["n_chars"] == len("one two") + len("three")
+    assert r["min_chars"] == 5 and r["max_chars"] == 7
+    assert r["avg_chars"] == pytest.approx(6.0)
+    assert out[("s1", "fr")]["n_words"] == 3
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from sdm_rdfizer_spark.ops.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "we saw the quick brown fox jumps over it"),  # contains a 3-gram run
+         (2, "completely different words here entirely"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_decontaminate(corpus, bench, shingle_n=3).collect()}
+    assert set(out) == {1, 2, 3}  # clean + empty docs are kept in the report
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 3
+    # "the quick brown", "quick brown fox", "brown fox jumps"
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    assert 0.0 < out[1]["contamination"] <= 1.0
+    assert out[2]["contamination"] == 0.0
+
+
+def test_ngram_decontaminate_full_overlap(spark):
+    from sdm_rdfizer_spark.ops.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(2, "a b c d")], ["doc_id", "text"])
+    out = ngram_decontaminate(corpus, bench, shingle_n=3).collect()
+    assert len(out) == 1
+    assert out[0]["contamination"] == 1.0 and out[0]["contaminated"]

@@ -128,3 +128,37 @@ def test_dedup_spans_shuffle_budget(spark, entry):
     assert plan.count("FileScan") == 1, plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2, plan
+
+
+def test_tfidf_three_shuffles_no_join_for_df(spark, entry):
+    """TF-IDF: tf agg + df window (by term) + top-k window (by doc) =
+    exactly 3 shuffles; the doc count must arrive as a broadcast
+    cross-join, not a shuffled join, and df-via-window means no
+    SortMergeJoin/ShuffledHashJoin anywhere."""
+    plan = _plan(entry.queries()["text_tfidf_topk"](spark, SF))
+    shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")
+                - plan.count("Exchange SinglePartition"))  # scalar N count
+    assert shuffles <= 3, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+    # Spark 4 pushes the top-k cut below the doc shuffle: only ≤k rows
+    # per (doc, input partition) reach the final window
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_corpus_stats_single_partial_agg(spark, entry):
+    """corpus_stats is one hash aggregation with a map-side partial:
+    exactly 1 shuffle, HashAggregate above and below it."""
+    plan = _plan(entry.queries()["corpus_stats"](spark, SF))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decontaminate_broadcasts_benchmark(spark, entry):
+    """The benchmark shingle set must broadcast (eval sets are small);
+    the corpus side must not shuffle for the join — only the final
+    doc-grain aggregation shuffles the (bounded) hit stream."""
+    plan = _plan(entry.queries()["text_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
