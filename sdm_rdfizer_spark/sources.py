@@ -60,6 +60,12 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             .option("sep", sep)
             .option("inferSchema", False)   # all strings, like the reference
             .option("mode", "PERMISSIVE")
+            # RFC-4180 doubled-quote escaping ("" inside a quoted field),
+            # matching the reference's pandas.read_csv default
+            # (doublequote=True, escapechar=None — backslash stays
+            # literal). Spark's default escape is backslash, which would
+            # leave "" unconsumed AND eat user backslashes.
+            .option("escape", '"')
         )
         # per-source reader options; {"mode": "FAILFAST"} is the
         # distributed analogue of the reference's valid_source ragged-row

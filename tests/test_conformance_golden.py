@@ -736,6 +736,192 @@ CASES["star_quoted_subject_same_source"] = (
 )
 
 
+CASES["0002a_quoted_csv_fields"] = (
+    # RFC-4180 quoted fields: "" unescapes to ", embedded commas stay,
+    # then the reference's literal rule swaps " for ' (functions.py:1944)
+    {"q.csv": 'id,txt\n1,"say ""hi"" now"\n2,"a,comma"\n'},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/q.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:t; rr:objectMap [ rml:reference "txt" ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/t> "say \'hi\' now" .',
+        '<http://example.com/2> <http://example.com/t> "a,comma" .',
+    ],
+)
+
+CASES["0018b_backslash_literal"] = (
+    # backslash survives the CSV scan literally (pandas escapechar=None)
+    # and is N-Triples-escaped on output
+    {"b.csv": 'id,txt\n1,"back\\slash"\n'},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/b.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:t; rr:objectMap [ rml:reference "txt" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/t> "back\\\\slash" .'],
+)
+
+CASES["0020a_iri_space_encoding"] = (
+    # space → %20 inside a template-built IRI; pre-encoded %20 survives
+    # (the safe list keeps %: encode_char functions.py:580-582)
+    {"n.csv": "id,name\n1,John Smith\n2,a%20b\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/n.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{name}" ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ] .
+""",
+    [
+        '<http://example.com/John%20Smith> <http://example.com/id> "1" .',
+        '<http://example.com/a%20b> <http://example.com/id> "2" .',
+    ],
+)
+
+CASES["unsafe_iri_skips_encoding"] = (
+    # rml:UnsafeIRI termtype: the IRI is emitted verbatim, no
+    # percent-encoding (semantify.py:6372-6376)
+    {"n.csv": "id,name\n1,John Smith\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/n.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{name}"; rr:termType rml:UnsafeIRI ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ] .
+""",
+    ['<http://example.com/John Smith> <http://example.com/id> "1" .'],
+)
+
+CASES["0002g_blanknode_sanitization"] = (
+    # blank-node labels sanitize / → 2F and . → 2E (semantify.py:6354-6367)
+    {"c.csv": "id\na.b/c\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{id}"; rr:termType rr:BlankNode ];
+  rr:predicateObjectMap [ rr:predicate ex:x; rr:objectMap [ rr:constant "y" ] ] .
+""",
+    ['_:a2Eb2Fc <http://example.com/x> "y" .'],
+)
+
+CASES["0015b_constant_lang_shortcut"] = (
+    # rr:object constant with inline @lang tag (semantify.py:6701-6708)
+    {"d.csv": "id\n1\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/d.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:greet; rr:object "hola"@es ] .
+""",
+    ['<http://example.com/1> <http://example.com/greet> "hola"@es .'],
+)
+
+CASES["csvw_dialect_delimiter"] = (
+    # CSVW source descriptor: csvw:url + csvw:dialect/csvw:delimiter
+    # select the file and separator (semantify.py:85-86, 2148-2195)
+    {"e.csv": "id;name\n1;Anna\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source [ a <http://www.w3.org/ns/csvw#Table>;
+        <http://www.w3.org/ns/csvw#url> "@DIR@/e.csv";
+        <http://www.w3.org/ns/csvw#dialect> [ <http://www.w3.org/ns/csvw#delimiter> ";" ] ];
+      rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/name> "Anna" .'],
+)
+
+CASES["cc_seq_container"] = (
+    # RML-CC rdf:Seq: container node typed rdf:Seq with ordered
+    # rdf:_1/_2 members (cc_functions.py:257-329); node id is the
+    # engine's deterministic content hash
+    {"f.csv": "id,s1,s2\n1,ten,swim\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/f.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:sports; rr:objectMap [
+      rml:gather ( [ rml:reference "s1" ] [ rml:reference "s2" ] );
+      rml:gatherAs rdf:Seq ] ] .
+""",
+    [
+        "<http://example.com/1> <http://example.com/sports> "
+        "_:g535fb35c812318c5e1b827412604ed58 .",
+        "_:g535fb35c812318c5e1b827412604ed58 "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1> \"ten\" .",
+        "_:g535fb35c812318c5e1b827412604ed58 "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#_2> \"swim\" .",
+        "_:g535fb35c812318c5e1b827412604ed58 "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq> .",
+    ],
+)
+
+CASES["json_inline_predicate"] = (
+    # field[?(@.attr=='v')].out inline JSON predicate on a reference
+    # (functions.py:1820-1864)
+    {"g.json": '{"people": [{"name": "ann", "phones": ['
+               '{"type": "home", "num": "111"},'
+               '{"type": "work", "num": "222"}]}]}'},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/g.json"; rml:referenceFormulation ql:JSONPath;
+      rml:iterator "$.people[*]" ];
+  rr:subjectMap [ rr:template "http://example.com/{name}" ];
+  rr:predicateObjectMap [ rr:predicate ex:homePhone; rr:objectMap [
+      rml:reference "phones[?(@.type=='home')].num" ] ] .
+""",
+    ['<http://example.com/ann> <http://example.com/homePhone> "111" .'],
+)
+
+CASES["ntriples_source_bgp_iterator"] = (
+    # RDF-file logical source with a SPARQL BGP iterator as projection
+    # (semantify.py:9989-10011)
+    {"g.nt": '<http://x.org/a> <http://x.org/name> "ann" .\n'
+             '<http://x.org/b> <http://x.org/name> "bob" .\n'},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/g.nt";
+     rml:referenceFormulation ql:NTriples;
+     rml:iterator "SELECT ?n WHERE { ?s <http://x.org/name> ?n }" ];
+  rr:subjectMap [ rr:template "http://example.com/{n}" ];
+  rr:predicateObjectMap [ rr:predicate ex:known; rr:objectMap [ rr:constant "yes" ] ] .
+""",
+    [
+        '<http://example.com/ann> <http://example.com/known> "yes" .',
+        '<http://example.com/bob> <http://example.com/known> "yes" .',
+    ],
+)
+
+CASES["0009b_join_null_key_no_match"] = (
+    # NULL-ish child join keys never match (functions.py:1882-1912 +
+    # inner-join probe): the N/A row emits no join triple but keeps
+    # its other POMs
+    {"ch.csv": "id,ref\n1,r1\n2,N/A\n", "pa.csv": "pid,label\nr1,one\n"},
+    """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/ch.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/c/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "ref"; rr:parent "pid" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/pa.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{pid}" ] .
+""",
+    [
+        '<http://example.com/c/1> <http://example.com/id> "1" .',
+        "<http://example.com/c/1> <http://example.com/to> "
+        "<http://example.com/p/r1> .",
+        '<http://example.com/c/2> <http://example.com/id> "2" .',
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected = CASES[case]
