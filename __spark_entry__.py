@@ -1838,6 +1838,72 @@ WHERE ({hex2int})::BIGINT % 1000
 """
 
 
+def _stage_nation_region_csv(sf: str) -> str:
+    """Stage nation + region as CSV files for the streaming RML query
+    (file-stream sources need file paths, not parquet views)."""
+    import hashlib
+    import tempfile
+
+    import duckdb
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "sdm_stream_rml_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if not os.path.exists(os.path.join(d, "region.csv")):
+        os.makedirs(d, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT n_nationkey, n_name, n_regionkey "
+            f"FROM '{sf}/nation.parquet' ORDER BY n_nationkey) "
+            f"TO '{d}/nation.csv.tmp' (HEADER, FORMAT CSV)")
+        duckdb.sql(
+            f"COPY (SELECT r_regionkey, r_name "
+            f"FROM '{sf}/region.parquet' ORDER BY r_regionkey) "
+            f"TO '{d}/region.csv.tmp' (HEADER, FORMAT CSV)")
+        os.replace(f"{d}/nation.csv.tmp", f"{d}/nation.csv")
+        os.replace(f"{d}/region.csv.tmp", f"{d}/region.csv")
+    return d
+
+
+def _q_streaming_rml(spark: SparkSession, sf: str) -> DataFrame:
+    """RML materialization ON A STREAM: the same compiled term/join plan
+    with a streaming CSV scan driving the child side and the parent
+    built as a static broadcast (stream-static join), drained with an
+    availableNow trigger — output must equal the batch plan, which the
+    oracle pins. The reference is strictly batch (SURVEY §2.7); this is
+    the Spark-native extension of its capability surface."""
+    from sdm_rdfizer_spark.streaming import (
+        materialize_stream, run_available_now)
+
+    d = _stage_nation_region_csv(sf)
+    mapping = _PREFIXES + f"""
+<#N> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/nation.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/nation/{{n_nationkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:region; rr:objectMap [
+      rr:parentTriplesMap <#R>;
+      rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ] ] .
+<#R> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/region.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/region/{{r_regionkey}}" ] .
+"""
+    sdf = materialize_stream(spark, mapping)
+    return run_available_now(sdf, name="streaming_rml_q").select("s", "p", "o")
+
+
+_STREAMING_RML_ORACLE = """
+SELECT '<http://ex.org/nation/' || n_nationkey || '>' AS s,
+       '<http://ex.org/vocab/name>' AS p,
+       '"' || n_name || '"' AS o
+FROM nation
+UNION ALL
+SELECT '<http://ex.org/nation/' || n_nationkey || '>',
+       '<http://ex.org/vocab/region>',
+       '<http://ex.org/region/' || n_regionkey || '>'
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def _q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc top-5 TF-IDF keywords: tf agg + df window (one shuffle on
     term, saves a groupBy+join) + row_number top-k cut."""
@@ -1979,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_stratified_sample,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_rml": _q_streaming_rml,
         "events_sessionize": _q_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
     }
@@ -2033,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _stratified_sample_oracle(),
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
+        "streaming_rml": _STREAMING_RML_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

@@ -56,6 +56,8 @@ def stream_scan(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             reader()
             .option("header", True)
             .option("sep", sep)
+            # RFC-4180 doubled-quote escaping, same as the batch scan
+            .option("escape", '"')
             .csv(path)
         )
     if fmt == "parquet":

@@ -104,3 +104,26 @@ def test_stream_dedup_exact_matches_batch_distinct(spark):
             spark.read.parquet(f"{sf}/events.parquet")
             .select("event_type").distinct().collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_csv_quoted_fields_match_batch(spark, tmp_path):
+    """RFC-4180 doubled quotes unescape identically on the streaming
+    and batch CSV scans (both set escape='\"')."""
+    d = tmp_path / "qcsv"
+    d.mkdir()
+    (d / "s.csv").write_text('id,txt\n1,"say ""hi"" now"\n')
+    m = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://ex.org/vocab/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "%s/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:t; rr:objectMap [ rml:reference "txt" ] ] .
+""" % d
+    batch = triple_set(materialize(spark, m))
+    out = run_available_now(materialize_stream(spark, m), name="t_q_parity")
+    assert triple_set(out) == batch
+    assert ("<http://ex.org/1>", "<http://ex.org/vocab/t>",
+            "\"say 'hi' now\"") in batch
