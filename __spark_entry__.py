@@ -1453,6 +1453,48 @@ FROM m
 """
 
 
+def _q_multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling: one row per (video, sampled timestamp) via
+    a fan-out mapInPandas pass; the deterministic stub decoder lets the
+    oracle replay the exact fan-out (frame count = duration/5000)."""
+    from sdm_rdfizer_spark.ops.multimodal import sample_frames
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return sample_frames(media, every_ms=5000)
+
+
+# videos are doc_id%3==2; duration = 1000 + 13h%60000 with h = byte sum
+# of the first 64 chars; frames at 0,5000,... < duration; the frame
+# digest hashes payload||frame_idx (ASCII text, so string concat works)
+_MULTIMODAL_FRAMESAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         1000 + (list_sum(list_transform(
+             str_split(substr(text, 1, 64), ''), c -> ord(c))) * 13) % 60000
+         AS dur  -- list_sum yields HUGEINT; range() needs BIGINT
+  FROM documents WHERE doc_id % 3 = 2
+)
+, f AS (
+  SELECT media_id, text, unnest(range(0, dur::BIGINT, 5000)) AS ts FROM v
+)
+SELECT media_id,
+       (ts // 5000)::BIGINT AS frame_idx,
+       ts::BIGINT AS ts_ms,
+       md5(text || (ts // 5000)::BIGINT::VARCHAR) AS frame_digest
+FROM f
+"""
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup (stateful dropDuplicates over a file
     stream, availableNow drain -> equals batch DISTINCT)."""
@@ -2035,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "text_repetition": _q_text_repetition,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_framesample": _q_multimodal_framesample,
         "dedup_spans": _q_dedup_spans,
         "text_pii_scrub": _q_pii_scrub,
         "text_quality_filter": _q_quality_filter,
@@ -2090,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_oracle(),
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
+        "multimodal_framesample": _MULTIMODAL_FRAMESAMPLE_ORACLE,
         "dedup_spans": _DEDUP_SPANS_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),

@@ -123,3 +123,97 @@ def synthesize_media(spark, n: int = 64, *, partitions: int = 4) -> DataFrame:
         payload.alias("payload"),
         F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
     )
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("frame_digest", T.StringType()),
+])
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 5000) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled
+    timestamp (0, every_ms, ... < duration), fanning a video row out
+    into its frame stream — the shape a vision-pretraining pipeline
+    feeds to the image encoder.
+
+    mapInPandas so the fan-out happens inside one Arrow batch crossing
+    per partition-chunk (a row-at-a-time UDF would cross per FRAME).
+    The decode step uses the registered ``DECODERS`` stub (no ffmpeg in
+    this container); the frame digest is a placeholder for the decoded
+    frame tensor, deterministic so tests and the DuckDB oracle can pin
+    the full fan-out.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            tss: list[int] = []
+            digs: list[str] = []
+            for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video" or payload is None:
+                    continue
+                dec = DECODERS.get("video")
+                if dec is None:
+                    continue
+                dur = dec("video", bytes(payload)).duration_ms or 0
+                for i, ts in enumerate(range(0, dur, every_ms)):
+                    mids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(ts)
+                    digs.append(hashlib.md5(
+                        bytes(payload) + str(i).encode()).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.array(mids, dtype="Int64"),
+                "frame_idx": pd.array(idxs, dtype="Int64"),
+                "ts_ms": pd.array(tss, dtype="Int64"),
+                "frame_digest": pd.array(digs, dtype="string"),
+            })
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_media(df: DataFrame, *, width: int = 224,
+                 height: int = 224) -> DataFrame:
+    """Resize plumbing for image rows: decode → resize → re-encode in
+    one mapInPandas pass (non-image rows are filtered out Spark-side so
+    the Python crossing only carries image bytes).
+
+    The codec is stubbed: the output payload is a deterministic
+    re-encode marker (md5 of the source + target dims) standing in for
+    the resized bytes; register a PIL-backed decoder via
+    ``register_decoder`` to make it real. Schema, filtering, and batch
+    shape are the production plumbing.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                hashlib.md5(bytes(b)).hexdigest().encode()
+                + f"-{width}x{height}".encode()
+                if b is not None else None
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "width": pd.array([width] * len(pdf), dtype="Int32"),
+                "height": pd.array([height] * len(pdf), dtype="Int32"),
+            })
+
+    return df.where(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZE_SCHEMA)

@@ -562,3 +562,39 @@ def test_ngram_decontaminate_full_overlap(spark):
     out = ngram_decontaminate(corpus, bench, shingle_n=3).collect()
     assert len(out) == 1
     assert out[0]["contamination"] == 1.0 and out[0]["contaminated"]
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    import hashlib
+
+    from sdm_rdfizer_spark.ops.multimodal import (
+        DECODERS, sample_frames, synthesize_media)
+
+    media = synthesize_media(spark, n=12)
+    out = sample_frames(media, every_ms=5000).collect()
+    videos = {r["media_id"]: bytes(r["payload"])
+              for r in media.where("kind = 'video'").collect()}
+    assert {r["media_id"] for r in out} == set(videos)
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_vid.items():
+        dur = DECODERS["video"]("video", videos[mid]).duration_ms
+        assert len(frames) == (dur + 4999) // 5000
+        frames.sort(key=lambda r: r["frame_idx"])
+        for i, fr in enumerate(frames):
+            assert fr["frame_idx"] == i and fr["ts_ms"] == i * 5000
+            assert fr["frame_digest"] == hashlib.md5(
+                videos[mid] + str(i).encode()).hexdigest()
+
+
+def test_resize_media_images_only(spark):
+    from sdm_rdfizer_spark.ops.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(spark, n=12)
+    out = resize_media(media, width=128, height=96).collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert r["width"] == 128 and r["height"] == 96
+        assert r["payload"] is not None and b"-128x96" in bytes(r["payload"])
