@@ -323,14 +323,21 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     highest-scoring terms, tfidf = tf * ln(N / df), ties broken by term
     (deterministic output).
 
-    Plan shape — three shuffles, each on a natural key, no driver state:
+    Plan shape — all shuffles on natural keys, no driver state:
       1. groupBy(id, term): term frequencies. Map-side partial
          aggregation collapses in-doc repeats before the shuffle.
-      2. a count window partitioned by term: document frequency. Using
-         a window instead of a groupBy+join saves one shuffle — the tf
-         frame is repartitioned by term once and df lands on every row
-         in place.
-      3. row_number window partitioned by id: the top-k cut.
+      2. groupBy(term): document frequencies. Partial aggregation makes
+         the shuffle one row per (term, input partition); the result is
+         vocabulary-sized.
+      3. tf ⋈ dfreq on term. NOT a window over term: a count window
+         partitioned by term would buffer every row of a hot term (a
+         stopword present in billions of docs) in ONE task — the join
+         streams rows through instead, AQE broadcasts the (small)
+         vocabulary side when it fits and splits skewed partitions when
+         it doesn't.
+      4. row_number window partitioned by id: the top-k cut (Spark
+         pushes a partial WindowGroupLimit below the shuffle, so ≤k
+         rows per doc per partition move).
     The corpus size N is a single scalar aggregate cross-joined back as
     a broadcast literal — no collect of anything wider than one number.
     """
@@ -342,9 +349,9 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     tok = df.select(F.col(id_col), F.explode(w).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = df.select(F.count("*").cast("double").alias("__n"))
-    dfreq = F.count("*").over(Window.partitionBy("term"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.withColumn("df", dfreq)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf",
                     F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6))

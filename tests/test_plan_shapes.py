@@ -130,16 +130,17 @@ def test_dedup_spans_shuffle_budget(spark, entry):
     assert shuffles <= 2, plan
 
 
-def test_tfidf_three_shuffles_no_join_for_df(spark, entry):
-    """TF-IDF: tf agg + df window (by term) + top-k window (by doc) =
-    exactly 3 shuffles; the doc count must arrive as a broadcast
-    cross-join, not a shuffled join, and df-via-window means no
-    SortMergeJoin/ShuffledHashJoin anywhere."""
+def test_tfidf_skew_safe_shuffles(spark, entry):
+    """TF-IDF: tf agg + vocab-sized df agg + tf⋈df join + top-k window.
+    There must be NO count-window partitioned by term (a hot term would
+    buffer in one task); the doc count arrives as a broadcast
+    cross-join; the only Window is the per-doc top-k, with its partial
+    WindowGroupLimit pushed below the shuffle."""
     plan = _plan(entry.queries()["text_tfidf_topk"](spark, SF))
     shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")
                 - plan.count("Exchange SinglePartition"))  # scalar N count
-    assert shuffles <= 3, plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert shuffles <= 4, plan
+    assert plan.count("Window ") == 1, plan  # only the doc top-k window
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
     # Spark 4 pushes the top-k cut below the doc shuffle: only ≤k rows
     # per (doc, input partition) reach the final window
