@@ -1946,6 +1946,93 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: every purchase picks up the latest at-or-before view
+    of the same user (union + running last() window — one shuffle on
+    user_id, no nested-loop range join). DuckDB's native ASOF LEFT JOIN
+    is the oracle."""
+    from sdm_rdfizer_spark.ops.asof import asof_join
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    # one row per (user, ts) keeps the at-equal-ts winner deterministic
+    right = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    right_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.date_format("asof_ts", _TS_FMT).alias("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+_EVENTS_ASOF_ORACLE = f"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '{_TS_FMT_DUCK}') AS ts,
+       strftime(r.ts, '{_TS_FMT_DUCK}') AS asof_ts,
+       r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_events_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-containment join: clicks landing inside a 60-minute window
+    after an error of the same user. Intervals explode over fixed
+    one-hour buckets → equi-join on (user, bucket) → exact containment
+    filter; no inequality predicate ever reaches a join operator."""
+    from sdm_rdfizer_spark.ops.asof import interval_bucket_join
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts").cast("timestamp")
+         + F.expr("INTERVAL 60 MINUTES")).alias("end_ts"),
+    )
+    out = interval_bucket_join(left, right, on="ts", start="start_ts",
+                               end="end_ts", by=["user_id"],
+                               bucket_seconds=3600)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.col("window_id").cast("long").alias("window_id"),
+    )
+
+
+_EVENTS_INTERVAL_ORACLE = f"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS window_id, user_id, ts AS start_ts,
+         ts + INTERVAL 60 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '{_TS_FMT_DUCK}') AS ts,
+       r.window_id
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.ts >= r.start_ts AND l.ts <= r.end_ts
+"""
+
+
 def _q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc top-5 TF-IDF keywords: tf agg + df window (one shuffle on
     term, saves a groupBy+join) + row_number top-k cut."""
@@ -2090,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_rml": _q_streaming_rml,
         "events_sessionize": _q_sessionize,
+        "events_asof_join": _q_events_asof_join,
+        "events_interval_join": _q_events_interval_join,
         "streaming_sessionize": _q_streaming_sessionize,
     }
 
@@ -2146,5 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "streaming_rml": _STREAMING_RML_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
+        "events_asof_join": _EVENTS_ASOF_ORACLE,
+        "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

@@ -598,3 +598,63 @@ def test_resize_media_images_only(spark):
     for r in out:
         assert r["width"] == 128 and r["height"] == 96
         assert r["payload"] is not None and b"-128x96" in bytes(r["payload"])
+
+
+def test_asof_join_backward_semantics(spark):
+    from sdm_rdfizer_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10)],
+        ["event_id", "k", "t"],
+    ).selectExpr("event_id", "k", "timestamp_seconds(t) AS ts")
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 200, 2.0), ("u1", 300, 3.0),
+         ("u2", 60, 9.0)],
+        ["k", "t", "value"],
+    ).selectExpr("k", "timestamp_seconds(t) AS ts", "value")
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, on="ts", by=["k"],
+                     right_cols=["value"]).collect()}
+    assert out[1]["asof_value"] == 1.0   # equal ts matches (inclusive)
+    assert out[2]["asof_value"] == 2.0   # latest at-or-before 205
+    assert out[3]["asof_value"] is None  # right is later only
+    assert out[4]["asof_value"] is None  # key with no right rows
+    assert len(out) == 4                 # left-outer: all left rows kept
+
+
+def test_asof_join_forward_semantics(spark):
+    from sdm_rdfizer_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 150), (2, "u1", 301)], ["event_id", "k", "t"]
+    ).selectExpr("event_id", "k", "timestamp_seconds(t) AS ts")
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 200, 2.0), ("u1", 300, 3.0)],
+        ["k", "t", "value"],
+    ).selectExpr("k", "timestamp_seconds(t) AS ts", "value")
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, on="ts", by=["k"], right_cols=["value"],
+                     direction="forward").collect()}
+    assert out[1]["asof_value"] == 2.0   # earliest at-or-after 150
+    assert out[2]["asof_value"] is None  # nothing at-or-after 301
+
+
+def test_interval_bucket_join_edges(spark):
+    from sdm_rdfizer_spark.ops.asof import interval_bucket_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 600), (3, "u1", 601), (4, "u2", 100)],
+        ["event_id", "k", "t"],
+    ).selectExpr("event_id", "k", "timestamp_seconds(t) AS ts")
+    # interval spans multiple 60-second buckets; boundaries inclusive
+    right = spark.createDataFrame(
+        [(10, "u1", 100, 600)], ["window_id", "k", "s", "e"]
+    ).selectExpr("window_id", "k", "timestamp_seconds(s) AS start_ts",
+                 "timestamp_seconds(e) AS end_ts")
+    out = interval_bucket_join(
+        left, right, on="ts", start="start_ts", end="end_ts",
+        by=["k"], bucket_seconds=60).collect()
+    got = sorted((r["event_id"], r["window_id"]) for r in out)
+    # both boundaries match, exactly once each (no bucket-induced dups);
+    # 601 is outside; u2 shares no key
+    assert got == [(1, 10), (2, 10)]

@@ -163,3 +163,19 @@ def test_decontaminate_broadcasts_benchmark(spark, entry):
     plan = _plan(entry.queries()["text_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_no_nested_loop(spark, entry):
+    """The as-of join must compile to union + running window — a single
+    shuffle on the by-keys, never a BroadcastNestedLoopJoin (what Spark
+    does with a raw range predicate)."""
+    plan = _plan(entry.queries()["events_asof_join"](spark, SF))
+    assert "NestedLoop" not in plan, plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_join(spark, entry):
+    """The range-containment join must reach the join operator as an
+    equi-join on (keys, bucket) — no nested loop, no cartesian."""
+    plan = _plan(entry.queries()["events_interval_join"](spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
