@@ -1946,6 +1946,35 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding at (label, pos) grain — one fully
+    map-side-combinable aggregation."""
+    from sdm_rdfizer_spark.ops.similarity import label_centroids
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return label_centroids(
+        read_parquet(spark, f"{sf}/embeddings.parquet")
+    ).withColumn("label", F.col("label").cast("long"))
+
+
+# Spark's avg over doubles and DuckDB's agree here because the partial
+# sums are over the same IEEE doubles; round(…, 6) absorbs association
+# order (embedding components are ~unit scale, dims per (label,pos)
+# group are modest)
+_LABEL_CENTROIDS_ORACLE = """
+WITH x AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, pos::BIGINT AS pos,
+       round(avg(v), 6) AS centroid_val,
+       count(*)::BIGINT AS n_vecs
+FROM x GROUP BY label, pos
+"""
+
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -2159,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_lsh_bucket_topk,
         "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
+        "label_centroids": _q_label_centroids,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "dedup_components": _q_dedup_components,
@@ -2217,6 +2247,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "similarity_topk_cosine": _SIMILARITY_TOPK_ORACLE,
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
+        "label_centroids": _LABEL_CENTROIDS_ORACLE,
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),

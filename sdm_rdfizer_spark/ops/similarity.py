@@ -346,3 +346,32 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid (mean vector): the class-prototype building
+    block for nearest-centroid classification, cluster summaries, and
+    IVF-style coarse quantizers.
+
+    Output stays at (label, pos, centroid_val, n_vecs) grain — one row
+    per vector component — rather than re-assembling arrays: the
+    exploded grain is what downstream joins consume, and the aggregation
+    is a single fully map-side-combinable shuffle on (label, pos)
+    (partial sums collapse before the exchange, so shuffle volume is
+    labels × dim per input partition regardless of corpus size).
+    """
+    x = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    return (
+        x.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"),
+             F.count("*").cast("long").alias("n_vecs"))
+        .select("label", F.col("pos").cast("long").alias("pos"),
+                "centroid_val", "n_vecs")
+    )

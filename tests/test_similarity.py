@@ -65,3 +65,18 @@ def test_ivf_kmeans_balances_cells(spark):
            for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=4,
                              kmeans_iters=3).collect()}
     assert len(got & truth) / len(truth) >= 0.8   # measured 0.88
+
+
+def test_label_centroids_exact_means(spark):
+    from sdm_rdfizer_spark.ops.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 4.0]), (3, "b", [5.0, 6.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    out = {(r["label"], r["pos"]): r for r in label_centroids(df).collect()}
+    assert out[("a", 0)]["centroid_val"] == 2.0
+    assert out[("a", 1)]["centroid_val"] == 3.0
+    assert out[("b", 0)]["centroid_val"] == 5.0
+    assert all(r["n_vecs"] == (2 if lbl == "a" else 1)
+               for (lbl, _), r in out.items())
