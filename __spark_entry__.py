@@ -1946,6 +1946,62 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def _q_lineitem_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-POM throughput anchor (BASELINE properties/mappings tracks:
+    1 TM x many POMs over the widest fact table): 9 projection POMs +
+    rdf:type from one lineitem scan — one explode pass, ~10 triples per
+    source row, no joins. Measures pure term-construction throughput."""
+    mapping = _PREFIXES + f"""
+<#L> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/lineitem.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/li/{{l_orderkey}}/{{l_linenumber}}"; rr:class ex:Lineitem ];
+  rr:predicateObjectMap [ rr:predicate ex:part;
+    rr:objectMap [ rml:reference "l_partkey"; rr:datatype xsd:integer ] ];
+  rr:predicateObjectMap [ rr:predicate ex:supp;
+    rr:objectMap [ rml:reference "l_suppkey"; rr:datatype xsd:integer ] ];
+  rr:predicateObjectMap [ rr:predicate ex:line;
+    rr:objectMap [ rml:reference "l_linenumber"; rr:datatype xsd:integer ] ];
+  rr:predicateObjectMap [ rr:predicate ex:qty;
+    rr:objectMap [ rml:reference "l_quantity"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:price;
+    rr:objectMap [ rml:reference "l_extendedprice"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:discount;
+    rr:objectMap [ rml:reference "l_discount"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:tax;
+    rr:objectMap [ rml:reference "l_tax"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:rflag;
+    rr:objectMap [ rml:reference "l_returnflag" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:lstatus;
+    rr:objectMap [ rml:reference "l_linestatus" ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+def _lineitem_wide_oracle() -> str:
+    subj = "'<http://ex.org/li/' || l_orderkey || '/' || l_linenumber || '>'"
+    vocab = "http://ex.org/vocab/"
+    parts = [
+        f"SELECT {subj} AS s, '<{RDF_TYPE}>' AS p, "
+        f"'<{vocab}Lineitem>' AS o FROM lineitem"
+    ]
+    for pred, col, dt in [
+        ("part", "l_partkey", "integer"), ("supp", "l_suppkey", "integer"),
+        ("line", "l_linenumber", "integer"),
+        ("qty", "l_quantity", "double"), ("price", "l_extendedprice", "double"),
+        ("discount", "l_discount", "double"), ("tax", "l_tax", "double"),
+        ("rflag", "l_returnflag", None), ("lstatus", "l_linestatus", None),
+    ]:
+        if dt == "double":
+            o = f"'\"' || {_canon(col)} || '\"^^<{XSD}{dt}>'"
+        elif dt:
+            o = f"'\"' || {col} || '\"^^<{XSD}{dt}>'"
+        else:
+            o = f"'\"' || {col} || '\"'"
+        parts.append(
+            f"SELECT {subj}, '<{vocab}{pred}>', {o} FROM lineitem")
+    return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
+
+
 def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean embedding at (label, pos) grain — one fully
     map-side-combinable aggregation."""
@@ -2159,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_customer_graph": _q_customer_graph,
         "rml_part_template": _q_part_template,
         "rml_lineitem_orders_join": _q_lineitem_orders_join,
+        "rml_lineitem_wide": _q_lineitem_wide,
         "rml_dedup_flags": _q_dedup_flags,
         "rml_orders_quads": _q_orders_quads,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -2218,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_customer_graph": _CUSTOMER_ORACLE,
         "rml_part_template": _PART_ORACLE,
         "rml_lineitem_orders_join": _LINEITEM_ORDERS_ORACLE,
+        "rml_lineitem_wide": _lineitem_wide_oracle(),
         "rml_dedup_flags": _DEDUP_FLAGS_ORACLE,
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,
         "rml_supplier_bnode": _SUPPLIER_BNODE_ORACLE,
