@@ -551,10 +551,15 @@ def ngram_decontaminate(
     hit count needs no second distinct.
     """
     sh = shingles(words(text_col), shingle_n)
-    c = corpus.select(
+    # materialize the shingle array as a column BEFORE size+explode: with
+    # the raw expression in both slots, the post-Generate projection
+    # re-evaluates size(<whole shingle tree>) per OUTPUT row (~n_shingles
+    # times per doc — a 10× slowdown measured at sf0.1); the intermediate
+    # Project below Generate pins one evaluation per input row
+    c = corpus.select(F.col(id_col), sh.alias("__shs")).select(
         F.col(id_col),
-        F.size(sh).alias("n_shingles"),
-        F.explode_outer(sh).alias("shingle"),
+        F.size("__shs").alias("n_shingles"),
+        F.explode_outer("__shs").alias("shingle"),
     )
     b = (benchmark.select(F.explode(sh).alias("shingle"))
          .dropDuplicates()
