@@ -922,7 +922,69 @@ CASES["0009b_join_null_key_no_match"] = (
 )
 
 
+CASES["base_iri_relative_template"] = (
+    # @base resolves relative templates (reference base-IRI prefixing,
+    # semantify.py:6334-6350)
+    {"a.csv": "id\n1\n"},
+    """
+@base <http://mybase.org/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/a.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "person/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:constant "x" ] ] .
+""",
+    ['<http://mybase.org/person/1> <http://example.com/v> "x" .'],
+)
+
+CASES["iri_reference_base_prefix"] = (
+    # reference-valued IRI: non-absolute values get the engine base
+    # (default http://example.com/base/, '/' percent-encodes); absolute
+    # http IRIs pass through
+    {"b.csv": "id,link\n1,rel/path\n2,http://abs.org/x\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/b.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:l; rr:objectMap [
+      rml:reference "link"; rr:termType rr:IRI ] ] .
+""",
+    [
+        "<http://example.com/1> <http://example.com/l> "
+        "<http://example.com/base/rel%2Fpath> .",
+        "<http://example.com/2> <http://example.com/l> <http://abs.org/x> .",
+    ],
+)
+
+CASES["rr_column_legacy"] = (
+    # R2RML rr:column accepted as an alias of rml:reference
+    {"c.csv": "id,name\n1,Ann\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:n; rr:objectMap [ rr:column "name" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/n> "Ann" .'],
+)
+
+CASES["duplicate_pom_collapsed_at_parse"] = (
+    # remove_duplicate_po (functions.py:2265-2280): two identical POMs
+    # emit once even with triple dedup OFF
+    {"d.csv": "id\n1\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/d.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:constant "x" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:constant "x" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/v> "x" .'],
+    {"remove_duplicates": False},
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
-    files, mapping, expected = CASES[case]
-    assert _run(spark, tmp_path, files, mapping) == sorted(expected)
+    files, mapping, expected, *rest = CASES[case]
+    kwargs = rest[0] if rest else {}
+    assert _run(spark, tmp_path, files, mapping, **kwargs) == sorted(expected)
