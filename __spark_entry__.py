@@ -1946,6 +1946,41 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def _q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """LM quality scoring (CCNet-style perplexity filter): corpus-trained
+    char-bigram model, broadcast, then per-doc log-prob aggregation in
+    exact DECIMAL (engine-portable, partitioning-independent sums)."""
+    from sdm_rdfizer_spark.ops.text import lm_score
+
+    return lm_score(_docs(spark, sf))
+
+
+_LM_SCORE_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, [substr(text, i, 2) FOR i IN range(1, length(text))] AS bgs
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM ch
+), counts AS (
+  SELECT bg, count(*) AS c FROM ex GROUP BY bg
+), tot AS (
+  SELECT sum(c) AS t, count(*) AS v FROM counts
+), model AS (
+  SELECT bg, round(ln((c + 1) / (t + v)), 6)::DECIMAL(18,6) AS logp
+  FROM counts, tot
+), fl AS (
+  SELECT round(ln(1.0 / (t + v)), 6)::DECIMAL(18,6) AS floor_lp FROM tot
+), sc AS (
+  SELECT e.doc_id, coalesce(m.logp, fl.floor_lp) AS lp
+  FROM ex e LEFT JOIN model m USING (bg), fl
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(lp)::DECIMAL(28,6)::VARCHAR AS sum_logprob,
+       (sum(lp) / count(*))::DECIMAL(18,6)::VARCHAR AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 def _q_lineitem_wide(spark: SparkSession, sf: str) -> DataFrame:
     """Wide-POM throughput anchor (BASELINE properties/mappings tracks:
     1 TM x many POMs over the widest fact table): 9 projection POMs +
@@ -2256,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_pii_scrub,
         "text_quality_filter": _q_quality_filter,
         "text_vocabulary": _q_vocabulary,
+        "text_lm_score": _q_lm_score,
         "text_tfidf_topk": _q_tfidf_topk,
         "corpus_stats": _q_corpus_stats,
         "text_decontaminate": _q_decontaminate,
@@ -2316,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,
+        "text_lm_score": _LM_SCORE_ORACLE,
         "text_tfidf_topk": _TFIDF_TOPK_ORACLE,
         "corpus_stats": _CORPUS_STATS_ORACLE,
         "text_decontaminate": _DECONTAMINATE_ORACLE,

@@ -388,3 +388,70 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
         F.max(n_chars).cast("long").alias("max_chars"),
         F.round(F.sum(n_chars) / F.count("*"), 6).alias("avg_chars"),
     )
+
+
+def _char_bigrams(text: Column) -> Column:
+    """Character-bigram array of a string (empty for length < 2)."""
+    chars = F.split(text, "")
+    m = F.greatest(F.size(chars) - 1, F.lit(0))
+    return F.zip_with(F.slice(chars, 1, m), F.slice(chars, 2, m),
+                      lambda a, b: F.concat(a, b))
+
+
+def lm_score(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Language-model quality score (CCNet-style perplexity filtering,
+    with a corpus-trained character-bigram model standing in for the
+    external KenLM): docs whose character sequences are improbable under
+    the corpus's own statistics — mojibake, binary spill, gibberish —
+    score low and get filtered.
+
+    Two distributed phases sharing one pipeline:
+      1. TRAIN: explode char bigrams → one combinable groupBy(bigram)
+         count → add-one-smoothed log-probability per bigram. The model
+         is alphabet² rows — tiny — and is broadcast for scoring.
+      2. SCORE: explode each doc's bigrams, broadcast-join the model,
+         aggregate per doc.
+
+    Determinism across engines: each bigram's log-prob is rounded to a
+    1e-6 grid and carried as DECIMAL(18,6); per-doc sums are exact
+    decimal arithmetic, so the result is independent of partitioning
+    and float-summation order (a raw double sum would drift in the last
+    bits between Spark and any oracle). Returns (id, n_bigrams,
+    sum_logprob [decimal string], avg_logprob [decimal string]);
+    unseen bigrams take the smoothing floor.
+    """
+    bg = _char_bigrams(F.col(text_col))
+    ex = df.select(F.col(id_col), bg.alias("__bgs")).select(
+        F.col(id_col), F.explode("__bgs").alias("bg"))
+
+    counts = ex.groupBy("bg").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("__t"), F.count("*").alias("__v"))
+    model = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            F.round(F.log((F.col("c") + 1) / (F.col("__t") + F.col("__v"))), 6)
+            .cast("decimal(18,6)").alias("logp"))
+    )
+    floor = (
+        totals.select(
+            F.round(F.log(F.lit(1.0) / (F.col("__t") + F.col("__v"))), 6)
+            .cast("decimal(18,6)").alias("__floor"))
+    )
+    scored = (
+        ex.join(F.broadcast(model), "bg", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(F.col(id_col),
+                F.coalesce("logp", "__floor").alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_bigrams"),
+             F.sum("lp").alias("s"))
+    )
+    return scored.select(
+        F.col(id_col), "n_bigrams",
+        F.col("s").cast("decimal(28,6)").cast("string").alias("sum_logprob"),
+        (F.col("s") / F.col("n_bigrams")).cast("decimal(18,6)")
+        .cast("string").alias("avg_logprob"),
+    )

@@ -658,3 +658,24 @@ def test_interval_bucket_join_edges(spark):
     # both boundaries match, exactly once each (no bucket-induced dups);
     # 601 is outside; u2 shares no key
     assert got == [(1, 10), (2, 10)]
+
+
+def test_lm_score_model_and_floor(spark):
+    import math
+    from decimal import Decimal
+
+    from sdm_rdfizer_spark.ops.text import lm_score
+
+    # corpus: "abab" (bigrams ab,ba,ab), "abba" (ab,bb,ba), "xy" (xy)
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "abba"), (3, "xy")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[3]["n_bigrams"] == 1
+    # model: counts ab=3, ba=2, bb=1, xy=1; t=7, v=4
+    lp = {b: round(math.log((c + 1) / 11), 6)
+          for b, c in {"ab": 3, "ba": 2, "bb": 1, "xy": 1}.items()}
+    assert Decimal(out[1]["sum_logprob"]) == (
+        Decimal(str(lp["ab"])) * 2 + Decimal(str(lp["ba"])))
+    assert Decimal(out[3]["sum_logprob"]) == Decimal(str(lp["xy"]))
+    # repetitive common bigrams score higher than the rare one
+    assert Decimal(out[1]["avg_logprob"]) > Decimal(out[3]["avg_logprob"])
