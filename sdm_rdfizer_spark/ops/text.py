@@ -425,7 +425,11 @@ def lm_score(df: DataFrame, text_col: str = "text",
     ex = df.select(F.col(id_col), bg.alias("__bgs")).select(
         F.col(id_col), F.explode("__bgs").alias("bg"))
 
-    counts = ex.groupBy("bg").agg(F.count("*").alias("c"))
+    # the counts table is alphabet²-sized; materialize it once so the
+    # model, vocabulary total, and smoothing floor don't each re-scan
+    # the corpus through the agg lineage (3 corpus reads → the 2
+    # inherent to train-then-score)
+    counts = ex.groupBy("bg").agg(F.count("*").alias("c")).localCheckpoint()
     totals = counts.agg(
         F.sum("c").alias("__t"), F.count("*").alias("__v"))
     model = (
