@@ -38,11 +38,40 @@ def write_ntriples(
     *,
     single_file: bool = False,
     compression: str | None = None,
+    partition_by_predicate: bool = False,
 ) -> str:
     """Write triples as ``.nt`` text. With ``single_file`` the write is
     coalesced and the part file moved to ``path`` itself (the reference
     always writes one file per dataset; distributed output is the default
-    here because a single file is a scale bottleneck)."""
+    here because a single file is a scale bottleneck).
+
+    ``partition_by_predicate`` is the Spark-native analogue of the
+    reference's ``mapping_partitions`` (single-POM TM splitting,
+    semantify.py:1424-1448): the output directory is laid out one
+    subdirectory per predicate (``p=<encoded-iri>/``), so downstream
+    consumers of a single predicate read only its files. Incompatible
+    with ``single_file``.
+    """
+    if partition_by_predicate:
+        if single_file:
+            raise ValueError("partition_by_predicate excludes single_file")
+        # strip <>; Spark Hive-escapes unsafe chars (/ : …) in partition
+        # directory names itself
+        pdir = F.regexp_replace("p", "^<|>$", "")
+        if "g" in triples.columns:
+            lexpr = F.when(F.col("g").isNotNull(),
+                           F.concat_ws(" ", "s", "p", "o", "g")
+                           ).otherwise(F.concat_ws(" ", "s", "p", "o"))
+        else:
+            lexpr = F.concat_ws(" ", "s", "p", "o")
+        out = triples.select(
+            pdir.alias("pred"),
+            F.concat(lexpr, F.lit(" .")).alias("value"))
+        writer = out.write.mode("overwrite").partitionBy("pred")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.text(path)
+        return path
     lines = ntriples_lines(triples)
     if single_file:
         tmp = path + "._spark_tmp"

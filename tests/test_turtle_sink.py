@@ -86,3 +86,32 @@ mapping: {tmp_path}/m.ttl
     text = open(out / "big.ttl").read()
     g = parse_turtle(text)
     assert len(g.triples) == 50
+
+
+def test_write_ntriples_partitioned_by_predicate(spark, tmp_path):
+    """partition_by_predicate lays the output out one directory per
+    predicate (the Spark analogue of the reference's mapping_partitions)
+    and the union of all partitions equals the unpartitioned output."""
+    import glob
+    import os
+
+    from sdm_rdfizer_spark.sinks import write_ntriples
+
+    df = spark.createDataFrame(
+        [("<http://x/s1>", "<http://x/name>", '"a"', None),
+         ("<http://x/s1>", "<http://x/age>", '"3"', None),
+         ("<http://x/s2>", "<http://x/name>", '"b"', None)],
+        "s string, p string, o string, g string",
+    )
+    out = str(tmp_path / "out.nt.d")
+    write_ntriples(df, out, partition_by_predicate=True)
+    dirs = sorted(os.path.basename(d) for d in glob.glob(f"{out}/pred=*"))
+    assert dirs == ["pred=http%3A%2F%2Fx%2Fage", "pred=http%3A%2F%2Fx%2Fname"], dirs
+    lines = set()
+    for f in glob.glob(f"{out}/pred=*/part-*"):
+        lines |= set(open(f).read().splitlines())
+    assert lines == {
+        '<http://x/s1> <http://x/name> "a" .',
+        '<http://x/s1> <http://x/age> "3" .',
+        '<http://x/s2> <http://x/name> "b" .',
+    }
