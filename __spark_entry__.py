@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 # canonical double render, used in oracle SQL (mirrors
 # sdm_rdfizer_spark.compiler.terms.canonical_string)
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
 def _canon(col: str) -> str:
     return (
         "regexp_replace(regexp_replace(CAST(CAST(" + col +
@@ -1946,6 +1950,46 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def _q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user: chained
+    conditional-min windows sharing one shuffle on user_id."""
+    from sdm_rdfizer_spark.ops.sessions import funnel
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf}/events.parquet")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("t_1", _TS_FMT).alias("t_1"),
+        F.date_format("t_2", _TS_FMT).alias("t_2"),
+        F.date_format("t_3", _TS_FMT).alias("t_3"),
+        "completed",
+    )
+
+
+_EVENTS_FUNNEL_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       strftime(t1, '{_TS_FMT_DUCK}') AS t_1,
+       strftime(t2, '{_TS_FMT_DUCK}') AS t_2,
+       strftime(t3, '{_TS_FMT_DUCK}') AS t_3,
+       t3 IS NOT NULL AS completed
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """LM quality scoring (CCNet-style perplexity filter): corpus-trained
     char-bigram model, broadcast, then per-doc log-prob aggregation in
@@ -2064,10 +2108,6 @@ SELECT label::BIGINT AS label, pos::BIGINT AS pos,
        count(*)::BIGINT AS n_vecs
 FROM x GROUP BY label, pos
 """
-
-
-_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
 def _q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -2302,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof_join,
         "events_interval_join": _q_events_interval_join,
+        "events_funnel": _q_events_funnel,
         "streaming_sessionize": _q_streaming_sessionize,
     }
 
@@ -2363,5 +2404,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_asof_join": _EVENTS_ASOF_ORACLE,
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
+        "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

@@ -68,3 +68,43 @@ def sessionize(
             F.col("sum_value").cast("string").alias("sum_value"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest time each step
+    was reached STRICTLY AFTER the previous step (classic product
+    funnel — view → click → purchase). Returns one row per user:
+    (user, t_1..t_n [timestamps], completed).
+
+    Each step is a whole-partition min() window conditioned on the
+    previous step's column; the chain of windows shares ONE shuffle on
+    the user key (ENSURE_REQUIREMENTS reuses the exchange), then a
+    per-user dedup collapses to user grain. A user who skipped step k
+    gets NULL from k on (the strict ts > t_{k-1} comparison propagates
+    NULL), matching the left-join oracle semantics.
+    """
+    from pyspark.sql.window import Window
+
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col)
+    df = events
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        df = df.withColumn(f"t_{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"t_{i}"
+    tcols = [f"t_{i}" for i in range(1, len(steps) + 1)]
+    return (
+        df.select(user_col, *tcols).dropDuplicates([user_col])
+        .withColumn("completed", F.col(tcols[-1]).isNotNull())
+    )

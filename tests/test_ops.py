@@ -679,3 +679,25 @@ def test_lm_score_model_and_floor(spark):
     assert Decimal(out[3]["sum_logprob"]) == Decimal(str(lp["xy"]))
     # repetitive common bigrams score higher than the rare one
     assert Decimal(out[1]["avg_logprob"]) > Decimal(out[3]["avg_logprob"])
+
+
+def test_funnel_strict_ordering(spark):
+    from sdm_rdfizer_spark.ops.sessions import funnel
+
+    rows = [
+        # u1 completes in order
+        ("u1", 100, "view"), ("u1", 200, "click"), ("u1", 300, "purchase"),
+        # u2: purchase BEFORE click -> not completed
+        ("u2", 100, "view"), ("u2", 300, "click"), ("u2", 200, "purchase"),
+        # u3: no view -> later steps never reached even though present
+        ("u3", 100, "click"), ("u3", 200, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "t", "event_type"]) \
+        .selectExpr("user_id", "timestamp_seconds(t) AS ts", "event_type")
+    out = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out["u1"]["completed"]
+    assert not out["u2"]["completed"] and out["u2"]["t_2"] is not None
+    assert not out["u3"]["completed"] and out["u3"]["t_1"] is None \
+        and out["u3"]["t_2"] is None
+    assert len(out) == 3
