@@ -1950,6 +1950,63 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline a training-data job runs
+    end-to-end: Gopher quality filter ∧ language known ∧ exact-dedup
+    canonical ∧ deterministic 80% sample → keep. Row-local stages
+    (language, fingerprint, sample) chain in ONE scan; the quality
+    filter joins on doc_id; the only other shuffle is the
+    fingerprint-group window for the canonical flag."""
+    from pyspark.sql import Window
+
+    from sdm_rdfizer_spark.ops.sampling import SAMPLE_BUCKETS, _bucket
+    from sdm_rdfizer_spark.ops.text import (fingerprint, language_id,
+                                            quality_filter)
+
+    docs = _docs(spark, sf)
+    chained = fingerprint(language_id(docs))  # one pass: lang_pred + fp_md5
+    w = Window.partitionBy("fp_md5")
+    flags = chained.select(
+        "doc_id",
+        (F.col("lang_pred") != "und").alias("lang_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("canonical"),
+        (_bucket("doc_id") < int(0.8 * SAMPLE_BUCKETS)).alias("sampled"),
+    )
+    qf = quality_filter(docs).select("doc_id", F.col("keep").alias("q_keep"))
+    out = flags.join(qf, "doc_id")
+    return out.select(
+        "doc_id", "q_keep", "lang_ok", "canonical", "sampled",
+        (F.col("q_keep") & F.col("lang_ok") & F.col("canonical")
+         & F.col("sampled")).alias("keep"),
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    return f"""
+WITH qf AS ({_quality_filter_oracle()}),
+li AS ({_language_id_oracle()}),
+fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+canon AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS canonical
+  FROM fp
+),
+sm AS (
+  SELECT doc_id,
+         ({hex2int})::BIGINT % 1000 < 800 AS sampled
+  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents)
+)
+SELECT q.doc_id, q.keep AS q_keep, li.lang_pred != 'und' AS lang_ok,
+       c.canonical, s.sampled,
+       q.keep AND li.lang_pred != 'und' AND c.canonical AND s.sampled AS keep
+FROM qf q JOIN li USING (doc_id) JOIN canon c USING (doc_id)
+          JOIN sm s USING (doc_id)
+"""
+
+
 def _q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel view → click → purchase per user: chained
     conditional-min windows sharing one shuffle on user_id."""
@@ -2343,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
+        "corpus_pipeline": _q_corpus_pipeline,
         "streaming_sessionize": _q_streaming_sessionize,
     }
 
@@ -2405,5 +2463,6 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _EVENTS_ASOF_ORACLE,
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "corpus_pipeline": _corpus_pipeline_oracle(),
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }
