@@ -983,6 +983,61 @@ CASES["duplicate_pom_collapsed_at_parse"] = (
 )
 
 
+FNML_PFX = """
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+"""
+
+CASES["fnml_subject_position"] = (
+    # FnO function as the SUBJECT map value (reference allows functions
+    # in every term position, semantify.py:2242-2248)
+    {"a.csv": "id,name\n1,Ann\n"},
+    FNML_PFX + """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/a.csv"; rml:referenceFormulation ql:CSV ];
+  rml:subjectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCaseURL ];
+      rr:predicateObjectMap [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "name" ] ];
+    ]; rr:termType rr:IRI ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ] .
+""",
+    ['<http://ANN> <http://example.com/id> "1" .'],
+)
+
+CASES["cc_empty_list_dropped_by_default"] = (
+    # an all-NULL gather emits nothing unless allowEmptyListAndContainer
+    {"b.csv": "id,s1\n1,\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/b.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:sports; rr:objectMap [
+      rml:gather ( [ rml:reference "s1" ] );
+      rml:gatherAs rdf:List ] ] .
+""",
+    [],
+)
+
+CASES["cc_empty_list_allowed_emits_nil"] = (
+    # with rml:allowEmptyListAndContainer the empty list is rdf:nil
+    {"b.csv": "id,s1\n1,\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/b.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:sports; rr:objectMap [
+      rml:gather ( [ rml:reference "s1" ] );
+      rml:allowEmptyListAndContainer true;
+      rml:gatherAs rdf:List ] ] .
+""",
+    [
+        "<http://example.com/1> <http://example.com/sports> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .",
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected, *rest = CASES[case]
