@@ -179,3 +179,23 @@ def test_interval_join_is_equi_join(spark, entry):
     equi-join on (keys, bucket) — no nested loop, no cartesian."""
     plan = _plan(entry.queries()["events_interval_join"](spark, SF))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_funnel_single_shuffle(spark, entry):
+    """The chained conditional-min windows all partition on user_id —
+    ENSURE_REQUIREMENTS must reuse one exchange, plus the final
+    per-user dedup: ≤2 shuffles, no joins."""
+    plan = _plan(entry.queries()["events_funnel"](spark, SF))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+    assert "Join" not in plan
+
+
+def test_corpus_pipeline_shuffle_budget(spark, entry):
+    """Composed pipeline: row-local stages fused into the scans, one
+    fingerprint window shuffle + one doc_id join — no cartesian, no
+    nested loop."""
+    plan = _plan(entry.queries()["corpus_pipeline"](spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4, plan
