@@ -1950,6 +1950,34 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def _q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture construction: per-source token budgets filled in a
+    deterministic md5 order (one running-sum window shuffle)."""
+    from sdm_rdfizer_spark.ops.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf), {"src0": 2000, "src1": 5000}, "source")
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_WORDS_SQL})::BIGINT AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) <
+         CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000 ELSE 0 END
+       AS kept
+FROM c
+"""
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed corpus-cleaning pipeline a training-data job runs
     end-to-end: Gopher quality filter ∧ language known ∧ exact-dedup
@@ -2393,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "text_decontaminate": _q_decontaminate,
         "sample_stratified": _q_stratified_sample,
+        "sample_token_budget": _q_token_budget_sample,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_rml": _q_streaming_rml,
@@ -2456,6 +2485,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _CORPUS_STATS_ORACLE,
         "text_decontaminate": _DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
+        "sample_token_budget": _TOKEN_BUDGET_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "streaming_rml": _STREAMING_RML_ORACLE,

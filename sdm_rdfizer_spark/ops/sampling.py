@@ -48,3 +48,52 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
         thr = F.when(F.col(strata_col) == val,
                      F.lit(int(round(frac * SAMPLE_BUCKETS)))).otherwise(thr)
     return df.where(_bucket(id_col) < thr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int | dict[str, int],
+    strata_col: str = "source",
+    *,
+    tokens_col: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture construction under a token budget: per stratum
+    (source/domain), keep documents in a deterministic pseudo-random
+    order until the stratum's token budget is filled. Returns every row
+    with (n_tokens, cum_tokens, kept) — ``where('kept')`` is the
+    mixture.
+
+    The scan order is md5(id) (portable, partition-independent), so the
+    kept set is reproducible across runs and engines. A document is
+    kept if the budget was not yet exhausted when its turn came
+    (cum - n < budget): the boundary document is included, overshooting
+    by at most one document — the usual mixture convention.
+
+    One shuffle: the running-sum window on the stratum key. Integer
+    sums stay exact. ``budget`` may be one number or a per-stratum
+    dict (unlisted strata get budget 0).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import words
+
+    tok = (F.size(words("text")) if tokens_col is None
+           else (F.col(tokens_col) if isinstance(tokens_col, str)
+                 else tokens_col))
+    if isinstance(budget, dict):
+        b = F.lit(0)
+        for val, amount in sorted(budget.items()):
+            b = F.when(F.col(strata_col) == val, F.lit(int(amount))).otherwise(b)
+    else:
+        b = F.lit(int(budget))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        F.col(id_col), F.col(strata_col),
+        tok.cast("long").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return out.withColumn("kept", (F.col("cum_tokens") - F.col("n_tokens")) < b)

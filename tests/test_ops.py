@@ -701,3 +701,24 @@ def test_funnel_strict_ordering(spark):
     assert not out["u3"]["completed"] and out["u3"]["t_1"] is None \
         and out["u3"]["t_2"] is None
     assert len(out) == 3
+
+
+def test_token_budget_sample_boundary_and_determinism(spark):
+    from sdm_rdfizer_spark.ops.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "s1", " ".join(["w"] * 10)) for i in range(10)]
+        + [(100, "s2", "a b c")],
+        ["doc_id", "source", "text"],
+    )
+    out = token_budget_sample(df, {"s1": 25}, "source").collect()
+    kept = sorted(r["doc_id"] for r in out if r["kept"])
+    # 10 tokens/doc, budget 25: docs at cum 10, 20, 30 kept (boundary
+    # doc included: 20 < 25), the 4th (cum-n = 30) dropped
+    s1_kept = [d for d in kept if d < 100]
+    assert len(s1_kept) == 3
+    # s2 has no budget entry -> budget 0 -> nothing kept
+    assert 100 not in kept
+    # deterministic: same result on rerun
+    out2 = token_budget_sample(df, {"s1": 25}, "source").collect()
+    assert sorted(r["doc_id"] for r in out2 if r["kept"]) == kept
