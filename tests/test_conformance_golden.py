@@ -1038,6 +1038,44 @@ CASES["cc_empty_list_allowed_emits_nil"] = (
 )
 
 
+CASES["xml_namespaced_iterator"] = (
+    # namespace-prefixed XPath iterator over a namespaced document
+    # (reference namespace registry, semantify.py:3901-3955); local
+    # names strip the namespace for references
+    {"ns.xml": '<c:catalog xmlns:c="http://x.org/cat" xmlns="http://x.org/d">'
+               '<c:item sku="a1"><name>widget</name></c:item>'
+               '<c:item sku="b2"><name>gadget</name></c:item>'
+               "</c:catalog>"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/ns.xml";
+                      rml:referenceFormulation ql:XPath;
+                      rml:iterator "/c:catalog/c:item" ];
+  rr:subjectMap [ rr:template "http://example.com/item/{sku}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+""",
+    [
+        '<http://example.com/item/a1> <http://example.com/name> "widget" .',
+        '<http://example.com/item/b2> <http://example.com/name> "gadget" .',
+    ],
+)
+
+CASES["xml_predicate_filtered_iterator"] = (
+    # XPath attribute predicate in the iterator selects a row subset
+    {"p.xml": '<l><row kind="a"><v>1</v></row>'
+              '<row kind="b"><v>2</v></row></l>'},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p.xml";
+                      rml:referenceFormulation ql:XPath;
+                      rml:iterator "/l/row[@kind='a']" ];
+  rr:subjectMap [ rr:template "http://example.com/{v}" ];
+  rr:predicateObjectMap [ rr:predicate ex:kind; rr:objectMap [ rml:reference "kind" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/kind> "a" .'],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected, *rest = CASES[case]
