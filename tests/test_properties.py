@@ -89,3 +89,85 @@ def test_iri_encoding_matches_reference_quote(spark, vals):
     out = df.select("v", encode_iri_component(F.col("v")).alias("e")).collect()
     for r in out:
         assert r["e"] == quote(r["v"], safe="_-.~:@=+%"), r["v"]
+
+
+_ev = st.tuples(st.integers(0, 3),          # key
+                st.integers(0, 50),         # time (seconds)
+                st.floats(-5, 5, allow_nan=False))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_ev, min_size=0, max_size=15),
+       st.lists(_ev, min_size=0, max_size=15))
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    """asof_join == per-row brute force: for each left row, the right
+    row with max ts <= left ts on the same key (right pre-deduped to
+    one row per (key, ts) as the operator documents)."""
+    from sdm_rdfizer_spark.ops.asof import asof_join
+
+    # dedupe right to (key, ts) -> max value for determinism
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap[(k, t)] = max(v, rmap.get((k, t), float("-inf")))
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(left_rows)] or
+        [(0, 0, 0)], ["event_id", "k", "t"]
+    ).selectExpr("event_id", "k", "timestamp_seconds(t) AS ts")
+    if not left_rows:
+        left = left.where("false")
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(0, 0, 0.0)],
+        ["k", "t", "value"],
+    ).selectExpr("k", "timestamp_seconds(t) AS ts", "value")
+    if not rmap:
+        right = right.where("false")
+
+    got = {r["event_id"]: r["asof_value"] for r in
+           asof_join(left, right, on="ts", by=["k"],
+                     right_cols=["value"]).collect()}
+    for i, (k, t, _) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt), v in rmap.items()
+                 if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == (None if want is None else
+                              __import__("pytest").approx(want)), (i, k, t)
+    assert len(got) == len(left_rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)),
+                min_size=0, max_size=12),
+       st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40),
+                          st.integers(0, 15)),
+                min_size=0, max_size=8),
+       st.integers(1, 17))
+def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
+    """interval_bucket_join == brute-force containment for every bucket
+    width (bucketing must never change the result set)."""
+    from sdm_rdfizer_spark.ops.asof import interval_bucket_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)] or [(0, 0, 0)],
+        ["event_id", "k", "t"],
+    ).selectExpr("event_id", "k", "timestamp_seconds(t) AS ts")
+    if not points:
+        left = left.where("false")
+    right = spark.createDataFrame(
+        [(j, k, s, s + d) for j, (k, s, d) in enumerate(intervals)] or
+        [(0, 0, 0, 0)], ["window_id", "k", "s", "e"],
+    ).selectExpr("window_id", "k", "timestamp_seconds(s) AS start_ts",
+                 "timestamp_seconds(e) AS end_ts")
+    if not intervals:
+        right = right.where("false")
+
+    got = sorted((r["event_id"], r["window_id"]) for r in
+                 interval_bucket_join(left, right, on="ts",
+                                      start="start_ts", end="end_ts",
+                                      by=["k"],
+                                      bucket_seconds=bucket).collect())
+    want = sorted(
+        (i, j)
+        for i, (k, t) in enumerate(points)
+        for j, (rk, s, d) in enumerate(intervals)
+        if k == rk and s <= t <= s + d)
+    assert got == want
