@@ -6,8 +6,8 @@ plans, plus large-scale training-data operators (dedup, similarity search,
 text analysis) the original never had.
 """
 
-from .engine import (default_session, materialize, materialize_with_targets,
-                     semantify, tune_session)
+from .engine import (default_session, materialize, materialize_incremental,
+                     materialize_with_targets, semantify, tune_session)
 from .rml_parser import parse_mapping, parse_mapping_file
 from .sinks import ntriples_lines, to_turtle, write_ntriples
 
@@ -16,6 +16,7 @@ __version__ = "0.1.0"
 __all__ = [
     "default_session",
     "materialize",
+    "materialize_incremental",
     "materialize_with_targets",
     "semantify",
     "parse_mapping",

@@ -247,3 +247,42 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
     finally:
         if owns_spark:
             pass  # leave the session to the caller/runtime to manage
+
+
+def materialize_incremental(
+    spark: SparkSession,
+    mapping_text: str,
+    state_dir: str,
+    **kwargs,
+) -> DataFrame:
+    """Incremental materialization: compute the mapping's triples,
+    anti-join against the triples already accumulated in ``state_dir``
+    (a parquet dataset), append only the novel ones, and return them.
+
+    The Spark-native replacement for the reference's ``hash_update``
+    incremental build (semantify.py:352-522): instead of mutating
+    resident join/dedup dictionaries between runs, cross-run state is a
+    parquet dataset and novelty is ONE ``left_anti`` join (null-safe on
+    the graph column). Re-running a mapping over a grown source emits
+    exactly the delta; the state dataset stays duplicate-free.
+
+    The delta frame is pinned with an eager localCheckpoint BEFORE the
+    append — otherwise the returned lazy plan would re-run the
+    anti-join against the state it just extended and come back empty.
+    """
+    import os
+
+    df = materialize(spark, mapping_text, **kwargs)
+    cols = df.columns
+    if os.path.exists(state_dir):
+        old = spark.read.parquet(state_dir)
+        cond = None
+        for c in cols:
+            e = df[c].eqNullSafe(old[c])
+            cond = e if cond is None else (cond & e)
+        new = df.join(old, cond, "left_anti")
+    else:
+        new = df
+    new = new.localCheckpoint()
+    new.write.mode("append").parquet(state_dir)
+    return new

@@ -125,3 +125,39 @@ def test_template_encoding_and_quotes(spark, tmp_path):
     # space → %20, '/' → %2F (reference encode_char: quote(safe='_-.~:@=+%'))
     assert ("<http://x.org/e/a%20b>", "<http://x.org/name>", "\"He said 'hi'\"") in got
     assert ("<http://x.org/e/x%2Fy>", "<http://x.org/name>", '"plain"') in got
+
+
+def test_materialize_incremental_emits_only_delta(spark, tmp_path):
+    """Incremental runs append only novel triples to the parquet state
+    (reference hash_update analogue as a left_anti join)."""
+    from sdm_rdfizer_spark import materialize_incremental
+
+    src = tmp_path / "d.csv"
+    state = str(tmp_path / "state")
+    m = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://x.org/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{src}"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://x.org/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+"""
+    src.write_text("id,v\n1,a\n2,b\n")
+    first = materialize_incremental(spark, m, state)
+    assert first.count() == 2
+
+    # source grows by one row; rerun emits only the delta
+    src.write_text("id,v\n1,a\n2,b\n3,c\n")
+    second = materialize_incremental(spark, m, state)
+    got = {(r["s"], r["o"]) for r in second.collect()}
+    assert got == {("<http://x.org/3>", '"c"')}
+    # state is the duplicate-free union
+    assert spark.read.parquet(state).distinct().count() == 3
+    assert spark.read.parquet(state).count() == 3
+
+    # unchanged source: delta is empty, state untouched
+    third = materialize_incremental(spark, m, state)
+    assert third.count() == 0
+    assert spark.read.parquet(state).count() == 3
