@@ -199,3 +199,16 @@ def test_corpus_pipeline_shuffle_budget(spark, entry):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 4, plan
+
+
+def test_lineitem_wide_single_scan_one_shuffle(spark, entry):
+    """The wide-POM anchor: 9 POMs + rdf:type must come from ONE
+    lineitem scan (single explode pass, not a scan per POM) with the
+    global dedup as the only shuffle."""
+    plan = _plan(entry.queries()["rml_lineitem_wide"](spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")
+                # the documented row-group parallelism primer on tiny
+                # local files (sources.py) — not a keyed shuffle
+                - plan.count("Exchange RoundRobinPartitioning"))
+    assert shuffles <= 1, plan
