@@ -161,3 +161,46 @@ def test_materialize_incremental_emits_only_delta(spark, tmp_path):
     third = materialize_incremental(spark, m, state)
     assert third.count() == 0
     assert spark.read.parquet(state).count() == 3
+
+
+def test_multi_dataset_all_in_one_file(spark, tmp_path):
+    """number_of_datasets=2 + all_in_one_file: union of both datasets,
+    cross-dataset duplicates collapsed, one output.nt."""
+    (tmp_path / "a.csv").write_text("id,v\n1,x\n")
+    (tmp_path / "b.csv").write_text("id,v\n1,x\n2,y\n")  # row 1 duplicates ds1
+    for name, src in (("m1.ttl", "a.csv"), ("m2.ttl", "b.csv")):
+        (tmp_path / name).write_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://x.org/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/{src}"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://x.org/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+""")
+    cfg = tmp_path / "config.ini"
+    cfg.write_text(f"""[datasets]
+number_of_datasets: 2
+output_folder: {tmp_path}/out
+all_in_one_file: yes
+remove_duplicate: yes
+name: combined
+
+[dataset1]
+name: d1
+mapping: {tmp_path}/m1.ttl
+
+[dataset2]
+name: d2
+mapping: {tmp_path}/m2.ttl
+""")
+    from sdm_rdfizer_spark import semantify
+
+    results = semantify(str(cfg), spark)
+    assert set(results) == {"d1", "d2"}
+    out = (tmp_path / "out" / "output.nt").read_text().splitlines()
+    assert sorted(out) == [
+        '<http://x.org/1> <http://x.org/v> "x" .',
+        '<http://x.org/2> <http://x.org/v> "y" .',
+    ]
