@@ -204,3 +204,29 @@ mapping: {tmp_path}/m2.ttl
         '<http://x.org/1> <http://x.org/v> "x" .',
         '<http://x.org/2> <http://x.org/v> "y" .',
     ]
+
+
+def test_glob_csv_source_reads_all_shards(spark, tmp_path):
+    """rml:source with a glob unions every shard — production inputs
+    are sharded; one logical source maps to N files."""
+    from conftest import triple_set
+
+    from sdm_rdfizer_spark import materialize
+
+    (tmp_path / "part1.csv").write_text("id,v\n1,a\n")
+    (tmp_path / "part2.csv").write_text("id,v\n2,b\n")
+    m = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://x.org/> .
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/part*.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://x.org/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+"""
+    got = triple_set(materialize(spark, m))
+    assert got == {
+        ("<http://x.org/1>", "<http://x.org/v>", '"a"'),
+        ("<http://x.org/2>", "<http://x.org/v>", '"b"'),
+    }
