@@ -1076,6 +1076,51 @@ CASES["xml_predicate_filtered_iterator"] = (
 )
 
 
+CASES["templated_join_condition"] = (
+    # child/parent join conditions can be TEMPLATES, not just columns
+    # (new-RML; reference semantify.py:528-535 dict-typed conditions)
+    {"c.csv": "a,b\nx,1\ny,2\n", "p.csv": "key,label\nx-1,one\n"},
+    """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/c/{a}/{b}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "{a}-{b}"; rr:parent "key" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{key}" ] .
+""",
+    [
+        "<http://example.com/c/x/1> <http://example.com/to> "
+        "<http://example.com/p/x-1> .",
+    ],
+)
+
+CASES["multi_column_join"] = (
+    # multi-column join keys (reference hash_maker_list,
+    # semantify.py:932-1041)
+    {"c2.csv": "a,b,v\n1,2,hit\n1,3,miss\n",
+     "p2.csv": "x,y,n\n1,2,match\n9,9,other\n"},
+    """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c2.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/c/{v}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "a"; rr:parent "x" ];
+      rr:joinCondition [ rr:child "b"; rr:parent "y" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p2.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{n}" ] .
+""",
+    [
+        "<http://example.com/c/hit> <http://example.com/to> "
+        "<http://example.com/p/match> .",
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected, *rest = CASES[case]
