@@ -1978,6 +1978,29 @@ FROM c
 """
 
 
+def _q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix: three combinable aggregations
+    (active user-weeks → per-user cohort → counts)."""
+    from sdm_rdfizer_spark.ops.sessions import retention
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return retention(read_parquet(spark, f"{sf}/events.parquet"))
+
+
+_EVENTS_RETENTION_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort FROM wk GROUP BY user_id
+)
+SELECT cohort::VARCHAR AS cohort_week,
+       (date_diff('day', cohort, wk) / 7)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM wk JOIN first USING (user_id)
+GROUP BY cohort, week_offset
+"""
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed corpus-cleaning pipeline a training-data job runs
     end-to-end: Gopher quality filter ∧ language known ∧ exact-dedup
@@ -2429,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "corpus_pipeline": _q_corpus_pipeline,
         "streaming_sessionize": _q_streaming_sessionize,
     }
@@ -2493,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _EVENTS_ASOF_ORACLE,
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "events_retention": _EVENTS_RETENTION_ORACLE,
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

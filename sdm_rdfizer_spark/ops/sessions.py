@@ -108,3 +108,36 @@ def funnel(
         df.select(user_col, *tcols).dropDuplicates([user_col])
         .withColumn("completed", F.col(tcols[-1]).isNotNull())
     )
+
+
+def retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week
+    (cohort), counted in each later week they were active —
+    (cohort_week, week_offset, n_users), the classic retention matrix.
+
+    Three combinable aggregations, no windows: distinct (user, week)
+    collapses activity first (shuffle volume = active user-weeks, not
+    events), the per-user min gives the cohort, and the final count
+    groups the join result. All shuffles key on the user or the
+    (cohort, offset) pair.
+    """
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    weeks = events.select(F.col(user_col), wk.alias("wk")).distinct()
+    first = weeks.groupBy(user_col).agg(F.min("wk").alias("cohort"))
+    joined = weeks.join(first, user_col)
+    return (
+        joined.groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long").alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("cohort").cast("string").alias("cohort_week"),
+                "week_offset", "n_users")
+    )

@@ -722,3 +722,23 @@ def test_token_budget_sample_boundary_and_determinism(spark):
     # deterministic: same result on rerun
     out2 = token_budget_sample(df, {"s1": 25}, "source").collect()
     assert sorted(r["doc_id"] for r in out2 if r["kept"]) == kept
+
+
+def test_retention_cohorts_and_offsets(spark):
+    from sdm_rdfizer_spark.ops.sessions import retention
+
+    # u1 first week 0, active weeks 0 and 2; u2 first week 0 only;
+    # u3 first week 2, active weeks 2 and 3
+    day = 86400
+    rows = [("u1", 0), ("u1", 14 * day), ("u2", day),
+            ("u3", 14 * day), ("u3", 21 * day), ("u3", 21 * day + 60)]
+    ev = spark.createDataFrame(rows, ["user_id", "t"]) \
+        .selectExpr("user_id", "timestamp_seconds(t) AS ts")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention(ev).collect()}
+    # 1970-01-01 is a Thursday; date_trunc week -> Monday 1969-12-29
+    assert out[("1969-12-29", 0)] == 2          # u1 + u2
+    assert out[("1969-12-29", 2)] == 1          # u1 returns
+    assert out[("1970-01-12", 0)] == 1          # u3's own cohort
+    assert out[("1970-01-12", 1)] == 1          # u3 week+1
+    assert len(out) == 4
