@@ -11,7 +11,9 @@ def main() -> None:
         prog="sdm_rdfizer_spark",
         description="Materialize RDF knowledge graphs from RML mappings on Spark",
     )
-    ap.add_argument("-c", "--config", required=True, help="path to config.ini")
+    # --config_file is the reference CLI's long form (rdfizer __main__)
+    ap.add_argument("-c", "--config", "--config_file", dest="config",
+                    required=True, help="path to config.ini")
     ap.add_argument("--cpus", default="*",
                     help="local[...] core count for the default session")
     args = ap.parse_args()
