@@ -1978,6 +1978,93 @@ FROM c
 """
 
 
+def _q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing: deterministic md5
+    shards packed independently — window parallelism = n_shards, never a
+    single global sort."""
+    from sdm_rdfizer_spark.ops.sampling import sequence_pack
+
+    return sequence_pack(_docs(spark, sf), 256, n_shards=8)
+
+
+def _sequence_pack_oracle() -> str:
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         (({hex2int})::BIGINT % 1000 % 8)::INT AS shard,
+         len({_WORDS_SQL})::BIGINT AS n_tokens
+  FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents)
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY shard
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tok_offset
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       (tok_offset // 256)::BIGINT AS seq_first,
+       ((tok_offset + n_tokens - 1) // 256)::BIGINT AS seq_last,
+       ((tok_offset + n_tokens - 1) // 256 - tok_offset // 256 + 1)::BIGINT
+         AS n_seqs
+FROM c
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style overlapping chunk split: sequence → posexplode →
+    substring, a narrow shuffle-free plan."""
+    from sdm_rdfizer_spark.ops.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), 400, overlap=80)
+
+
+# chunk starts advance by step=320; chunk_id recovers as start/step, so
+# the oracle needs no WITH ORDINALITY
+_CHUNK_DOCUMENTS_ORACLE = """
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, 320)) AS chunk_start
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       (chunk_start // 320)::BIGINT AS chunk_id,
+       chunk_start::BIGINT AS chunk_start,
+       length(substr(text, chunk_start + 1, 400))::BIGINT AS chunk_len,
+       substr(text, chunk_start + 1, 400) AS chunk_text
+FROM e
+"""
+
+
+def _q_events_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window aggregation (10-min windows, 5-min hop): Expand
+    fans each event into size/slide windows before a map-side-combinable
+    aggregation — one shuffle of (window, type) partials."""
+    from sdm_rdfizer_spark.ops.sessions import sliding_window_agg
+
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return sliding_window_agg(read_parquet(spark, f"{sf}/events.parquet"),
+                              size_minutes=10, slide_minutes=5)
+
+
+# an event at ts lands in the two slide-aligned windows whose start is
+# time_bucket(5m, ts) - k*5m for k in {0,1}; both grids are epoch-aligned
+_EVENTS_SLIDING_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts) - k.r * INTERVAL 5 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       (sum(value::DECIMAL(18,2)))::VARCHAR AS sum_value
+FROM events, range(2) k(r)
+GROUP BY 1, 2
+"""
+
+
 def _q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention matrix: three combinable aggregations
     (active user-weeks → per-user cohort → counts)."""
@@ -2445,6 +2532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _q_decontaminate,
         "sample_stratified": _q_stratified_sample,
         "sample_token_budget": _q_token_budget_sample,
+        "sample_sequence_pack": _q_sequence_pack,
+        "text_chunk_documents": _q_chunk_documents,
+        "events_sliding_window": _q_events_sliding_window,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_rml": _q_streaming_rml,
@@ -2510,6 +2600,9 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
         "sample_token_budget": _TOKEN_BUDGET_ORACLE,
+        "sample_sequence_pack": _sequence_pack_oracle(),
+        "text_chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
+        "events_sliding_window": _EVENTS_SLIDING_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "streaming_rml": _STREAMING_RML_ORACLE,

@@ -50,6 +50,65 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.where(_bucket(id_col) < thr)
 
 
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    *,
+    n_shards: int = 32,
+    tokens_col: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing of documents into fixed-length training
+    sequences (the GPT-style pretraining layout: concatenate the corpus
+    in a deterministic order, then cut every ``seq_len`` tokens).
+
+    A single global concatenation order would force one running-sum
+    window over the whole corpus — a single-task sort at scale. Instead
+    the corpus is split into ``n_shards`` deterministic shards (md5 of
+    the id, so shard membership is partition- and engine-independent)
+    and each shard is packed independently: the window partitions on the
+    shard key, so packing parallelism = n_shards regardless of corpus
+    size. Sequence ids are (shard, seq_in_shard) pairs.
+
+    Returns one row per document: its shard, token count, starting
+    token offset within the shard's concatenation, and the first/last
+    sequence index it lands in (a document longer than ``seq_len``
+    spans several sequences; ``n_seqs`` counts them).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import words
+
+    tok = (F.size(words("text")) if tokens_col is None
+           else (F.col(tokens_col) if isinstance(tokens_col, str)
+                 else tokens_col))
+    shard = _bucket(id_col) % n_shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.select(F.col(id_col), shard.cast("int").alias("shard"),
+                  tok.cast("long").alias("n_tokens"))
+        # zero-token docs contribute nothing to the stream; drop them
+        # before the window so offsets are well-defined
+        .where(F.col("n_tokens") > 0)
+        .withColumn("tok_offset",
+                    (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                    .cast("long"))
+    )
+    return out.select(
+        id_col, "shard", "n_tokens", "tok_offset",
+        F.floor(F.col("tok_offset") / seq_len).cast("long").alias("seq_first"),
+        F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len)
+        .cast("long").alias("seq_last"),
+        (F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len)
+         - F.floor(F.col("tok_offset") / seq_len) + 1)
+        .cast("long").alias("n_seqs"),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int | dict[str, int],

@@ -110,6 +110,46 @@ def funnel(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    size_minutes: int = 10,
+    slide_minutes: int = 5,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) window aggregation: each event counts toward
+    ``size/slide`` overlapping windows — the moving-average shape
+    tumbling windows can't express. Returns (window_start, event_type,
+    n_events, sum_value) with an exact decimal sum.
+
+    ``F.window`` with a slide expands each row into its windows via the
+    Expand operator BEFORE the aggregation, and count/sum are map-side
+    combinable, so the shuffle carries one row per (window, type) per
+    input partition — fan-out factor size/slide never reaches the
+    exchange. Windows align to the epoch (multiples of the slide),
+    matching DuckDB's time_bucket grid.
+    """
+    if size_minutes % slide_minutes:
+        raise ValueError("size_minutes must be a multiple of slide_minutes")
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = F.window(ts_col, f"{size_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col(type_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            type_col,
+            "n_events",
+            F.col("sum_value").cast("string").alias("sum_value"),
+        )
+    )
+
+
 def retention(
     events: DataFrame,
     *,

@@ -368,6 +368,39 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(df: DataFrame, chunk_size: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size character chunks with optional
+    overlap (the RAG / context-window preprocessing step).
+
+    Chunk starts advance by ``chunk_size - overlap``; every chunk is
+    ``chunk_size`` chars except possibly the final one. The whole thing
+    is a narrow plan — sequence → explode → substring, no shuffle, no
+    UDF — so chunking parallelism equals scan parallelism and the
+    fan-out per row is bounded by ceil(len / step). Blank documents
+    produce no chunks.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    ex = (
+        df.where(n > 0)
+        .select(F.col(id_col), F.col(text_col).alias("__t"),
+                F.posexplode(starts).alias("chunk_id", "chunk_start"))
+    )
+    chunk = F.substring(F.col("__t"), F.col("chunk_start") + 1, chunk_size)
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk_text"),
+    )
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text",
                  by: tuple[str, ...] = ("source", "lang")) -> DataFrame:
     """Per-group corpus report: doc/word/char counts and length stats.

@@ -742,3 +742,85 @@ def test_retention_cohorts_and_offsets(spark):
     assert out[("1970-01-12", 0)] == 1          # u3's own cohort
     assert out[("1970-01-12", 1)] == 1          # u3 week+1
     assert len(out) == 4
+
+
+def test_sequence_pack_offsets_and_spans(spark):
+    from sdm_rdfizer_spark.ops.sampling import sequence_pack
+
+    rows = [(i, "w " * n) for i, n in enumerate([3, 10, 0, 7, 25, 4])]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               "doc_id long, text string")
+    out = sequence_pack(df, 8, n_shards=2).collect()
+    # the zero-token doc is dropped
+    assert {r["doc_id"] for r in out} == {0, 1, 3, 4, 5}
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["tok_offset"])):
+        # offsets within a shard are contiguous: each doc starts where
+        # the previous one ended
+        assert r["tok_offset"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["tok_offset"] + r["n_tokens"]
+        assert r["seq_first"] == r["tok_offset"] // 8
+        assert r["seq_last"] == (r["tok_offset"] + r["n_tokens"] - 1) // 8
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+    # the 25-token doc must span at least ceil(25/8)-1 = 3 sequences
+    big = next(r for r in out if r["doc_id"] == 4)
+    assert big["n_seqs"] >= 3
+
+
+def test_sequence_pack_partition_invariance(spark):
+    from sdm_rdfizer_spark.ops.sampling import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 9 + 1)) for i in range(60)],
+        "doc_id long, text string")
+    a = {tuple(r) for r in sequence_pack(df, 16, n_shards=4).collect()}
+    b = {tuple(r)
+         for r in sequence_pack(df.repartition(13), 16, n_shards=4).collect()}
+    assert a == b
+
+
+def test_chunk_documents_overlap_and_reassembly(spark):
+    from sdm_rdfizer_spark.ops.text import chunk_documents
+
+    text = "abcdefghij" * 5  # 50 chars
+    df = spark.createDataFrame([(1, text), (2, "xy"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, 20, overlap=5, id_col="doc_id").collect()
+    # blank doc yields nothing; short doc yields one short chunk
+    assert not [r for r in out if r["doc_id"] == 3]
+    (short,) = [r for r in out if r["doc_id"] == 2]
+    assert short["chunk_text"] == "xy" and short["chunk_len"] == 2
+    chunks = sorted((r for r in out if r["doc_id"] == 1),
+                    key=lambda r: r["chunk_id"])
+    # starts advance by step=15; every char position is covered
+    assert [c["chunk_start"] for c in chunks] == [0, 15, 30, 45]
+    for c in chunks:
+        assert c["chunk_text"] == text[c["chunk_start"]:c["chunk_start"] + 20]
+    # consecutive chunks agree on their 5-char overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["chunk_text"][-5:] == b["chunk_text"][:5]
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, 10, overlap=10)
+
+
+def test_sliding_window_membership(spark):
+    from sdm_rdfizer_spark.ops.sessions import sliding_window_agg
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:02:00", "a", 1.0),
+         (2, "2024-01-01 00:07:30", "a", 2.0),
+         (3, "2024-01-01 00:07:45", "b", 4.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sliding_window_agg(df, size_minutes=10, slide_minutes=5)
+    rows = {(r["window_start"], r["event_type"]): r for r in out.collect()}
+    # event 1 (00:02) lands in windows starting 23:55 and 00:00;
+    # events 2/3 (00:07:xx) in 00:00 and 00:05
+    assert rows[("2023-12-31 23:55:00", "a")]["n_events"] == 1
+    assert rows[("2024-01-01 00:00:00", "a")]["n_events"] == 2
+    assert rows[("2024-01-01 00:05:00", "a")]["n_events"] == 1
+    assert rows[("2024-01-01 00:00:00", "a")]["sum_value"] == "3.00"
+    assert rows[("2024-01-01 00:05:00", "b")]["sum_value"] == "4.00"
+    with pytest.raises(ValueError):
+        sliding_window_agg(df, size_minutes=10, slide_minutes=4)

@@ -212,3 +212,35 @@ def test_lineitem_wide_single_scan_one_shuffle(spark, entry):
                 # local files (sources.py) — not a keyed shuffle
                 - plan.count("Exchange RoundRobinPartitioning"))
     assert shuffles <= 1, plan
+
+
+def test_chunk_documents_shuffle_free(spark, entry):
+    """Chunking is sequence → posexplode → substring: a narrow plan with
+    no exchange at all — chunk parallelism = scan parallelism."""
+    plan = _plan(entry.queries()["text_chunk_documents"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_pack_single_shard_shuffle(spark, entry):
+    """Packing shuffles ONCE on the shard key (the window partition);
+    the shard count caps window skew, and there is no global sort."""
+    plan = _plan(entry.queries()["sample_sequence_pack"](spark, SF))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_sliding_window_expand_before_partial_agg(spark, entry):
+    """The window fan-out (Expand) must precede a partial aggregation so
+    the shuffle carries (window, type) partials, not exploded events."""
+    plan = _plan(entry.queries()["events_sliding_window"](spark, SF))
+    assert "Expand" in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    # toString prints top-down (final agg, exchange, partial agg,
+    # Expand, scan): the LAST HashAggregate printed is the partial one
+    # and must sit between the exchange and the Expand
+    expand_pos = plan.index("Expand")
+    exchange_pos = plan.index("Exchange")
+    partial_pos = plan.rindex("HashAggregate")
+    assert exchange_pos < partial_pos < expand_pos, plan
