@@ -1121,6 +1121,157 @@ CASES["multi_column_join"] = (
 )
 
 
+CASES["float_literal_canonicalization"] = (
+    # float-looking strings canonicalize like Python repr(float(v))
+    # (reference functions.py:1884-1890): "19.50" -> "19.5"; integers
+    # and non-numeric strings pass through untouched
+    {"f.csv": "id,v\n1,19.50\n2,42\n3,1.2.3\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/f.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/v> "19.5" .',
+        '<http://example.com/2> <http://example.com/v> "42" .',
+        '<http://example.com/3> <http://example.com/v> "1.2.3" .',
+    ],
+)
+
+CASES["template_graph_map"] = (
+    # graphMap can be TEMPLATE-valued: one named graph per row
+    {"g.csv": "id,region\n1,emea\n2,apac\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/g.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}";
+                  rr:graphMap [ rr:template "http://example.com/g/{region}" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/id> "1" '
+        "<http://example.com/g/emea> .",
+        '<http://example.com/2> <http://example.com/id> "2" '
+        "<http://example.com/g/apac> .",
+    ],
+)
+
+CASES["constant_object_shortcut"] = (
+    # rr:object IRI shortcut (constant object, no objectMap node)
+    {"s.csv": "id\n1\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:kind; rr:object ex:Widget ] .
+""",
+    ["<http://example.com/1> <http://example.com/kind> "
+     "<http://example.com/Widget> ."],
+)
+
+CASES["predicate_template_map"] = (
+    # TEMPLATE-valued predicate map: the predicate IRI varies per row
+    {"p.csv": "id,attr,v\n1,width,10\n1,height,20\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [
+      rr:predicateMap [ rr:template "http://example.com/p/{attr}" ];
+      rr:objectMap [ rml:reference "v" ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/p/width> "10" .',
+        '<http://example.com/1> <http://example.com/p/height> "20" .',
+    ],
+)
+
+CASES["adjacent_references_template"] = (
+    # two references with no separator between them ("{a}{b}")
+    {"a.csv": "a,b\nfoo,bar\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/a.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{a}{b}" ];
+  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ] ] .
+""",
+    ['<http://example.com/foobar> <http://example.com/a> "foo" .'],
+)
+
+CASES["no_condition_same_source_join"] = (
+    # parentTriplesMap over the SAME logical source without a join
+    # condition: the object is the parent's subject computed on the
+    # current row — a pure projection, no join (reference
+    # inner_semantify_file, inner_functions.py:139-679)
+    {"n.csv": "id,code\n1,x\n2,y\n"},
+    """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/n.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/c/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:peer; rr:objectMap [
+      rr:parentTriplesMap <#P> ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/n.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{code}" ] .
+""",
+    [
+        "<http://example.com/c/1> <http://example.com/peer> "
+        "<http://example.com/p/x> .",
+        "<http://example.com/c/2> <http://example.com/peer> "
+        "<http://example.com/p/y> .",
+    ],
+)
+
+CASES["cc_alt_container"] = (
+    # rdf:Alt container: rdf:type rdf:Alt + rdf:_1.._N membership
+    {"alt.csv": "id,v\n1,first\n1,second\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/alt.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:alts; rr:objectMap [
+      rml:gather ( [ rml:reference "v" ] );
+      rml:gatherAs rdf:Alt ] ] .
+""",
+    # one container per source ROW (row-scoped gather), even when rows
+    # share a subject; node ids are deterministic content hashes
+    [
+        "<http://example.com/1> <http://example.com/alts> "
+        "_:g58101d7e58cd86885587872e9ecca0e0 .",
+        "<http://example.com/1> <http://example.com/alts> "
+        "_:g744cfcbef8936f2231253b9e060dc408 .",
+        "_:g58101d7e58cd86885587872e9ecca0e0 "
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1> "second" .',
+        "_:g58101d7e58cd86885587872e9ecca0e0 "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Alt> .",
+        "_:g744cfcbef8936f2231253b9e060dc408 "
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1> "first" .',
+        "_:g744cfcbef8936f2231253b9e060dc408 "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Alt> .",
+    ],
+)
+
+CASES["multiple_predicates_one_pom"] = (
+    # a POM may carry SEVERAL predicate maps: every (predicate, object)
+    # combination is emitted
+    {"mp.csv": "id,n\n1,Ada\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/mp.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name, ex:label;
+      rr:objectMap [ rml:reference "n" ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/label> "Ada" .',
+        '<http://example.com/1> <http://xmlns.com/foaf/0.1/name> "Ada" .',
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected, *rest = CASES[case]
