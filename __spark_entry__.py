@@ -2276,6 +2276,53 @@ def _lineitem_wide_oracle() -> str:
     return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
 
 
+def _q_orders_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide projection over a provably-unique subject key (o_orderkey):
+    the compiler's dedup-elision proof (static injectivity + a bounded
+    DuckDB uniqueness probe) removes the global distinct, leaving a
+    completely shuffle-free materialization — at scale the distinct is
+    the dominant cost of a wide projection mapping, and here it is a
+    proven no-op."""
+    mapping = _PREFIXES + f"""
+<#O> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf}/orders.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/order/{{o_orderkey}}"; rr:class ex:Order ];
+  rr:predicateObjectMap [ rr:predicate ex:cust;
+    rr:objectMap [ rml:reference "o_custkey"; rr:datatype xsd:integer ] ];
+  rr:predicateObjectMap [ rr:predicate ex:status;
+    rr:objectMap [ rml:reference "o_orderstatus" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:total;
+    rr:objectMap [ rml:reference "o_totalprice"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:priority;
+    rr:objectMap [ rml:reference "o_orderpriority" ] ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+def _orders_wide_oracle() -> str:
+    subj = "'<http://ex.org/order/' || o_orderkey || '>'"
+    vocab = "http://ex.org/vocab/"
+    parts = [
+        f"SELECT {subj} AS s, '<{RDF_TYPE}>' AS p, "
+        f"'<{vocab}Order>' AS o FROM orders"
+    ]
+    for pred, col, dt in [
+        ("cust", "o_custkey", "integer"),
+        ("status", "o_orderstatus", None),
+        ("total", "o_totalprice", "double"),
+        ("priority", "o_orderpriority", None),
+    ]:
+        if dt == "double":
+            o = f"'\"' || {_canon(col)} || '\"^^<{XSD}{dt}>'"
+        elif dt:
+            o = f"'\"' || {col} || '\"^^<{XSD}{dt}>'"
+        else:
+            o = f"'\"' || {col} || '\"'"
+        parts.append(
+            f"SELECT {subj}, '<{vocab}{pred}>', {o} FROM orders")
+    return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
+
+
 def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean embedding at (label, pos) grain — one fully
     map-side-combinable aggregation."""
@@ -2486,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_part_template": _q_part_template,
         "rml_lineitem_orders_join": _q_lineitem_orders_join,
         "rml_lineitem_wide": _q_lineitem_wide,
+        "rml_orders_wide": _q_orders_wide,
         "rml_dedup_flags": _q_dedup_flags,
         "rml_orders_quads": _q_orders_quads,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -2554,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_part_template": _PART_ORACLE,
         "rml_lineitem_orders_join": _LINEITEM_ORDERS_ORACLE,
         "rml_lineitem_wide": _lineitem_wide_oracle(),
+        "rml_orders_wide": _orders_wide_oracle(),
         "rml_dedup_flags": _DEDUP_FLAGS_ORACLE,
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,
         "rml_supplier_bnode": _SUPPLIER_BNODE_ORACLE,

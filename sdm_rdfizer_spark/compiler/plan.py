@@ -207,6 +207,8 @@ class MappingPlanner:
         missing_policy: str = "ignore",
         validate_csv: bool = False,
         gather_row_order: str = "value",
+        dedup_elision: bool = True,
+        dedup_elision_probe_bytes: int = 4 << 30,
     ) -> None:
         self.spark = spark
         self.tms = triples_maps
@@ -234,6 +236,16 @@ class MappingPlanner:
         # leaves cross-row order undefined) or "source" (reference
         # source-row order, cc_functions.py:269-340)
         self.gather_row_order = gather_row_order
+        # dedup elision: skip the global distinct for TriplesMaps that
+        # PROVABLY emit duplicate-free triples (see compile_all). The
+        # proof includes a bounded driver-side uniqueness probe of the
+        # subject key columns, capped at dedup_elision_probe_bytes of
+        # source data (at real scale the probe is a column scan — still
+        # far cheaper than the full-output shuffle it removes, but the
+        # cap keeps compile time predictable; raise it deliberately)
+        self.dedup_elision = dedup_elision
+        self.dedup_elision_probe_bytes = dedup_elision_probe_bytes
+        self._elision_probe_cache: dict[tuple, bool] = {}
         # RML-IO logical targets: emit a static array<string> __targets
         # column naming the targets each triple routes to (the reference
         # re-runs the whole TM per target file, semantify.py:10013-10088 —
@@ -448,18 +460,41 @@ class MappingPlanner:
         tables (semantify.py:53-54, 6580-6605); eviction/compression
         (semantify.py:212-265) are unnecessary because the shuffle spills.
         """
-        parts = [
-            part
-            for tm in self.tms
-            if tm.kind != "NonAssertedTriplesMap"
+        asserted = [tm for tm in self.tms if tm.kind != "NonAssertedTriplesMap"]
+        parts_by_tm = [
+            (tm, part)
+            for tm in asserted
             for part in [self.compile_tm(tm)]
             if part is not None
         ]
+        parts = [p for _, p in parts_by_tm]
         if not parts:
             schema = "s string, p string, o string, g string"
             if self.track_rules:
                 schema += ", __rule string"
             return self.spark.createDataFrame([], schema)
+
+        if (self.remove_duplicates and not self.collect_targets
+                and self.dedup_elision and self.dedup_scope == "spog"
+                and self._cross_tm_disjoint([tm for tm, _ in parts_by_tm])):
+            # dedup elision: when no two TriplesMaps can emit the same
+            # triple (disjoint predicate/class constants), the global
+            # distinct factors into per-TM distincts — and a TM whose
+            # branches are PROVED duplicate-free (unique subject key,
+            # injective template, pairwise-distinct constant predicates)
+            # skips its distinct entirely. For a wide projection mapping
+            # over a keyed fact table this removes the plan's ONLY
+            # shuffle — the dominant cost of materialization at scale.
+            # (The reference's own benchmarks show the same effect from
+            # the other side: its duplicate-rate track speeds UP as
+            # duplicates rise because dedup prunes work — here dedup of
+            # provably-distinct output is pure overhead.)
+            deduped = [
+                part if self._tm_dup_free(tm) else dedup_triples(part, "spog")
+                for tm, part in parts_by_tm
+            ]
+            return reduce(DataFrame.union, deduped)
+
         out = reduce(DataFrame.union, parts)
         if self.remove_duplicates and not self.collect_targets:
             # with target tracking the caller dedups per output (the
@@ -477,6 +512,175 @@ class MappingPlanner:
         if self.track_rules and not self.collect_targets:
             out = out.drop("__rule")
         return out
+
+    # ------------------------------------------------------------------
+    # dedup elision (see compile_all): static proof + bounded probe that
+    # a TriplesMap cannot emit duplicate triples, so the global distinct
+    # — usually the single biggest shuffle of a materialization — is a
+    # provable no-op for it
+    @staticmethod
+    def _constant_graphs_ok(graphs) -> bool:
+        """Graph maps that keep the proof simple: none, or all-constant
+        with pairwise-distinct values (each row emits one triple per
+        graph; distinct constants keep them distinct under spog)."""
+        if not graphs:
+            return True
+        vals = []
+        for g in graphs:
+            if g.kind != CONSTANT:
+                return False
+            vals.append(g.value)
+        return len(set(vals)) == len(vals)
+
+    def _cross_tm_disjoint(self, tms) -> bool:
+        """No two TriplesMaps can emit the same triple: their constant-
+        predicate sets are pairwise disjoint (non-constant predicates
+        disqualify) and no two emit a shared rdf:class."""
+        pred_sets, class_sets = [], []
+        for tm in tms:
+            preds = set()
+            for pom in tm.poms:
+                if pom.predicate.kind != CONSTANT:
+                    return False
+                preds.add(pom.predicate.value)
+            if any("22-rdf-syntax-ns#type" in p for p in preds):
+                # a constant-rdf:type POM could collide with rr:class
+                # emissions of another TM — keep the proof simple
+                return False
+            pred_sets.append(preds)
+            class_sets.append(set(tm.subject.rdf_classes))
+        for i in range(len(tms)):
+            for j in range(i + 1, len(tms)):
+                if pred_sets[i] & pred_sets[j]:
+                    return False
+                if class_sets[i] & class_sets[j]:
+                    return False
+        return True
+
+    def _tm_dup_free(self, tm: TriplesMap) -> bool:
+        """True iff every branch of this TM provably emits distinct
+        triples: flat scan (no iterator fan-out), IRI subject whose
+        template is injective over its reference columns, those columns
+        verified unique in the source (bounded DuckDB probe), projection-
+        only POMs with pairwise-distinct constant predicates, and
+        constant graphs. Joins/gathers/quoted terms and function objects
+        are out of scope — their branches keep the distinct."""
+        ls = tm.source
+        if ls.fmt not in ("csv", "tsv", "parquet") or ls.iterator or ls.view:
+            return False
+        st = tm.subject.term
+        if st.kind not in (TEMPLATE, REFERENCE):
+            return False
+        if st.term_type not in (None, "IRI"):
+            # BlankNode sanitization ('/'→'2F') breaks the injectivity
+            # argument; UnsafeIRI skips encoding entirely
+            return False
+        if not self._constant_graphs_ok(tm.subject.graphs):
+            return False
+        if len(set(tm.subject.rdf_classes)) != len(tm.subject.rdf_classes):
+            return False
+        plain = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        if st.kind == TEMPLATE:
+            # parts = [lit0, ref1, lit1, ref2, ..., litN]: every literal
+            # BETWEEN two references must contain a non-digit character,
+            # otherwise digit-valued columns can re-split ambiguously
+            # ("1"+"02" vs "10"+"2")
+            parts = re.split(r"\{([^{}]*)\}", st.value)
+            refs = parts[1::2]
+            if not refs:
+                return False
+            for sep in parts[2:-1:2]:
+                if not re.search(r"[^0-9]", sep or ""):
+                    return False
+        else:
+            refs = [st.value]
+        if not all(plain.fullmatch(r or "") for r in refs):
+            return False
+        preds = []
+        for pom in tm.poms:
+            if pom.obj.kind not in (TEMPLATE, REFERENCE, CONSTANT):
+                return False
+            if pom.predicate.kind != CONSTANT:
+                return False
+            if not self._constant_graphs_ok(pom.graphs):
+                return False
+            preds.append(pom.predicate.value)
+        if len(set(preds)) != len(preds):
+            return False
+        if tm.subject.rdf_classes and any(
+                "22-rdf-syntax-ns#type" in p for p in preds):
+            return False
+        return self._subject_unique_probe(ls, sorted(set(refs)))
+
+    def _subject_unique_probe(self, ls, refs: list[str]) -> bool:
+        """Driver-side DuckDB check that the subject's reference columns
+        are composite-unique among NULL-ish-free rows, and (for string
+        sources) digit-only so rendering cannot merge two raw values
+        (float canonicalization "1.50"→"1.5" would; digits never do).
+        Bounded by dedup_elision_probe_bytes; any failure ⇒ no elision.
+        """
+        import glob as _glob
+
+        key = (ls.cache_key(), tuple(refs))
+        cached = self._elision_probe_cache.get(key)
+        if cached is not None:
+            return cached
+        ok = self._run_unique_probe(ls, refs, _glob)
+        self._elision_probe_cache[key] = ok
+        return ok
+
+    def _run_unique_probe(self, ls, refs, _glob) -> bool:
+        try:
+            import duckdb
+
+            paths = _glob.glob(ls.source) or [ls.source]
+            total = 0
+            for p in paths:
+                if not os.path.isfile(p):
+                    return False
+                total += os.path.getsize(p)
+            if total > self.dedup_elision_probe_bytes:
+                return False
+            cols = ", ".join(f'"{r}"' for r in refs)
+            if ls.fmt == "parquet":
+                rel = f"read_parquet('{ls.source}')"
+            else:
+                d = "\t" if ls.fmt == "tsv" else (ls.delimiter or ",")
+                rel = (f"read_csv('{ls.source}', all_varchar=true, "
+                       f"delim='{d}', header=true)")
+            con = duckdb.connect()
+            types = [t for _, t, *_ in
+                     con.execute(f"DESCRIBE SELECT {cols} FROM {rel}"
+                                 ).fetchall()]
+            conds, digit_checks = [], []
+            int_types = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                         "UBIGINT"}
+            for r, t in zip(refs, types):
+                c = f'"{r}"'
+                if t in int_types:
+                    conds.append(f"{c} IS NOT NULL")
+                elif t == "VARCHAR":
+                    # the engine's NULL-ish drop set (functions.py:
+                    # 1882-1912): such rows emit nothing, so they can't
+                    # collide; remaining values must be digit-only
+                    conds.append(
+                        f"({c} IS NOT NULL AND trim({c}) <> '' AND "
+                        f"{c} NOT IN ('nan', 'N/A', 'None', 'NULL'))")
+                    digit_checks.append(
+                        f"coalesce(bool_and(regexp_matches"
+                        f"({c}, '^[0-9]+$')), true)")
+                else:
+                    return False
+            where = " AND ".join(conds) or "true"
+            checks = ["count(*) = count(DISTINCT (" + ", ".join(
+                f'"{r}"' for r in refs) + "))"] + digit_checks
+            row = con.execute(
+                f"SELECT {' AND '.join(checks)} FROM (SELECT {cols} "
+                f"FROM {rel} WHERE {where})").fetchone()
+            return bool(row and row[0])
+        except Exception:
+            return False
 
     # ------------------------------------------------------------------
     def compile_tm(self, tm: TriplesMap) -> DataFrame:

@@ -45,6 +45,10 @@ class RunConfig:
     # predicates scoped per object-map rule, graph ignored;
     # semantify.py:105-109 + 4651-4677)
     dedup_scope: str = "spog"
+    # skip the global distinct for TriplesMaps proved duplicate-free
+    # (unique subject key + distinct constant predicates); "no" forces
+    # the distinct shuffle even when it provably removes nothing
+    dedup_elision: bool = True
 
 
 def load_config(path_or_dict) -> RunConfig:
@@ -71,6 +75,8 @@ def load_config(path_or_dict) -> RunConfig:
         validate_csv=ds_sec.get("valid_source", "no").lower() in ("yes", "true"),
         gather_row_order=ds_sec.get("gather_row_order", "value").lower(),
         dedup_scope=ds_sec.get("dedup_scope", "spog").lower(),
+        dedup_elision=ds_sec.get("dedup_elision", "yes").lower()
+        in ("yes", "true"),
     )
     n = int(ds_sec.get("number_of_datasets", "1"))
     for i in range(1, n + 1):

@@ -95,6 +95,7 @@ def materialize(
     validate_csv: bool = False,
     gather_row_order: str = "value",
     dedup_scope: str = "spog",
+    dedup_elision: bool = True,
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
     tune_session(spark)
@@ -111,6 +112,7 @@ def materialize(
         validate_csv=validate_csv,
         gather_row_order=gather_row_order,
         dedup_scope=dedup_scope,
+        dedup_elision=dedup_elision,
     )
     return planner.compile_all()
 
@@ -127,6 +129,7 @@ def materialize_with_targets(
     validate_csv: bool = False,
     gather_row_order: str = "value",
     dedup_scope: str = "spog",
+    dedup_elision: bool = True,
 ):
     """Compile a mapping with RML-IO logical targets.
 
@@ -151,6 +154,7 @@ def materialize_with_targets(
         validate_csv=validate_csv,
         gather_row_order=gather_row_order,
         dedup_scope=dedup_scope,
+        dedup_elision=dedup_elision,
     )
     raw = planner.compile_all()
     if not targets:
@@ -195,6 +199,7 @@ def semantify(config, spark: SparkSession | None = None) -> dict[str, DataFrame]
                 validate_csv=cfg.validate_csv,
                 gather_row_order=cfg.gather_row_order,
                 dedup_scope=cfg.dedup_scope,
+                dedup_elision=cfg.dedup_elision,
             )
             results[ds.name] = triples
             if target_frames:

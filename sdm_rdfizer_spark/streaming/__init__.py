@@ -75,6 +75,13 @@ def stream_scan(spark: SparkSession, ls: LogicalSource) -> DataFrame:
 class StreamingMappingPlanner(MappingPlanner):
     """Same compilation, streaming driving scans, static join builds."""
 
+    def __init__(self, *args, **kwargs) -> None:
+        # dedup elision is proof-by-probe of the CURRENT source files; a
+        # stream can later deliver files that repeat a subject key, so
+        # the proof cannot hold stream-wide — keep the stateful dedup
+        kwargs["dedup_elision"] = False
+        super().__init__(*args, **kwargs)
+
     def compile_tm(self, tm: TriplesMap) -> DataFrame:
         from ..ir import GATHER
 

@@ -1,0 +1,159 @@
+"""Dedup elision: the global distinct is skipped only when a TriplesMap
+PROVABLY cannot emit duplicate triples (unique subject key verified by a
+bounded DuckDB probe, injective template, pairwise-distinct constant
+predicates). Every disqualifying condition must keep the distinct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdm_rdfizer_spark import materialize
+
+PFX = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://ex.org/> .
+"""
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(df) -> int:
+    p = _plan(df)
+    return p.count("Exchange") - p.count("BroadcastExchange")
+
+
+def _mapping(d, src="u.csv", subject="http://ex.org/i/{id}", extra=""):
+    return PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/{src}"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{subject}"; rr:class ex:Item ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:score; rr:objectMap [ rml:reference "score" ] ]{extra} .
+"""
+
+
+@pytest.fixture()
+def unique_csv(tmp_path):
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\n1,ann,10\n2,bob,20\n3,cid,10\n")
+    return tmp_path
+
+
+def test_elision_fires_and_matches_forced_dedup(spark, unique_csv):
+    m = _mapping(unique_csv)
+    fast = materialize(spark, m)
+    slow = materialize(spark, m, dedup_elision=False)
+    assert _shuffles(fast) == 0, _plan(fast)
+    assert _shuffles(slow) >= 1
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_no_elision_on_duplicate_subject_keys(spark, tmp_path):
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\n1,ann,10\n1,ann,10\n2,bob,20\n")
+    df = materialize(spark, _mapping(tmp_path))
+    assert _shuffles(df) >= 1
+    # the duplicate row must actually collapse
+    assert df.where((F.col("s") == "<http://ex.org/i/1>")
+                    & (F.col("p") == "<http://ex.org/name>")).count() == 1
+
+
+def test_no_elision_on_float_looking_keys(spark, tmp_path):
+    # "1.50" and "1.5" canonicalize to the same rendered subject — raw
+    # uniqueness is NOT enough for strings, so elision must not fire
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\n1.50,ann,10\n1.5,ann,10\n")
+    df = materialize(spark, _mapping(tmp_path))
+    assert _shuffles(df) >= 1
+    assert df.where(F.col("p") == "<http://ex.org/name>").count() == 1
+
+
+def test_no_elision_on_digit_separator_template(spark, unique_csv):
+    # a digit-only separator between refs can re-split ambiguously
+    df = materialize(spark, _mapping(
+        unique_csv, subject="http://ex.org/i/{id}0{name}"))
+    assert _shuffles(df) >= 1
+
+
+def test_no_elision_on_repeated_predicate(spark, unique_csv):
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "score" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1
+
+
+def test_no_elision_with_join_pom(spark, unique_csv):
+    (unique_csv / "p.csv").write_text("k,lbl\n10,x\n20,y\n")
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "score"; rr:parent "k" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/p.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/p/{{k}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:lbl; rr:objectMap [ rml:reference "lbl" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1
+
+
+def test_per_tm_elision_with_disjoint_tms(spark, unique_csv):
+    # two disjoint-predicate TMs over the same file: the provable one
+    # skips its distinct even though the other (duplicate-emitting,
+    # non-unique subject) keeps it
+    (unique_csv / "d.csv").write_text("g,v\na,1\na,1\n")
+    m = PFX + f"""
+<#A> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+<#B> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/d.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/grp/{{g}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+"""
+    df = materialize(spark, m)
+    # exactly one distinct (TM B's); TM A is shuffle-free
+    assert _shuffles(df) == 1, _plan(df)
+    got = sorted(map(tuple, df.select("s", "p", "o").collect()))
+    assert got == sorted([
+        ("<http://ex.org/i/1>", "<http://ex.org/name>", '"ann"'),
+        ("<http://ex.org/i/2>", "<http://ex.org/name>", '"bob"'),
+        ("<http://ex.org/i/3>", "<http://ex.org/name>", '"cid"'),
+        ("<http://ex.org/grp/a>", "<http://ex.org/v>", '"1"'),
+    ])
+
+
+def test_no_elision_with_overlapping_tm_predicates(spark, unique_csv):
+    # two TMs sharing a predicate: cross-TM duplicates possible, global
+    # dedup must remain for BOTH parts
+    m = PFX + f"""
+<#A> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+<#B> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{unique_csv}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1
+    assert df.count() == 3  # identical TMs collapse to one triple per row
+
+
+def test_elision_respects_scope_gate(spark, unique_csv):
+    # non-default dedup scopes never elide
+    df = materialize(spark, _mapping(unique_csv), dedup_scope="spo")
+    assert _shuffles(df) >= 1

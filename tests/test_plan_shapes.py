@@ -204,14 +204,29 @@ def test_corpus_pipeline_shuffle_budget(spark, entry):
 def test_lineitem_wide_single_scan_one_shuffle(spark, entry):
     """The wide-POM anchor: 9 POMs + rdf:type must come from ONE
     lineitem scan (single explode pass, not a scan per POM) with the
-    global dedup as the only shuffle."""
+    global dedup as the only shuffle. The dedup-elision proof must NOT
+    fire here: the synthetic lineitem's (l_orderkey, l_linenumber) is
+    deliberately non-unique, so the distinct genuinely collapses rows —
+    the uniqueness probe catches that (rml_orders_wide is the
+    elision-eligible counterpart)."""
     plan = _plan(entry.queries()["rml_lineitem_wide"](spark, SF))
     assert plan.count("FileScan") == 1, plan
     shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")
                 # the documented row-group parallelism primer on tiny
                 # local files (sources.py) — not a keyed shuffle
                 - plan.count("Exchange RoundRobinPartitioning"))
-    assert shuffles <= 1, plan
+    assert shuffles == 1, plan
+
+
+def test_orders_wide_elides_dedup_shuffle(spark, entry):
+    """Wide projection over a PROVABLY unique subject key (o_orderkey):
+    the dedup-elision proof removes the distinct, leaving a completely
+    shuffle-free materialization plan."""
+    plan = _plan(entry.queries()["rml_orders_wide"](spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")
+                - plan.count("Exchange RoundRobinPartitioning"))
+    assert shuffles == 0, plan
 
 
 def test_chunk_documents_shuffle_free(spark, entry):
