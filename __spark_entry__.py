@@ -2323,6 +2323,55 @@ def _orders_wide_oracle() -> str:
     return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization + reconstruction MSE —
+    pure per-row HOF arithmetic, shuffle-free."""
+    from sdm_rdfizer_spark.ops.similarity import quantize_embeddings
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return quantize_embeddings(read_parquet(spark, f"{sf}/embeddings.parquet"))
+
+
+# scale is rounded to a 1e-9 grid before quantizing so codes are
+# bit-reproducible across engines; float→double casts are exact
+_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> v::DOUBLE) AS xs,
+         greatest(round(list_max(list_transform(embedding,
+                  v -> abs(v::DOUBLE))) / 127.0, 9), 1e-12) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       array_to_string(list_transform(xs,
+           v -> round(v / scale, 0)::INT), ',') AS codes,
+       round(list_sum(list_transform(xs,
+           v -> power(v - round(v / scale, 0) * scale, 2))) / len(xs), 12)
+         AS mse
+FROM s
+"""
+
+
+def _q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source exact length percentiles (percentile_cont semantics):
+    the distribution report behind truncation/chunking decisions."""
+    from sdm_rdfizer_spark.ops.text import length_percentiles
+
+    return length_percentiles(_docs(spark, sf))
+
+
+_LENGTH_PERCENTILES_ORACLE = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(quantile_cont(length(text)::DOUBLE, 0.5), 6) AS p50_chars,
+       round(quantile_cont(length(text)::DOUBLE, 0.9), 6) AS p90_chars,
+       round(quantile_cont(length(text)::DOUBLE, 0.99), 6) AS p99_chars
+FROM documents
+GROUP BY source
+"""
+
+
 def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean embedding at (label, pos) grain — one fully
     map-side-combinable aggregation."""
@@ -2564,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
         "label_centroids": _q_label_centroids,
+        "similarity_quantize": _q_quantize_embeddings,
+        "text_length_percentiles": _q_length_percentiles,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "dedup_components": _q_dedup_components,
@@ -2633,6 +2684,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_cosine": _SIMILARITY_TOPK_ORACLE,
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
+        "similarity_quantize": _QUANTIZE_ORACLE,
+        "text_length_percentiles": _LENGTH_PERCENTILES_ORACLE,
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),

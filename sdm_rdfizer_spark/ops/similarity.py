@@ -375,3 +375,37 @@ def label_centroids(
         .select("label", F.col("pos").cast("long").alias("pos"),
                 "centroid_val", "n_vecs")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard vector-store
+    compression: 4× smaller than float32, recall loss usually <1%).
+
+    Per vector: scale = max|x| / 127 (rounded to a 1e-9 grid so the
+    quantized codes are reproducible across engines and partitionings),
+    code_i = round(x_i / scale) ∈ [-127, 127]. Returns the codes (as a
+    comma-joined string for engine-portable comparison), the scale, and
+    the reconstruction MSE — the quality gauge that decides whether
+    int8 is acceptable for a given corpus.
+
+    Pure higher-order-function arithmetic per row: no shuffle, no UDF;
+    parallelism = scan parallelism.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.round(F.array_max(F.transform(x, F.abs)) / 127.0, 9),
+        F.lit(1e-12))
+    q = F.transform(x, lambda v: F.round(v / scale, 0).cast("int"))
+    err = F.transform(
+        x, lambda v: F.pow(v - F.round(v / scale, 0) * scale, F.lit(2.0)))
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(x)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.array_join(q, ",").alias("codes"),
+        F.round(mse, 12).alias("mse"),
+    )

@@ -497,3 +497,27 @@ def lm_score(df: DataFrame, text_col: str = "text",
         (F.col("s") / F.col("n_bigrams")).cast("decimal(18,6)")
         .cast("string").alias("avg_logprob"),
     )
+
+
+def length_percentiles(df: DataFrame, text_col: str = "text",
+                       by: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Per-group exact length percentiles (p50/p90/p99 chars) — the
+    distribution report behind truncation/chunk-size decisions.
+
+    Exact interpolated percentiles (SQL percentile_cont semantics): the
+    per-group sort is the cost, so groups shard the work; for
+    monster-cardinality groups at extreme scale switch to
+    approx_percentile and accept the error bound.
+    """
+    n = F.length(F.col(text_col)).cast("double")
+    pct = F.percentile(n, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        df.groupBy(*[F.col(c) for c in by])
+        .agg(pct.alias("__p"),
+             F.count("*").cast("long").alias("n_docs"))
+        .select(*by,
+                "n_docs",
+                F.round(F.col("__p")[0], 6).alias("p50_chars"),
+                F.round(F.col("__p")[1], 6).alias("p90_chars"),
+                F.round(F.col("__p")[2], 6).alias("p99_chars"))
+    )

@@ -824,3 +824,35 @@ def test_sliding_window_membership(spark):
     assert rows[("2024-01-01 00:05:00", "b")]["sum_value"] == "4.00"
     with pytest.raises(ValueError):
         sliding_window_agg(df, size_minutes=10, slide_minutes=4)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from sdm_rdfizer_spark.ops.similarity import quantize_embeddings
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector must not divide by 0
+            (3, [127.0, -127.0, 63.5, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    codes1 = [int(c) for c in out[1]["codes"].split(",")]
+    # scale rounds UP to the 1e-9 grid (0.007874016 > 1/127), so
+    # -0.5/scale is -63.49998… → -63, not the exact-ratio -63.5 → -64
+    assert codes1 == [127, -63, 32, 0]
+    assert all(-127 <= c <= 127 for c in codes1)
+    # reconstruction error is bounded by (scale/2)^2 per component
+    assert out[1]["mse"] <= (out[1]["scale"] / 2) ** 2 + 1e-12
+    assert out[2]["codes"] == "0,0,0,0" and out[2]["mse"] == 0.0
+    assert int(out[3]["codes"].split(",")[0]) == 127
+
+
+def test_length_percentiles_exact(spark):
+    from sdm_rdfizer_spark.ops.text import length_percentiles
+
+    # lengths 1..10 in one group: p50 = 5.5 (percentile_cont interpolation)
+    df = spark.createDataFrame(
+        [("a", "x" * n) for n in range(1, 11)], "source string, text string")
+    (row,) = length_percentiles(df).collect()
+    assert row["n_docs"] == 10
+    assert row["p50_chars"] == 5.5
+    assert row["p90_chars"] == 9.1
+    assert abs(row["p99_chars"] - 9.91) < 1e-9
