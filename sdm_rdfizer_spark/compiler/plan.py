@@ -582,15 +582,16 @@ class MappingPlanner:
         plain = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
         if st.kind == TEMPLATE:
             # parts = [lit0, ref1, lit1, ref2, ..., litN]: every literal
-            # BETWEEN two references must contain a non-digit character,
-            # otherwise digit-valued columns can re-split ambiguously
-            # ("1"+"02" vs "10"+"2")
+            # BETWEEN two references must contain a character that an
+            # IRI-ENCODED value can never produce (anything outside the
+            # encoder's safe alphabet — e.g. '/'), otherwise adjacent
+            # values can re-split ambiguously ("a"+"_b" vs "a_"+"b")
             parts = re.split(r"\{([^{}]*)\}", st.value)
             refs = parts[1::2]
             if not refs:
                 return False
             for sep in parts[2:-1:2]:
-                if not re.search(r"[^0-9]", sep or ""):
+                if not re.search(r"[^A-Za-z0-9_\-.~:@=+%]", sep or ""):
                     return False
         else:
             refs = [st.value]
@@ -598,7 +599,7 @@ class MappingPlanner:
             return False
         preds = []
         for pom in tm.poms:
-            if pom.obj.kind not in (TEMPLATE, REFERENCE, CONSTANT):
+            if not self._pom_emits_once_per_row(tm, pom):
                 return False
             if pom.predicate.kind != CONSTANT:
                 return False
@@ -611,6 +612,34 @@ class MappingPlanner:
                 "22-rdf-syntax-ns#type" in p for p in preds):
             return False
         return self._subject_unique_probe(ls, sorted(set(refs)))
+
+    def _pom_emits_once_per_row(self, tm, pom) -> bool:
+        """True when the POM contributes at most ONE triple per source
+        row, so unique subjects keep its branch duplicate-free.
+        Projections trivially qualify; a parent join qualifies exactly
+        when it compiles row-multiplicity-preserving: join-as-projection
+        (no condition, same source), self-join elimination, or an
+        N:1-fused left join (parent key proven unique by the fusion
+        probe — cached, so this costs nothing extra at elision time)."""
+        om = pom.obj
+        if om.kind in (TEMPLATE, REFERENCE, CONSTANT):
+            return True
+        if om.kind != PARENT:
+            return False
+        try:
+            ptm = self._resolve_tm(om.parent_tm, "the dedup-elision proof")
+        except Exception:
+            return False
+        same = ptm.source.cache_key() == tm.source.cache_key()
+        j = om.join
+        if j is None or not j.child:
+            return same          # join-as-projection (else compile errors)
+        if same and j.child == j.parent:
+            return True          # self-join elimination
+        try:
+            return bool(self._parent_key_unique(ptm, tuple(j.parent)))
+        except Exception:
+            return False
 
     def _subject_unique_probe(self, ls, refs: list[str]) -> bool:
         """Driver-side DuckDB check that the subject's reference columns
@@ -663,13 +692,18 @@ class MappingPlanner:
                 elif t == "VARCHAR":
                     # the engine's NULL-ish drop set (functions.py:
                     # 1882-1912): such rows emit nothing, so they can't
-                    # collide; remaining values must be digit-only
+                    # collide. Rendering is injective on the remaining
+                    # values iff none is float-looking (canonicalization
+                    # merges "1.50" and "1.5") and none contains '%'
+                    # (the encoder passes '%' through, so a raw "a%20b"
+                    # would collide with an encoded "a b")
                     conds.append(
                         f"({c} IS NOT NULL AND trim({c}) <> '' AND "
                         f"{c} NOT IN ('nan', 'N/A', 'None', 'NULL'))")
                     digit_checks.append(
-                        f"coalesce(bool_and(regexp_matches"
-                        f"({c}, '^[0-9]+$')), true)")
+                        f"coalesce(bool_and(NOT regexp_matches"
+                        f"({c}, '^-?[0-9]+\\.[0-9]+$') AND "
+                        f"NOT contains({c}, '%')), true)")
                 else:
                     return False
             where = " AND ".join(conds) or "true"
@@ -1283,7 +1317,16 @@ class MappingPlanner:
         values, so raw uniqueness would not imply pair uniqueness there.
         Returns None (unknown → caller runs the Spark probe) in every
         other case; raw duplicates also return None since equal
-        (key, subject) pairs may still collapse to unique."""
+        (key, subject) pairs may still collapse to unique. Memoized —
+        callers (_parent_pairs and _parent_key_unique) share one probe."""
+        mkey = ("raw", parent_tm.tm_id, parent_keys)
+        if mkey in self._elision_probe_cache:
+            return self._elision_probe_cache[mkey]
+        res = self._raw_key_unique_uncached(parent_tm, parent_keys)
+        self._elision_probe_cache[mkey] = res
+        return res
+
+    def _raw_key_unique_uncached(self, parent_tm, parent_keys):
         ls = parent_tm.source
         if (ls.fmt != "parquet" or ls.table or ls.query or ls.view
                 or ls.iterator):
@@ -1369,7 +1412,13 @@ class MappingPlanner:
         )
         for i in range(len(parent_keys)):
             sel = sel.where(valid_value(F.col(f"__pk{i}")))
-        pairs = sel.dropDuplicates()
+        # raw-unique keys ⇒ (key, subject) pairs are already distinct —
+        # skip the build-side dedup shuffle (the duckdb footer probe is
+        # cached; string/float keys stay conservative and dedup)
+        if self._raw_key_unique(parent_tm, parent_keys):
+            pairs = sel
+        else:
+            pairs = sel.dropDuplicates()
         self._parent_plain[cache_key] = pairs  # pre-hint frame for stats
         src = parent_tm.source.source
         if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:

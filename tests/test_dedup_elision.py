@@ -90,7 +90,10 @@ def test_no_elision_on_repeated_predicate(spark, unique_csv):
     assert _shuffles(df) >= 1
 
 
-def test_no_elision_with_join_pom(spark, unique_csv):
+def test_csv_parent_join_keeps_pair_dedup_shuffle(spark, unique_csv):
+    # an N:1 join POM is elision-eligible, but a CSV parent's string
+    # keys can't take the raw-uniqueness shortcut — the parent-pair
+    # dedup keeps its shuffle (only plain-integer parquet keys skip it)
     (unique_csv / "p.csv").write_text("k,lbl\n10,x\n20,y\n")
     m = PFX + f"""
 <#M> a rr:TriplesMap;
@@ -157,3 +160,60 @@ def test_elision_respects_scope_gate(spark, unique_csv):
     # non-default dedup scopes never elide
     df = materialize(spark, _mapping(unique_csv), dedup_scope="spo")
     assert _shuffles(df) >= 1
+
+
+def test_elision_with_fused_n1_join(spark, tmp_path):
+    # a PARENT-join POM qualifies when the join fuses N:1 (parent key
+    # proven unique): the whole mapping compiles to broadcast joins with
+    # ZERO keyed shuffles — even the parent-pair dedup is elided for
+    # raw-unique integer parquet keys
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [1, 2, 3], "fk": [10, 10, 20]}),
+                   str(tmp_path / "child.parquet"))
+    pq.write_table(pa.table({"k": [10, 20], "lbl": ["x", "y"]}),
+                   str(tmp_path / "parent.parquet"))
+    m = PFX + f"""
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/child.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/c/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "fk"; rr:parent "k" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/parent.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/p/{{k}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:lbl; rr:objectMap [ rml:reference "lbl" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) == 0, _plan(df)
+    got = sorted(map(tuple, df.select("s", "p", "o").collect()))
+    assert ("<http://ex.org/c/1>", "<http://ex.org/to>",
+            "<http://ex.org/p/10>") in got
+    assert len(got) == 5  # 3 child joins + 2 parent labels
+
+
+def test_no_elision_with_nm_join(spark, tmp_path):
+    # duplicate parent keys ⇒ the join is 1:N (branch plan) and the
+    # child TM keeps its distinct
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [1, 2], "fk": [10, 10]}),
+                   str(tmp_path / "child.parquet"))
+    pq.write_table(pa.table({"k": [10, 10], "lbl": ["x", "y"]}),
+                   str(tmp_path / "parent.parquet"))
+    m = PFX + f"""
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/child.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/c/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "fk"; rr:parent "k" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/parent.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/p/{{lbl}}" ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1
+    # each child matches both parents: 1:N multiplicity preserved
+    assert df.count() == 4
