@@ -60,6 +60,24 @@ GENERAL_PREDICATES = (
 )
 
 
+# module-wide memo for the compile-time uniqueness probes (dedup
+# elision + raw join-key checks): keyed on file stats so a changed file
+# re-probes but repeated compiles of the same sources don't re-scan
+_PROBE_CACHE: dict = {}
+
+
+def _stat_key(source, _glob) -> tuple:
+    """(path, mtime_ns, size) per matched file — cheap staleness key."""
+    try:
+        paths = _glob.glob(source) or [source]
+        return tuple(
+            (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+            for p in sorted(paths) if os.path.isfile(p)
+        )
+    except OSError:
+        return ()
+
+
 def _rule_id(om) -> str:
     """The object-map rule value the reference appends to the PTT table
     key for general predicates (predicate_object_map.object_map.value)."""
@@ -245,7 +263,6 @@ class MappingPlanner:
         # cap keeps compile time predictable; raise it deliberately)
         self.dedup_elision = dedup_elision
         self.dedup_elision_probe_bytes = dedup_elision_probe_bytes
-        self._elision_probe_cache: dict[tuple, bool] = {}
         # RML-IO logical targets: emit a static array<string> __targets
         # column naming the targets each triple routes to (the reference
         # re-runs the whole TM per target file, semantify.py:10013-10088 —
@@ -522,14 +539,18 @@ class MappingPlanner:
     def _constant_graphs_ok(graphs) -> bool:
         """Graph maps that keep the proof simple: none, or all-constant
         with pairwise-distinct values (each row emits one triple per
-        graph; distinct constants keep them distinct under spog)."""
+        graph; distinct constants keep them distinct under spog).
+        Values are compared AFTER defaultGraph normalization — two
+        different constants that both normalize to the default graph
+        (_graph_exprs maps any 'defaultGraph' IRI to NULL) would emit
+        the same triple twice."""
         if not graphs:
             return True
         vals = []
         for g in graphs:
             if g.kind != CONSTANT:
                 return False
-            vals.append(g.value)
+            vals.append(None if "defaultGraph" in g.value else g.value)
         return len(set(vals)) == len(vals)
 
     def _cross_tm_disjoint(self, tms) -> bool:
@@ -644,18 +665,20 @@ class MappingPlanner:
     def _subject_unique_probe(self, ls, refs: list[str]) -> bool:
         """Driver-side DuckDB check that the subject's reference columns
         are composite-unique among NULL-ish-free rows, and (for string
-        sources) digit-only so rendering cannot merge two raw values
-        (float canonicalization "1.50"→"1.5" would; digits never do).
-        Bounded by dedup_elision_probe_bytes; any failure ⇒ no elision.
-        """
+        sources) injective under rendering (no float-looking values, no
+        '%'). Bounded by dedup_elision_probe_bytes; any failure ⇒ no
+        elision. Cached MODULE-wide keyed on the files' (path, mtime,
+        size) so repeated materialize() calls in one process don't
+        re-scan a large source per compile."""
         import glob as _glob
 
-        key = (ls.cache_key(), tuple(refs))
-        cached = self._elision_probe_cache.get(key)
+        key = ("subj", ls.cache_key(), tuple(refs),
+               _stat_key(ls.source, _glob))
+        cached = _PROBE_CACHE.get(key)
         if cached is not None:
             return cached
         ok = self._run_unique_probe(ls, refs, _glob)
-        self._elision_probe_cache[key] = ok
+        _PROBE_CACHE[key] = ok
         return ok
 
     def _run_unique_probe(self, ls, refs, _glob) -> bool:
@@ -1317,13 +1340,17 @@ class MappingPlanner:
         values, so raw uniqueness would not imply pair uniqueness there.
         Returns None (unknown → caller runs the Spark probe) in every
         other case; raw duplicates also return None since equal
-        (key, subject) pairs may still collapse to unique. Memoized —
-        callers (_parent_pairs and _parent_key_unique) share one probe."""
-        mkey = ("raw", parent_tm.tm_id, parent_keys)
-        if mkey in self._elision_probe_cache:
-            return self._elision_probe_cache[mkey]
+        (key, subject) pairs may still collapse to unique. Memoized
+        MODULE-wide on (path, mtime, size) — callers (_parent_pairs and
+        _parent_key_unique) and repeated compiles share one probe."""
+        import glob as _glob
+
+        mkey = ("raw", parent_tm.source.cache_key(), parent_keys,
+                _stat_key(parent_tm.source.source, _glob))
+        if mkey in _PROBE_CACHE:
+            return _PROBE_CACHE[mkey]
         res = self._raw_key_unique_uncached(parent_tm, parent_keys)
-        self._elision_probe_cache[mkey] = res
+        _PROBE_CACHE[mkey] = res
         return res
 
     def _raw_key_unique_uncached(self, parent_tm, parent_keys):
