@@ -395,17 +395,28 @@ def quantize_embeddings(
     Pure higher-order-function arithmetic per row: no shuffle, no UDF;
     parallelism = scan parallelism.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    scale = F.greatest(
-        F.round(F.array_max(F.transform(x, F.abs)) / 127.0, 9),
-        F.lit(1e-12))
-    q = F.transform(x, lambda v: F.round(v / scale, 0).cast("int"))
-    err = F.transform(
-        x, lambda v: F.pow(v - F.round(v / scale, 0) * scale, F.lit(2.0)))
-    mse = F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(x)
-    return df.select(
+    # project x and scale into columns FIRST: an expression referenced
+    # inside a higher-order-function lambda is re-evaluated per ELEMENT,
+    # so an inline scale (itself an O(dim) array_max) would make each
+    # row O(dim²)
+    staged = df.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+    ).select(
+        F.col(id_col), "__x",
+        F.greatest(
+            F.round(F.array_max(F.transform(F.col("__x"), F.abs)) / 127.0, 9),
+            F.lit(1e-12)).alias("__s"),
+    )
+    s = F.col("__s")
+    q = F.transform(F.col("__x"), lambda v: F.round(v / s, 0).cast("int"))
+    err = F.transform(
+        F.col("__x"), lambda v: F.pow(v - F.round(v / s, 0) * s, F.lit(2.0)))
+    mse = (F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v)
+           / F.size(F.col("__x")))
+    return staged.select(
+        F.col(id_col),
+        F.round(s, 9).alias("scale"),
         F.array_join(q, ",").alias("codes"),
         F.round(mse, 12).alias("mse"),
     )
