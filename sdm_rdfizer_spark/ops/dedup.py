@@ -485,7 +485,13 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql.window import Window
 
-    w = words(text_col)
+    # stage the word array as a COLUMN before the span lambda: an
+    # expression referenced inside a higher-order-function body is
+    # re-evaluated per element, so an inline words() would re-split the
+    # whole document once per span (O(len²/span) per doc)
+    staged = df.select(
+        F.col(id_col), words(text_col).alias("__w"))
+    w = F.col("__w")
     n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
     # guard: F.sequence(0, -1) would yield [0, -1] for empty docs
     spans = F.when(
@@ -496,7 +502,7 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
                 F.slice(w, i * span_words + 1, span_words), " ")),
     ).otherwise(F.array().cast("array<string>"))
 
-    ex = df.select(
+    ex = staged.select(
         F.col(id_col), n_spans.alias("n_spans"),
         F.posexplode_outer(spans).alias("span_pos", "span"),
     ).withColumn(
