@@ -2276,6 +2276,21 @@ def _lineitem_wide_oracle() -> str:
     return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
 
 
+def _q_void_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """VoID per-property partition report over the materialized customer
+    graph — one grouped aggregation with exact distinct counts."""
+    from sdm_rdfizer_spark.engine import void_report
+
+    return void_report(_q_customer_graph(spark, sf))
+
+
+def _void_stats_oracle() -> str:
+    return (f"SELECT p, count(*)::BIGINT AS n_triples, "
+            f"count(DISTINCT s)::BIGINT AS n_subjects, "
+            f"count(DISTINCT o)::BIGINT AS n_objects "
+            f"FROM ({_CUSTOMER_ORACLE}) GROUP BY p")
+
+
 def _q_orders_wide(spark: SparkSession, sf: str) -> DataFrame:
     """Wide projection over a provably-unique subject key (o_orderkey):
     the compiler's dedup-elision proof (static injectivity + a bounded
@@ -2583,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_lineitem_orders_join": _q_lineitem_orders_join,
         "rml_lineitem_wide": _q_lineitem_wide,
         "rml_orders_wide": _q_orders_wide,
+        "rml_void_stats": _q_void_stats,
         "rml_dedup_flags": _q_dedup_flags,
         "rml_orders_quads": _q_orders_quads,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -2654,6 +2670,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_lineitem_orders_join": _LINEITEM_ORDERS_ORACLE,
         "rml_lineitem_wide": _lineitem_wide_oracle(),
         "rml_orders_wide": _orders_wide_oracle(),
+        "rml_void_stats": _void_stats_oracle(),
         "rml_dedup_flags": _DEDUP_FLAGS_ORACLE,
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,
         "rml_supplier_bnode": _SUPPLIER_BNODE_ORACLE,

@@ -291,3 +291,21 @@ def materialize_incremental(
     new = new.localCheckpoint()
     new.write.mode("append").parquet(state_dir)
     return new
+
+
+def void_report(triples: DataFrame) -> DataFrame:
+    """VoID-style per-property partition statistics of a materialized
+    graph (the dataset descriptor the RML ecosystem publishes alongside
+    outputs — n_triples, distinct subjects/objects per predicate).
+
+    One grouped aggregation on the predicate; the distinct counts are
+    exact (Spark expands them into a two-phase aggregate with map-side
+    partials). At extreme scale swap count_distinct for
+    approx_count_distinct and accept the documented error bound.
+    """
+    return (
+        triples.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triples"),
+             F.countDistinct("s").cast("long").alias("n_subjects"),
+             F.countDistinct("o").cast("long").alias("n_objects"))
+    )

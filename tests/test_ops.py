@@ -856,3 +856,17 @@ def test_length_percentiles_exact(spark):
     assert row["p50_chars"] == 5.5
     assert row["p90_chars"] == 9.1
     assert abs(row["p99_chars"] - 9.91) < 1e-9
+
+
+def test_void_report_counts(spark):
+    from sdm_rdfizer_spark.engine import void_report
+
+    df = spark.createDataFrame(
+        [("s1", "p1", "o1", None), ("s1", "p1", "o2", None),
+         ("s2", "p1", "o1", None), ("s1", "p2", "o1", None)],
+        "s string, p string, o string, g string")
+    out = {r["p"]: r for r in void_report(df).collect()}
+    assert out["p1"]["n_triples"] == 3
+    assert out["p1"]["n_subjects"] == 2
+    assert out["p1"]["n_objects"] == 2
+    assert out["p2"]["n_triples"] == 1
