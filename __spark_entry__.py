@@ -2065,6 +2065,15 @@ GROUP BY 1, 2
 """
 
 
+def _q_streaming_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sliding windows: Expand fans events into size/slide
+    windows BEFORE the watermarked stateful agg; availableNow drain
+    equals the batch result (oracle-pinned)."""
+    from sdm_rdfizer_spark.streaming import stream_events_sliding
+
+    return stream_events_sliding(spark, sf)
+
+
 def _q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention matrix: three combinable aggregations
     (active user-weeks → per-user cohort → counts)."""
@@ -2650,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_sequence_pack": _q_sequence_pack,
         "text_chunk_documents": _q_chunk_documents,
         "events_sliding_window": _q_events_sliding_window,
+        "streaming_sliding_window": _q_streaming_sliding_window,
         "streaming_events_window": _q_streaming_events_window,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_rml": _q_streaming_rml,
@@ -2722,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_sequence_pack": _sequence_pack_oracle(),
         "text_chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "events_sliding_window": _EVENTS_SLIDING_ORACLE,
+        "streaming_sliding_window": _EVENTS_SLIDING_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "streaming_rml": _STREAMING_RML_ORACLE,

@@ -388,3 +388,43 @@ def stream_sessionize(
     sessions = stateful_sessionize_stream(sdf, gap_minutes=gap_minutes)
     name = "sessions_state_" + str(abs(hash(sf_dir)) % 10**8)
     return run_available_now(sessions, name=name, output_mode="append")
+
+
+def stream_events_sliding(
+    spark: SparkSession, sf_dir: str, *,
+    size: str = "10 minutes", slide: str = "5 minutes",
+) -> DataFrame:
+    """Driver-contract entry: sliding (hopping) windows on a file
+    stream — each event lands in size/slide overlapping windows via the
+    Expand operator BEFORE the watermarked stateful aggregation, so
+    state is keyed per (window, type) with map-side-combined partials.
+    availableNow drain keeps batch parity (oracle-checkable)."""
+    from ..engine import tune_session
+    from ..sources import _nanos_timestamp_columns
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            "{events.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    for c in _nanos_timestamp_columns(path):
+        if dict(sdf.dtypes).get(c) == "bigint":
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if dict(sdf.dtypes).get("ts") == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", size, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events",
+            F.col("sum_value").cast("string").alias("sum_value"))
+    )
+    name = "events_sliding_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(agg, name=name, output_mode="complete")

@@ -127,3 +127,15 @@ def test_stream_csv_quoted_fields_match_batch(spark, tmp_path):
     assert triple_set(out) == batch
     assert ("<http://ex.org/1>", "<http://ex.org/vocab/t>",
             "\"say 'hi' now\"") in batch
+
+
+def test_stream_sliding_equals_batch(spark):
+    from sdm_rdfizer_spark.ops.sessions import sliding_window_agg
+    from sdm_rdfizer_spark.sources import read_parquet
+    from sdm_rdfizer_spark.streaming import stream_events_sliding
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in stream_events_sliding(spark, sf).collect()}
+    want = {tuple(r) for r in sliding_window_agg(
+        read_parquet(spark, f"{sf}/events.parquet")).collect()}
+    assert got == want
