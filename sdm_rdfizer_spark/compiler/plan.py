@@ -1232,7 +1232,11 @@ class MappingPlanner:
         pairs = qlayers.apply(qdf).where(qcv.valid).select(
             qcv.expr.alias("__po"),
             *[k.alias(f"__pk{i}") for i, k in enumerate(pkey_exprs)],
-        ).dropDuplicates()
+        )
+        # raw-unique keys ⇒ pairs already distinct (same shortcut as
+        # _parent_pairs / _join_quoted_subject)
+        if not self._raw_key_unique(qtm, tuple(om.join.parent)):
+            pairs = pairs.dropDuplicates()
         key_exprs = [self._join_key_expr(df, c, layers) for c in om.join.child]
         nkeys = len(om.join.child)
         pred_expr, pred_valid = pred.expr, pred.valid
@@ -1278,7 +1282,11 @@ class MappingPlanner:
         )
         for i in range(len(pkeys)):
             pairs = pairs.where(valid_value(F.col(f"__qsk{i}")))
-        pairs = pairs.dropDuplicates()
+        # raw-unique join keys ⇒ (key…, quoted-term) pairs are already
+        # distinct — skip the build-side dedup shuffle (same shortcut as
+        # _parent_pairs; conservative for string/float keys)
+        if not self._raw_key_unique(qtm, tuple(om.join.parent)):
+            pairs = pairs.dropDuplicates()
         src = qtm.source.source
         if src and os.path.isfile(src) and os.path.getsize(src) < BROADCAST_BYTES:
             pairs = F.broadcast(pairs)
