@@ -1978,6 +1978,28 @@ FROM c
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity terciles over the LM
+    scores — one tiny percentile aggregate broadcast back."""
+    from sdm_rdfizer_spark.ops.text import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf))
+
+
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+WITH s AS ({_LM_SCORE_ORACLE}),
+d AS (SELECT *, avg_logprob::DOUBLE AS alp FROM s),
+c AS (SELECT round(quantile_cont(alp, 1.0/3), 6) AS c1,
+             round(quantile_cont(alp, 2.0/3), 6) AS c2 FROM d)
+SELECT doc_id, n_bigrams, sum_logprob, avg_logprob,
+       CASE WHEN alp <= c1 THEN 'tail'
+            WHEN alp <= c2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM d, c
+"""
+
+
 def _q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk training-sequence packing: deterministic md5
     shards packed independently — window parallelism = n_shards, never a
@@ -2651,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _q_quality_filter,
         "text_vocabulary": _q_vocabulary,
         "text_lm_score": _q_lm_score,
+        "text_ccnet_buckets": _q_ccnet_buckets,
         "text_tfidf_topk": _q_tfidf_topk,
         "corpus_stats": _q_corpus_stats,
         "text_decontaminate": _q_decontaminate,
@@ -2724,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,
         "text_lm_score": _LM_SCORE_ORACLE,
+        "text_ccnet_buckets": _ccnet_buckets_oracle(),
         "text_tfidf_topk": _TFIDF_TOPK_ORACLE,
         "corpus_stats": _CORPUS_STATS_ORACLE,
         "text_decontaminate": _DECONTAMINATE_ORACLE,

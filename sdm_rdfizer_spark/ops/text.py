@@ -521,3 +521,34 @@ def length_percentiles(df: DataFrame, text_col: str = "text",
                 F.round(F.col("__p")[1], 6).alias("p90_chars"),
                 F.round(F.col("__p")[2], 6).alias("p99_chars"))
     )
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus char-bigram LM, then split the corpus into head / middle /
+    tail terciles of avg log-probability (head = most fluent). The
+    standard pre-sampling quality stratification — downstream pipelines
+    keep head+middle or re-weight by bucket.
+
+    The tercile cuts are ONE tiny global aggregate (two doubles)
+    broadcast back over the scored frame; rounded to a 1e-6 grid so
+    the bucket assignment is reproducible across engines. Everything
+    else inherits lm_score's plan (single corpus explode, exact-decimal
+    scores).
+    """
+    scored = lm_score(df, text_col=text_col, id_col=id_col)
+    alp = F.col("avg_logprob").cast("decimal(18,6)").cast("double")
+    cuts = scored.agg(
+        F.round(F.percentile(alp, F.lit(1.0 / 3)), 6).alias("c1"),
+        F.round(F.percentile(alp, F.lit(2.0 / 3)), 6).alias("c2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col, "n_bigrams", "sum_logprob", "avg_logprob",
+            F.when(alp <= F.col("c1"), F.lit("tail"))
+            .when(alp <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("head")).alias("bucket"),
+        )
+    )

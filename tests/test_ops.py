@@ -870,3 +870,19 @@ def test_void_report_counts(spark):
     assert out["p1"]["n_subjects"] == 2
     assert out["p1"]["n_objects"] == 2
     assert out["p2"]["n_triples"] == 1
+
+
+def test_ccnet_buckets_terciles(spark):
+    from sdm_rdfizer_spark.ops.text import ccnet_buckets
+
+    # fluent docs reuse the same bigrams; junk docs are rare bigrams
+    rows = [(i, "abababababab") for i in range(6)] + \
+           [(i, "qzxvkwjqpmzy"[:12]) for i in range(6, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ccnet_buckets(df).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in out}
+    # the repetitive (high-probability) docs must outrank the junk ones
+    assert all(buckets[i] == "head" for i in range(6)) or \
+        all(buckets[i] in ("head", "middle") for i in range(6))
+    assert all(buckets[i] == "tail" for i in range(6, 9))
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
