@@ -1978,6 +1978,42 @@ FROM c
 """
 
 
+def _q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source data card: counts, exact percentiles, vocabulary size,
+    dominant language — three source-keyed aggregations joined on the
+    broadcast-sized source dimension."""
+    from sdm_rdfizer_spark.ops.text import corpus_datacard
+
+    return corpus_datacard(_docs(spark, sf))
+
+
+_CORPUS_DATACARD_ORACLE = f"""
+WITH base AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(len({_WORDS_SQL}))::BIGINT AS n_words,
+         sum(length(text))::BIGINT AS n_chars,
+         round(quantile_cont(length(text)::DOUBLE, 0.5), 6) AS p50_chars,
+         round(quantile_cont(length(text)::DOUBLE, 0.9), 6) AS p90_chars,
+         round(quantile_cont(length(text)::DOUBLE, 0.99), 6) AS p99_chars
+  FROM documents GROUP BY source
+), vocab AS (
+  SELECT source, count(DISTINCT lower(tok))::BIGINT AS vocab_size
+  FROM (SELECT source, unnest({_WORDS_SQL}) AS tok FROM documents)
+  GROUP BY source
+), top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, lang DESC) AS rn
+    FROM documents GROUP BY source, lang)
+  WHERE rn = 1
+)
+SELECT base.*, vocab.vocab_size, top.top_lang
+FROM base JOIN vocab USING (source) JOIN top USING (source)
+"""
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity terciles over the LM
     scores — one tiny percentile aggregate broadcast back."""
@@ -2676,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": _q_ccnet_buckets,
         "text_tfidf_topk": _q_tfidf_topk,
         "corpus_stats": _q_corpus_stats,
+        "corpus_datacard": _q_corpus_datacard,
         "text_decontaminate": _q_decontaminate,
         "sample_stratified": _q_stratified_sample,
         "sample_token_budget": _q_token_budget_sample,
@@ -2750,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ccnet_buckets": _ccnet_buckets_oracle(),
         "text_tfidf_topk": _TFIDF_TOPK_ORACLE,
         "corpus_stats": _CORPUS_STATS_ORACLE,
+        "corpus_datacard": _CORPUS_DATACARD_ORACLE,
         "text_decontaminate": _DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
         "sample_token_budget": _TOKEN_BUDGET_ORACLE,

@@ -552,3 +552,48 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
             .otherwise(F.lit("head")).alias("bucket"),
         )
     )
+
+
+def corpus_datacard(df: DataFrame, text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """Per-source data card: the release report combining document /
+    word / char counts, exact length percentiles, distinct-token
+    vocabulary size, and the dominant language tag. One row per source.
+
+    Three grouped aggregations joined on the (small) source key:
+    counts+percentiles share one pass; vocabulary needs its own
+    explode→distinct pass (per-source token space); the language mode
+    is a count + argmax. All shuffles key on source (or (source, token)
+    with map-side combine); the joined frames are source-cardinality —
+    broadcast-sized by construction.
+    """
+    n = F.length(F.col(text_col)).cast("double")
+    pct = F.percentile(n, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    base = (
+        df.groupBy(source_col)
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum(F.size(words(text_col))).cast("long").alias("n_words"),
+             F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+             pct.alias("__p"))
+        .select(source_col, "n_docs", "n_words", "n_chars",
+                F.round(F.col("__p")[0], 6).alias("p50_chars"),
+                F.round(F.col("__p")[1], 6).alias("p90_chars"),
+                F.round(F.col("__p")[2], 6).alias("p99_chars"))
+    )
+    vocab = (
+        df.select(F.col(source_col),
+                  F.explode(F.array_distinct(
+                      F.transform(words(text_col), F.lower))).alias("tok"))
+        .groupBy(source_col)
+        .agg(F.count_distinct("tok").cast("long").alias("vocab_size"))
+    )
+    lang_counts = (
+        df.groupBy(source_col, "lang").agg(F.count("*").alias("c"))
+        .groupBy(source_col)
+        .agg(F.max(F.struct(F.col("c"), F.col("lang"))).alias("__m"))
+        .select(source_col, F.col("__m.lang").alias("top_lang"))
+    )
+    return (
+        base.join(F.broadcast(vocab), source_col)
+        .join(F.broadcast(lang_counts), source_col)
+    )

@@ -886,3 +886,17 @@ def test_ccnet_buckets_terciles(spark):
         all(buckets[i] in ("head", "middle") for i in range(6))
     assert all(buckets[i] == "tail" for i in range(6, 9))
     assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+
+
+def test_corpus_datacard_shape_and_mode(spark):
+    from sdm_rdfizer_spark.ops.text import corpus_datacard
+
+    df = spark.createDataFrame(
+        [("s1", "en", "a b c"), ("s1", "en", "a b"), ("s1", "fr", "x"),
+         ("s2", "de", "nur ein doc")],
+        "source string, lang string, text string")
+    out = {r["source"]: r for r in corpus_datacard(df).collect()}
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_words"] == 6
+    assert out["s1"]["top_lang"] == "en"          # 2 en vs 1 fr
+    assert out["s1"]["vocab_size"] == 4           # a b c x
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["vocab_size"] == 3
