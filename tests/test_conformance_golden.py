@@ -1272,6 +1272,67 @@ CASES["multiple_predicates_one_pom"] = (
 )
 
 
+CASES["nullish_value_forms_drop"] = (
+    # every NULL-ish form the reference recognizes (functions.py:
+    # 1882-1912) drops the triple: empty, whitespace, nan, N/A, None,
+    # NULL — only real values emit
+    {"n.csv": 'id,v\n1,real\n2,\n3,   \n4,nan\n5,N/A\n6,None\n7,NULL\n'},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/n.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/v> "real" .'],
+)
+
+CASES["null_in_subject_template_drops_row"] = (
+    # a NULL-ish value in the SUBJECT template drops the whole row
+    # (every POM), not just one triple; a null object drops only its own
+    # triple
+    {"s.csv": "a,b,v\nx,1,ok\ny,,alsook\nz,3,\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/s.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{a}/{b}"; rr:class ex:T ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+""",
+    [
+        "<http://example.com/x/1> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.com/T> .",
+        '<http://example.com/x/1> <http://example.com/v> "ok" .',
+        # row y: subject null → nothing at all (not even rdf:type)
+        # row z: subject fine, object null → type survives, ex:v doesn't
+        "<http://example.com/z/3> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.com/T> .",
+    ],
+)
+
+CASES["join_duplicate_parent_rows_single_match"] = (
+    # duplicate (key, subject) parent rows collapse in the join build
+    # (the reference's hash table keys subjects by set, semantify.py:
+    # 523-931): each child match emits ONE triple, not one per raw row
+    {"c.csv": "id,fk\n1,k1\n", "p.csv": "k,other\nk1,a\nk1,b\n"},
+    """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/c.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/c/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "fk"; rr:parent "k" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/p.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/p/{k}" ] .
+""",
+    [
+        "<http://example.com/c/1> <http://example.com/to> "
+        "<http://example.com/p/k1> .",
+    ],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected, *rest = CASES[case]
