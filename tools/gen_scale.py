@@ -28,14 +28,40 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
-KEY_STRIDE = 10_000_000_000
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+KEY_COLS = ("o_orderkey", "l_orderkey", "event_id",
+            "doc_id", "vec_id", "user_id")
 
 
-def _offset(col: pa.ChunkedArray, i: int) -> pa.Array:
-    return pa.compute.add(col, i * KEY_STRIDE)
+def key_stride(src: str) -> int:
+    """Replica key offset: the next power of 10 above every key column's
+    max in the SOURCE — derived, not fixed, so re-scaling an
+    already-scaled directory (sf0.1 → sf1 → sf10) can't collide replica
+    key ranges (a fixed stride did: replicas i and j of pre-offset keys
+    base+j·S landed on base+(i+j)·S)."""
+    m = 0
+    for name in FACTS:
+        p = os.path.join(src, f"{name}.parquet")
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=[
+            c for c in KEY_COLS if c in pq.read_schema(p).names])
+        for c in t.column_names:
+            v = pa.compute.max(t.column(c)).as_py()
+            if v is not None:
+                m = max(m, int(v))
+    stride = 10
+    while stride <= m:
+        stride *= 10
+    return stride
 
 
-def scale_table(name: str, src: str, dst: str, factor: int) -> int:
+def _offset(col: pa.ChunkedArray, i: int, stride: int) -> pa.Array:
+    return pa.compute.add(col, i * stride)
+
+
+def scale_table(name: str, src: str, dst: str, factor: int,
+                stride: int) -> int:
     t = pq.read_table(os.path.join(src, f"{name}.parquet"))
     reps = []
     for i in range(factor):
@@ -45,9 +71,8 @@ def scale_table(name: str, src: str, dst: str, factor: int) -> int:
             if i == 0:
                 cols[field.name] = c
                 continue
-            if field.name in ("o_orderkey", "l_orderkey", "event_id",
-                              "doc_id", "vec_id", "user_id"):
-                cols[field.name] = _offset(c, i)
+            if field.name in KEY_COLS:
+                cols[field.name] = _offset(c, i, stride)
             elif field.name == "text":
                 # distinct replica text: append a replica token so exact/
                 # near-dup pair counts scale linearly, not quadratically
@@ -79,8 +104,10 @@ def main() -> None:
         shutil.copyfile(os.path.join(args.src, f"{d}.parquet"),
                         os.path.join(args.dst, f"{d}.parquet"))
         print(f"{d}: copied")
-    for f in ["orders", "lineitem", "events", "documents", "embeddings"]:
-        n = scale_table(f, args.src, args.dst, args.factor)
+    stride = key_stride(args.src)
+    print(f"key stride: {stride}")
+    for f in FACTS:
+        n = scale_table(f, args.src, args.dst, args.factor, stride)
         print(f"{f}: {n} rows")
 
 
