@@ -537,7 +537,10 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     else inherits lm_score's plan (single corpus explode, exact-decimal
     scores).
     """
-    scored = lm_score(df, text_col=text_col, id_col=id_col)
+    # doc-grain frame, tiny; checkpointed because BOTH the tercile
+    # aggregate and the final projection read it — without this the
+    # whole score pipeline (model join + agg) runs twice
+    scored = lm_score(df, text_col=text_col, id_col=id_col).localCheckpoint()
     alp = F.col("avg_logprob").cast("decimal(18,6)").cast("double")
     cuts = scored.agg(
         F.round(F.percentile(alp, F.lit(1.0 / 3)), 6).alias("c1"),
