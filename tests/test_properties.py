@@ -171,3 +171,73 @@ def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
         for j, (rk, s, d) in enumerate(intervals)
         if k == rk and s <= t <= s + d)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="ab xyé😀", min_size=0, max_size=60),
+                min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=20))
+def test_chunk_documents_covers_and_reassembles(spark, docs_texts, size):
+    """Zero-overlap chunks concatenate back to the exact original text;
+    with overlap every chunk matches its slice of the source."""
+    from sdm_rdfizer_spark.ops.text import chunk_documents
+
+    df = spark.createDataFrame(
+        list(enumerate(docs_texts)), "doc_id long, text string")
+    rows = chunk_documents(df, size, overlap=0).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for i, text in enumerate(docs_texts):
+        assert "".join(by_doc.get(i, [])) == text
+
+    ov = max(1, size // 3)
+    for r in chunk_documents(df, size, overlap=ov).collect():
+        text = docs_texts[r["doc_id"]]
+        assert r["chunk_text"] == text[r["chunk_start"]:r["chunk_start"] + size]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=10**6),
+                          st.sampled_from(["a", "b"])),
+                min_size=1, max_size=40))
+def test_sliding_window_counts_every_event_twice(spark, events):
+    """size/slide = 2 ⇒ every event contributes to exactly two windows:
+    total n_events across windows is 2× the input rows."""
+    from sdm_rdfizer_spark.ops.sessions import sliding_window_agg
+
+    df = spark.createDataFrame(
+        [(i, t, k, 1.0) for i, (t, k) in enumerate(events)],
+        "event_id long, tsec long, event_type string, value double",
+    ).selectExpr("event_id", "timestamp_seconds(tsec) AS ts",
+                 "event_type", "value")
+    out = sliding_window_agg(df, size_minutes=10, slide_minutes=5)
+    assert sum(r["n_events"] for r in out.collect()) == 2 * len(events)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
+                min_size=1, max_size=25),
+       st.integers(min_value=2, max_value=64))
+def test_sequence_pack_conservation(spark, texts, seq_len):
+    """Packing conserves tokens: per shard, offsets tile [0, total) with
+    no gaps or overlaps, and every doc's sequence span is consistent."""
+    from sdm_rdfizer_spark.ops.sampling import sequence_pack
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    rows = sequence_pack(df, seq_len, n_shards=3).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    n_nonempty = sum(1 for t in texts if t.split())
+    assert sum(len(v) for v in by_shard.values()) == n_nonempty
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["tok_offset"])
+        expect = 0
+        for r in shard_rows:
+            assert r["tok_offset"] == expect
+            assert r["seq_first"] == r["tok_offset"] // seq_len
+            last_tok = r["tok_offset"] + r["n_tokens"] - 1
+            assert r["seq_last"] == last_tok // seq_len
+            expect += r["n_tokens"]
