@@ -2132,6 +2132,42 @@ def _q_streaming_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_sliding(spark, sf)
 
 
+def _q_events_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score anomaly flags with exact-decimal moments (one
+    combinable aggregation + broadcast join back)."""
+    from sdm_rdfizer_spark.ops.sessions import value_anomalies
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return value_anomalies(read_parquet(spark, f"{sf}/events.parquet"))
+
+
+# moments via exact decimal sums ⇒ mean/std are identical doubles on
+# both engines; z rounds to a 1e-6 grid
+_EVENTS_ANOMALIES_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(value::DECIMAL(18,2)) AS s,
+         sum((value::DECIMAL(18,2) * value::DECIMAL(18,2))::DECIMAL(38,4))
+           AS ss
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type,
+         s::DOUBLE / n AS mean,
+         sqrt(greatest(ss::DOUBLE / n - power(s::DOUBLE / n, 2), 0)) AS std
+  FROM stats
+)
+SELECT event_id, e.event_type, value,
+       round(mean, 6) AS type_mean,
+       round(std, 6) AS type_std,
+       CASE WHEN std > 0 THEN round((value - mean) / std, 6)
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN std > 0 THEN round((value - mean) / std, 6)
+                ELSE 0.0 END) > 3.0 AS anomaly
+FROM events e JOIN m USING (event_type)
+"""
+
+
 def _q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention matrix: three combinable aggregations
     (active user-weeks → per-user cohort → counts)."""
@@ -2728,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_anomalies": _q_events_anomalies,
         "corpus_pipeline": _q_corpus_pipeline,
         "streaming_sessionize": _q_streaming_sessionize,
     }
@@ -2803,6 +2840,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "events_retention": _EVENTS_RETENTION_ORACLE,
+        "events_anomalies": _EVENTS_ANOMALIES_ORACLE,
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     }

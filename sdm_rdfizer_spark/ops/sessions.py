@@ -181,3 +181,49 @@ def retention(
         .select(F.col("cohort").cast("string").alias("cohort_week"),
                 "week_offset", "n_users")
     )
+
+
+def value_anomalies(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-type z-score anomaly flags: events whose value deviates more
+    than ``z_threshold`` population standard deviations from their
+    type's mean — the monitoring pass over an event stream.
+
+    Determinism across engines: the per-type moments (count, sum,
+    sum-of-squares) are EXACT decimal sums, so mean/std are identical
+    doubles on any engine/partitioning — a raw double sum would drift
+    in the last bits and flip knife-edge flags. One combinable
+    aggregation + a broadcast join back; z is rounded to a 1e-6 grid.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    stats = (
+        events.groupBy(type_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+             F.sum(v).alias("__s"),
+             F.sum((v * v).cast("decimal(38,4)")).alias("__ss"))
+        .select(
+            type_col, "__n",
+            (F.col("__s").cast("double") / F.col("__n")).alias("__mean"),
+            F.sqrt(F.greatest(
+                F.col("__ss").cast("double") / F.col("__n")
+                - F.pow(F.col("__s").cast("double") / F.col("__n"),
+                        F.lit(2.0)),
+                F.lit(0.0))).alias("__std"))
+    )
+    z = F.when(F.col("__std") > 0,
+               F.round((F.col(value_col) - F.col("__mean"))
+                       / F.col("__std"), 6)).otherwise(F.lit(0.0))
+    return (
+        events.join(F.broadcast(stats), type_col)
+        .select(F.col(id_col), F.col(type_col), F.col(value_col),
+                F.round("__mean", 6).alias("type_mean"),
+                F.round("__std", 6).alias("type_std"),
+                z.alias("z"),
+                (F.abs(z) > z_threshold).alias("anomaly"))
+    )

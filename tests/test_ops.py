@@ -900,3 +900,17 @@ def test_corpus_datacard_shape_and_mode(spark):
     assert out["s1"]["top_lang"] == "en"          # 2 en vs 1 fr
     assert out["s1"]["vocab_size"] == 4           # a b c x
     assert out["s2"]["n_docs"] == 1 and out["s2"]["vocab_size"] == 3
+
+
+def test_value_anomalies_flags_outlier(spark):
+    from sdm_rdfizer_spark.ops.sessions import value_anomalies
+
+    rows = [(i, "a", 10.0) for i in range(20)] + [(20, "a", 10.5),
+                                                  (21, "a", 1000.0),
+                                                  (22, "b", 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in value_anomalies(df).collect()}
+    assert out[21]["anomaly"] is True
+    assert all(not out[i]["anomaly"] for i in range(21))
+    # a single-value type has std 0 → z 0, never anomalous
+    assert out[22]["z"] == 0.0 and out[22]["anomaly"] is False
