@@ -1333,6 +1333,46 @@ CASES["join_duplicate_parent_rows_single_match"] = (
 )
 
 
+CASES["infer_datatypes_golden"] = (
+    # value-sniffing natural mapping end-to-end (reference
+    # functions.py:16-65): int/bool/float-typed literals, float
+    # canonicalization BEFORE typing, plain strings untyped
+    {"t.csv": "id,v\n1,42\n2,True\n3,3.50\n4,plain\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/t.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+""",
+    [
+        '<http://example.com/1> <http://example.com/v> '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://example.com/2> <http://example.com/v> '
+        '"true"^^<http://www.w3.org/2001/XMLSchema#boolean> .',
+        '<http://example.com/3> <http://example.com/v> '
+        '"3.5"^^<http://www.w3.org/2001/XMLSchema#double> .',
+        '<http://example.com/4> <http://example.com/v> "plain" .',
+    ],
+    {"infer_datatypes": True},
+)
+
+CASES["missing_attribute_ignored"] = (
+    # a POM referencing a column absent from the source is SKIPPED with
+    # a warning under the default ignore policy (reference
+    # functions.py:1915-1920 with global ignore="yes"); other POMs of
+    # the same TM still emit
+    {"m.csv": "id,present\n1,yes\n"},
+    """
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "@DIR@/m.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:ok; rr:objectMap [ rml:reference "present" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:gone; rr:objectMap [ rml:reference "no_such_col" ] ] .
+""",
+    ['<http://example.com/1> <http://example.com/ok> "yes" .'],
+)
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_golden_output(spark, tmp_path, case):
     files, mapping, expected, *rest = CASES[case]
