@@ -66,8 +66,12 @@ def minhash_signatures(
     md5-as-minhash: lexicographic min over hex digests is a uniform
     min-hash over a 128-bit space.
     """
-    sh = shingles(words(text_col), shingle_n)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    # stage the word array as a COLUMN first: an expression inside the
+    # shingle lambda re-evaluates per element, so an inline words()
+    # would re-split the document once per shingle (O(len²) per doc)
+    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
+    sh = shingles(F.col("__w"), shingle_n)
+    exploded = staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -145,8 +149,11 @@ def ngram_jaccard_pairs(
     bound and every reported pair is a true pair, but pairs whose
     overlap lives mostly in ubiquitous shingles may be missed.
     """
-    sh = shingles(words(text_col), shingle_n)
-    docs = df.select(F.col(id_col), sh.alias("sh")).withColumn("sh_n", F.size("sh"))
+    # words staged as a column before the shingle lambda (per-element
+    # re-evaluation would make shingling O(len²) per doc)
+    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
+    sh = shingles(F.col("__w"), shingle_n)
+    docs = staged.select(F.col(id_col), sh.alias("sh")).withColumn("sh_n", F.size("sh"))
     inv = docs.select(id_col, "sh_n", F.explode("sh").alias("shingle"))
     if max_df is not None:
         keep = (inv.groupBy("shingle")
@@ -556,18 +563,23 @@ def ngram_decontaminate(
     Shingle arrays are already distinct per doc (``shingles``), so the
     hit count needs no second distinct.
     """
-    sh = shingles(words(text_col), shingle_n)
-    # materialize the shingle array as a column BEFORE size+explode: with
-    # the raw expression in both slots, the post-Generate projection
-    # re-evaluates size(<whole shingle tree>) per OUTPUT row (~n_shingles
-    # times per doc — a 10× slowdown measured at sf0.1); the intermediate
-    # Project below Generate pins one evaluation per input row
-    c = corpus.select(F.col(id_col), sh.alias("__shs")).select(
+    # stage words as a column (per-element lambda re-evaluation would
+    # re-split the doc once per shingle), then materialize the shingle
+    # array as a column BEFORE size+explode: with the raw expression in
+    # both slots, the post-Generate projection re-evaluates size(<whole
+    # shingle tree>) per OUTPUT row (~n_shingles times per doc — a 10×
+    # slowdown measured at sf0.1); the intermediate Project below
+    # Generate pins one evaluation per input row
+    sh = shingles(F.col("__w"), shingle_n)
+    c = corpus.select(
+        F.col(id_col), words(text_col).alias("__w")
+    ).select(F.col(id_col), sh.alias("__shs")).select(
         F.col(id_col),
         F.size("__shs").alias("n_shingles"),
         F.explode_outer("__shs").alias("shingle"),
     )
-    b = (benchmark.select(F.explode(sh).alias("shingle"))
+    b = (benchmark.select(words(text_col).alias("__w"))
+         .select(F.explode(sh).alias("shingle"))
          .dropDuplicates()
          .withColumn("__hit", F.lit(1)))
     if broadcast_benchmark:
