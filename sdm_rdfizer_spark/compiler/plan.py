@@ -611,6 +611,15 @@ class MappingPlanner:
             refs = parts[1::2]
             if not refs:
                 return False
+            if "http" not in (parts[0] or ""):
+                # compile_template only percent-encodes a substituted
+                # value once "http" has appeared in the template text
+                # BEFORE the placeholder; without it every value stays
+                # raw and wrap_iri encodes the whole concatenation
+                # uniformly, so ("x/y","z") and ("x","y/z") render the
+                # same IRI — the separator argument below needs encoded
+                # values, so require the encode branch for ALL refs
+                return False
             for sep in parts[2:-1:2]:
                 if not re.search(r"[^A-Za-z0-9_\-.~:@=+%]", sep or ""):
                     return False
@@ -723,10 +732,18 @@ class MappingPlanner:
                     conds.append(
                         f"({c} IS NOT NULL AND trim({c}) <> '' AND "
                         f"{c} NOT IN ('nan', 'N/A', 'None', 'NULL'))")
+                    # the engine renders trim(value) and passes values
+                    # containing "http" through UNencoded (template
+                    # bypass + wrap_iri base-completion), so ' 1' vs
+                    # '1' and 'foo' vs 'http://…/base/foo' are raw-
+                    # distinct yet render identically — require trim-
+                    # stable, http-free values or keep the distinct
                     digit_checks.append(
                         f"coalesce(bool_and(NOT regexp_matches"
                         f"({c}, '^-?[0-9]+\\.[0-9]+$') AND "
-                        f"NOT contains({c}, '%')), true)")
+                        f"NOT contains({c}, '%') AND "
+                        f"{c} = trim({c}) AND "
+                        f"NOT contains({c}, 'http')), true)")
                 else:
                     return False
             where = " AND ".join(conds) or "true"

@@ -399,14 +399,21 @@ def quantize_embeddings(
     # inside a higher-order-function lambda is re-evaluated per ELEMENT,
     # so an inline scale (itself an O(dim) array_max) would make each
     # row O(dim²)
+    # clamp BEFORE rounding: a max|x| below ~6.35e-8 rounds the scale to
+    # 0 on the 1e-9 grid, and clamping afterwards (to 1e-12) would emit
+    # codes thousands of units outside int8 — when the grid can't
+    # represent the scale, fall back to the unrounded clamped value
+    # (degraded cross-engine reproducibility only for denormal-ish
+    # vectors, codes always in [-127, 127])
+    raw_scale = F.greatest(
+        F.array_max(F.transform(F.col("__x"), F.abs)) / 127.0, F.lit(1e-12))
+    grid = F.round(raw_scale, 9)
     staged = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
     ).select(
         F.col(id_col), "__x",
-        F.greatest(
-            F.round(F.array_max(F.transform(F.col("__x"), F.abs)) / 127.0, 9),
-            F.lit(1e-12)).alias("__s"),
+        F.when(grid > 0, grid).otherwise(raw_scale).alias("__s"),
     )
     s = F.col("__s")
     q = F.transform(F.col("__x"), lambda v: F.round(v / s, 0).cast("int"))
@@ -416,7 +423,7 @@ def quantize_embeddings(
            / F.size(F.col("__x")))
     return staged.select(
         F.col(id_col),
-        F.round(s, 9).alias("scale"),
+        s.alias("scale"),   # already grid-rounded whenever representable
         F.array_join(q, ",").alias("codes"),
         F.round(mse, 12).alias("mse"),
     )

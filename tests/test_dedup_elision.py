@@ -78,6 +78,55 @@ def test_no_elision_on_digit_separator_template(spark, unique_csv):
     assert _shuffles(df) >= 1
 
 
+def test_no_elision_without_http_before_first_ref(spark, tmp_path):
+    # "{a}/{b}" has no "http" before the first placeholder, so
+    # compile_template leaves values RAW and wrap_iri encodes the whole
+    # concatenation uniformly: ("x/y","z") and ("x","y/z") render the
+    # SAME subject IRI even though the raw pairs are distinct — elision
+    # must refuse and the distinct must collapse the duplicate
+    (tmp_path / "u.csv").write_text("a,b,v\nx/y,z,1\nx,y/z,1\n")
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{{a}}/{{b}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1
+    subs = [r[0] for r in df.select("s").distinct().collect()]
+    assert len(subs) == 1
+    assert df.count() == 1
+
+
+def test_no_elision_on_trim_unstable_keys(spark, tmp_path):
+    # the engine renders trim(value): "1" and " 1" are raw-distinct but
+    # produce the same subject — the probe must see the violation
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\n1,ann,10\n 1,ann,10\n")
+    df = materialize(spark, _mapping(tmp_path))
+    assert _shuffles(df) >= 1
+    assert df.where((F.col("s") == "<http://ex.org/i/1>")
+                    & (F.col("p") == "<http://ex.org/name>")).count() == 1
+
+
+def test_no_elision_on_http_containing_keys(spark, tmp_path):
+    # values containing "http" bypass both template encoding and
+    # wrap_iri base-completion: "foo" and "http://example.com/base/foo"
+    # are raw-distinct yet render the identical subject IRI
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\nfoo,ann,10\nhttp://example.com/base/foo,ann,10\n")
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/u.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rml:reference "id" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1
+    assert df.where(
+        F.col("s") == "<http://example.com/base/foo>").count() == 1
+
+
 def test_no_elision_on_repeated_predicate(spark, unique_csv):
     m = PFX + f"""
 <#M> a rr:TriplesMap;

@@ -845,6 +845,25 @@ def test_quantize_embeddings_roundtrip(spark):
     assert int(out[3]["codes"].split(",")[0]) == 127
 
 
+def test_quantize_embeddings_denormal_scale_stays_int8(spark):
+    # max|x| below ~6.35e-8 rounds the scale to 0 on the 1e-9 grid; the
+    # clamp must apply BEFORE rounding (falling back to the unrounded
+    # scale) so codes stay inside [-127, 127] instead of blowing out to
+    # ±max|x|/1e-12
+    from sdm_rdfizer_spark.ops.similarity import quantize_embeddings
+
+    rows = [(1, [5e-8, -5e-8, 2.5e-8, 0.0]),
+            (2, [1e-30, -1e-30, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, row in out.items():
+        codes = [int(c) for c in row["codes"].split(",")]
+        assert all(-127 <= c <= 127 for c in codes), (vid, codes)
+    assert [int(c) for c in out[1]["codes"].split(",")][:2] == [127, -127]
+    # reconstruction still sane: mse bounded by (scale/2)^2
+    assert out[1]["mse"] <= (out[1]["scale"] / 2) ** 2 + 1e-30
+
+
 def test_length_percentiles_exact(spark):
     from sdm_rdfizer_spark.ops.text import length_percentiles
 
