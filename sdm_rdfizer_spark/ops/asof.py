@@ -48,6 +48,7 @@ def asof_join(
     right_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
     direction: str = "backward",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the single right row with the largest
     ``on`` ≤ left's ``on`` (direction="backward"; "forward" = smallest
@@ -64,6 +65,17 @@ def asof_join(
     If multiple right rows share (keys…, on), the last one in that
     group wins nondeterministically — pre-aggregate the right side to
     one row per (keys…, on) for deterministic output.
+
+    ``chunk_seconds`` is the hot-key mitigation: the window partitions
+    by (keys…, coarse time chunk) instead of the keys alone, so a
+    celebrity key's rows spread over ``n_chunks`` tasks instead of
+    stalling one. Boundary stitching: the last right payload of each
+    (key, chunk) is reduced to a per-chunk summary (combinable
+    ``max_by`` — tiny), a running window over those summaries computes
+    each chunk's carry-in, and the carry-in is injected as a synthetic
+    right row ordered before everything in its chunk. Output is
+    identical to the unchunked path. Pick a chunk width that yields
+    thousands of chunks across the hot key's time range.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

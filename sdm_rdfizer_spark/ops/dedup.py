@@ -23,6 +23,22 @@ from pyspark.sql import functions as F
 from .text import words
 
 
+def _guard_quadratic(df: DataFrame, cap: int, op: str, alternative: str) -> None:
+    """Refuse to run an all-pairs baseline on a corpus larger than
+    ``cap`` rows unless the caller passed ``allow_quadratic=True``.
+
+    Costs one count job on the input (pushdown-friendly: no columns
+    needed) — negligible next to the O(n²) join it prevents. The
+    ``limit(cap + 1)`` bounds even the count at a few partitions."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{op}: input has >{cap:,} rows and this code path is "
+            f"O(n²) by design (an exact verification baseline). Use "
+            f"{alternative} for large corpora, or pass "
+            f"allow_quadratic=True (raise quadratic_cap) to force it.")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate clusters by content digest.
 
@@ -130,6 +146,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    allow_quadratic: bool = False,
+    quadratic_cap: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
     shingle: |A∩B| / |A∪B| ≥ threshold.
@@ -149,6 +167,13 @@ def ngram_jaccard_pairs(
     bound and every reported pair is a true pair, but pairs whose
     overlap lives mostly in ubiquitous shingles may be missed.
     """
+    # foot-gun guard: without a stop-shingle cut the inverted-index join
+    # fans out ~k² rows per shared shingle — a large corpus must opt in
+    # explicitly (the scale-safe default is minhash_lsh_pairs candidates
+    # with this function as the post-LSH verify stage on the pair set)
+    if not allow_quadratic and max_df is None:
+        _guard_quadratic(df, quadratic_cap, "ngram_jaccard_pairs",
+                         "minhash_lsh_pairs (LSH candidates + Jaccard verify)")
     # words staged as a column before the shingle lambda (per-element
     # re-evaluation would make shingling O(len²) per doc)
     staged = df.select(F.col(id_col), words(text_col).alias("__w"))
@@ -211,6 +236,8 @@ def embedding_neardup_pairs(
     n_planes: int = 6,
     seed: int = 42,
     center: bool = True,
+    allow_quadratic: bool = False,
+    quadratic_cap: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     ``round(cos, 6) >= threshold`` and ``id_a < id_b``.
@@ -235,6 +262,12 @@ def embedding_neardup_pairs(
     """
     from .similarity import random_hyperplanes, _dot, _norm
 
+    # foot-gun guard: exact is the all-pairs O(n²) verification baseline;
+    # a large corpus must opt in explicitly instead of silently running
+    # a cross join (the scale-safe default is method="lsh")
+    if method == "exact" and not allow_quadratic:
+        _guard_quadratic(df, quadratic_cap, "embedding_neardup_pairs",
+                         'method="lsh"')
     # norms are precomputed per vector (n of them, not n²) — the per-pair
     # work is then a single higher-order-function dot product; the result
     # is bit-identical to dot(a,b)/(|a|·|b|) computed inline

@@ -100,6 +100,33 @@ def test_ngram_jaccard(spark):
     assert out == {(1, 2): 1.0}
 
 
+def test_quadratic_baselines_guarded(spark):
+    # the all-pairs baselines must REFUSE a large corpus unless the
+    # caller opts in — the scale-safe siblings are the default path
+    import pytest as _pytest
+    from sdm_rdfizer_spark.ops.dedup import (
+        embedding_neardup_pairs, ngram_jaccard_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(10)],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        ngram_jaccard_pairs(docs, quadratic_cap=5)
+    # escape hatches: explicit opt-in, raised cap, or a stop-shingle cut
+    ngram_jaccard_pairs(docs, quadratic_cap=5, allow_quadratic=True).collect()
+    ngram_jaccard_pairs(docs, quadratic_cap=5, max_df=100).collect()
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        embedding_neardup_pairs(emb, quadratic_cap=5)
+    embedding_neardup_pairs(
+        emb, quadratic_cap=5, allow_quadratic=True).collect()
+    # the LSH sibling is never guarded
+    embedding_neardup_pairs(emb, method="lsh", quadratic_cap=5).collect()
+
+
 def test_simhash_near_dup_close(spark):
     from sdm_rdfizer_spark.ops.dedup import simhash
 

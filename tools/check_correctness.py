@@ -37,9 +37,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.perf_counter()
         sdf = fn(spark, sf_dir)
         srows = [tuple("" if v is None else str(v) for v in r) for r in sdf.collect()]
         scols = sorted(sdf.columns)
@@ -60,7 +62,8 @@ def main() -> int:
         ok_cols = scols == sorted(ocols_raw)
         ok_vals = s_multi == o_multi
         status = "OK " if (ok_rows and ok_cols and ok_vals) else "FAIL"
-        print(f"{name:32s} {status} spark={len(srows)} duck={len(orows)} cols={scols}")
+        print(f"{name:32s} {status} spark={len(srows)} duck={len(orows)} "
+              f"t={_time.perf_counter() - _t0:.1f}s cols={scols}")
         if not ok_vals:
             failures += 1
             s_only = list((s_multi - o_multi).items())[:5]
