@@ -106,13 +106,71 @@ def asof_join(
         payload.alias("__p"),
     )
     order = F.col("__on").asc() if direction == "backward" else F.col("__on").desc()
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(*by)
+            # right rows first at equal __on → the match is inclusive
+            .orderBy(order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = l_t.unionByName(r_t).withColumn(
+            "__last", F.last("__p", ignorenulls=True).over(w))
+        return filled.where(F.col("__is_left") == 1).select(
+            "__row.*", "__last.*")
+
+    # ---- hot-key chunked path ----
+    cs = float(chunk_seconds)
+    backward = direction == "backward"
+
+    def chunked(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__c", F.floor(F.col("__on").cast("double") / cs).cast("long"))
+
+    l_c, r_c = chunked(l_t), chunked(r_t)
+    # per-(key, chunk) best right payload: the one a row in a LATER
+    # chunk would match — combinable agg, one tiny row per populated
+    # chunk (max_by on __on picks the latest for backward, earliest for
+    # forward; ties resolve arbitrarily, matching the unchunked path's
+    # documented nondeterminism on duplicate (key, on) right rows)
+    pick = F.max_by if backward else F.min_by
+    summaries = r_c.groupBy(*by, "__c").agg(
+        pick("__p", F.col("__on")).alias("__chunk_best"))
+    # every (key, chunk) that holds a LEFT row needs a carry-in defined,
+    # even when no right row shares the chunk
+    frame = (l_c.select(*by, "__c").distinct()
+             .unionByName(summaries.select(*by, "__c"))
+             .distinct())
+    order_c = F.col("__c").asc() if backward else F.col("__c").desc()
+    wc = (Window.partitionBy(*by).orderBy(order_c)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carries = (
+        frame.join(summaries, [*by, "__c"], "left")
+        .withColumn("__carry", F.last("__chunk_best", ignorenulls=True).over(wc))
+        .where(F.col("__carry").isNotNull())
+    )
+    # synthetic right row per (key, chunk): pinned to the chunk edge the
+    # scan enters from (start for backward, end for forward) with
+    # __is_left=-1 so a REAL right row at the exact same timestamp still
+    # wins the running last
+    edge = (F.col("__c") * F.lit(cs)) if backward else \
+           ((F.col("__c") + 1) * F.lit(cs))
+    on_type = dict(l_t.dtypes)["__on"]
+    edge_on = (F.timestamp_seconds(edge) if on_type.startswith("timestamp")
+               else edge).cast(on_type)
+    synth = carries.select(
+        *by,
+        edge_on.alias("__on"),
+        F.lit(-1).alias("__is_left"),
+        F.lit(None).cast(row_t).alias("__row"),
+        F.col("__carry").alias("__p"),
+        F.col("__c"),
+    )
     w = (
-        Window.partitionBy(*by)
-        # right rows first at equal __on → the match is inclusive
+        Window.partitionBy(*by, "__c")
         .orderBy(order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_t.unionByName(r_t).withColumn(
+    filled = l_c.unionByName(r_c).unionByName(synth).withColumn(
         "__last", F.last("__p", ignorenulls=True).over(w))
     return filled.where(F.col("__is_left") == 1).select("__row.*", "__last.*")
 
