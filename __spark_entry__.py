@@ -1056,8 +1056,10 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
+    # the deliberate exact baseline: allow_quadratic so the guard does
+    # not abort bench/correctness sweeps at >100k-row scale factors
     return ngram_jaccard_pairs(
-        _docs(spark, sf), shingle_n=3, threshold=0.2
+        _docs(spark, sf), shingle_n=3, threshold=0.2, allow_quadratic=True
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -1302,7 +1304,10 @@ def _q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.sources import read_parquet
 
     emb = read_parquet(spark, f"{sf}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.35, method="exact")
+    # the deliberate exact baseline: allow_quadratic so the guard does
+    # not abort bench/correctness sweeps at >100k-row scale factors
+    return embedding_neardup_pairs(emb, threshold=0.35, method="exact",
+                                   allow_quadratic=True)
 
 
 _EMBEDDING_NEARDUP_ORACLE = """
@@ -2451,17 +2456,24 @@ def _q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # scale is rounded to a 1e-9 grid before quantizing so codes are
-# bit-reproducible across engines; float→double casts are exact
+# bit-reproducible across engines; float→double casts are exact.
+# Mirrors quantize_embeddings' clamp-before-round: when max|x| is so
+# small the 1e-9 grid rounds the scale to 0, fall back to the
+# unrounded clamped value so codes stay int8-safe.
 _QUANTIZE_ORACLE = """
 WITH s AS (
   SELECT vec_id,
          list_transform(embedding, v -> v::DOUBLE) AS xs,
-         greatest(round(list_max(list_transform(embedding,
-                  v -> abs(v::DOUBLE))) / 127.0, 9), 1e-12) AS scale
-  FROM embeddings
+         CASE WHEN round(raw, 9) > 0 THEN round(raw, 9) ELSE raw END AS scale
+  FROM (
+    SELECT vec_id, embedding,
+           greatest(list_max(list_transform(embedding,
+                    v -> abs(v::DOUBLE))) / 127.0, 1e-12) AS raw
+    FROM embeddings
+  )
 )
 SELECT vec_id,
-       round(scale, 9) AS scale,
+       scale,
        array_to_string(list_transform(xs,
            v -> round(v / scale, 0)::INT), ',') AS codes,
        round(list_sum(list_transform(xs,

@@ -106,10 +106,14 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH.json"), "w") as f:
             f.write(json.dumps(result, separators=(",", ":")) + "\n")
-    except OSError:
-        pass
+    except OSError as exc:
+        print(f"[bench] WARNING: BENCH.json write failed: {exc}",
+              file=sys.stderr, flush=True)
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:   # observed driver tail window: 2000 chars
+        print("[bench] NOTE: stdout line >1900 chars; per-query timings "
+              "down-rounded to 1 decimal (full precision in BENCH.json)",
+              file=sys.stderr, flush=True)
         result["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
     sys.stdout.flush()
