@@ -666,6 +666,86 @@ def test_asof_join_forward_semantics(spark):
     assert out[2]["asof_value"] is None  # nothing at-or-after 301
 
 
+def _skewed_asof_frames(spark, as_timestamp: bool):
+    """Skewed as-of fixture: one celebrity key holds ~90% of the rows,
+    right timestamps land exactly on chunk edges (multiples of the
+    chunk width used by the test), left rows collide with right rows
+    at equal timestamps, and one key has left rows but no right rows.
+    Right side is unique per (k, t) so output is deterministic."""
+    import random
+
+    rng = random.Random(7)
+    CHUNK = 100
+    right_rows, left_rows = [], []
+    for k, n_right, n_left in [("hot", 120, 900), ("cold1", 6, 40),
+                               ("cold2", 3, 30)]:
+        # right ts: every chunk edge in range plus random off-edge values
+        ts = {c * CHUNK for c in range(n_right // 2)}
+        while len(ts) < n_right:
+            ts.add(rng.randrange(0, n_right * CHUNK // 2))
+        for t in sorted(ts):
+            right_rows.append((k, t, float(len(right_rows))))
+        for i in range(n_left):
+            r = rng.random()
+            if r < 0.2:      # equal-ts collision with a right row
+                t = rng.choice(sorted(ts))
+            elif r < 0.4:    # exactly on a chunk edge (maybe no right row)
+                t = rng.randrange(0, n_right) * CHUNK
+            else:
+                t = rng.randrange(-CHUNK, n_right * CHUNK)
+            left_rows.append((len(left_rows), k, t))
+    for i in range(10):      # key with no right rows at all
+        left_rows.append((len(left_rows), "noright", rng.randrange(0, 1000)))
+    left = spark.createDataFrame(left_rows, ["event_id", "k", "t"])
+    right = spark.createDataFrame(right_rows, ["k", "t", "value"])
+    if as_timestamp:
+        left = left.selectExpr("event_id", "k", "timestamp_seconds(t) AS ts")
+        right = right.selectExpr("k", "timestamp_seconds(t) AS ts", "value")
+    else:
+        left = left.selectExpr("event_id", "k", "CAST(t AS BIGINT) AS ts")
+        right = right.selectExpr("k", "CAST(t AS BIGINT) AS ts", "value")
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("as_timestamp", [True, False])
+def test_asof_join_chunked_equals_unchunked(spark, direction, as_timestamp):
+    """The hot-key chunked path (chunk_seconds) must produce output
+    identical to the unchunked window on skewed data with equal-ts
+    collisions and chunk-edge-exact timestamps, both directions, long
+    and timestamp on-columns."""
+    from sdm_rdfizer_spark.ops.asof import asof_join
+
+    left, right = _skewed_asof_frames(spark, as_timestamp)
+    kw = dict(on="ts", by=["k"], right_cols=["value"], direction=direction)
+    base = asof_join(left, right, **kw)
+    chunked = asof_join(left, right, chunk_seconds=100, **kw)
+    b = sorted(([r["event_id"], r["k"], r["ts"], r["asof_ts"], r["asof_value"]]
+                for r in base.collect()))
+    c = sorted(([r["event_id"], r["k"], r["ts"], r["asof_ts"], r["asof_value"]]
+                for r in chunked.collect()))
+    assert len(b) == left.count()        # left-outer: every left row kept
+    assert b == c
+
+
+def test_asof_join_chunked_partitions_on_key_and_chunk(spark):
+    """Plan shape: the chunked path's running window must partition on
+    (by-keys, chunk) — the whole point of the mitigation — never on the
+    keys alone."""
+    import re
+
+    from sdm_rdfizer_spark.ops.asof import asof_join
+
+    left, right = _skewed_asof_frames(spark, as_timestamp=True)
+    out = asof_join(left, right, on="ts", by=["k"], right_cols=["value"],
+                    chunk_seconds=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    main = [s for s in specs if "__is_left" in s]
+    assert main, f"no running window found in plan:\n{plan}"
+    assert all("__c" in s for s in main), main
+
+
 def test_interval_bucket_join_edges(spark):
     from sdm_rdfizer_spark.ops.asof import interval_bucket_join
 
