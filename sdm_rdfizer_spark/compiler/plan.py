@@ -768,6 +768,16 @@ class MappingPlanner:
         multiplicative cost at 100 TB). Only join-valued POMs become
         separate union branches, since their row multiplicity differs.
         """
+        # R2RML/RML: a subject map's termType MUST be rr:IRI or
+        # rr:BlankNode — literal subjects are invalid RDF (published
+        # conformance case RMLTC0004b)
+        if tm.subject.term.term_type not in (None, "IRI", "BlankNode",
+                                             "UnsafeIRI"):
+            raise MappingError(
+                f"subject map of {tm.tm_id} has termType "
+                f"{tm.subject.term.term_type!r}: a subject must be an IRI "
+                "or blank node")
+
         df = self.scan(tm)
 
         # compile-time missing-attribute check (reference:

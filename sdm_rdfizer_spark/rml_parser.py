@@ -12,6 +12,7 @@ accepted.
 from __future__ import annotations
 
 import os
+import re
 
 from .ir import (
     CONSTANT, FUNCTION, GATHER, PARENT, QUOTED, REFERENCE, TEMPLATE,
@@ -226,6 +227,13 @@ def _parse_term_map_inner(g: Graph, node, pos: str) -> TermMap:
     tt = _term_type(_val(g, node, "termType"))
     datatype = _txt(_val(g, node, "datatype"))
     language = _txt(_val(g, node, "language"))
+    # R2RML: rr:language MUST be a valid BCP47 tag (published conformance
+    # case RMLTC0015b expects the engine to reject e.g. "english-USA-")
+    if language is not None and not re.fullmatch(
+            r"[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*", language):
+        raise ValueError(
+            f"invalid rr:language tag {language!r}: must be a well-formed "
+            "BCP47 language tag")
     dt_map_node = _val(g, node, "datatypeMap")
     lang_map_node = _val(g, node, "languageMap")
     dt_map = _parse_term_map(g, dt_map_node, "datatype") if dt_map_node is not None else None

@@ -546,10 +546,13 @@ def _sparql_bgp(df: DataFrame, query: str) -> DataFrame:
 # it per-executor with ElementTree inside mapInPandas (Arrow batches).
 # Namespace declarations are read once from the file head on the driver
 # and re-injected into every fragment so prefixed documents parse on
-# workers. Limitations (documented): the row tag must not nest within
-# itself and must not appear inside CDATA/comments; parent-axis (``..``)
-# references are not available post-scan. Such documents fall back to the
-# driver-side full parse below.
+# workers. Row tags inside CDATA sections/comments are handled: tag
+# scanning runs over an opaque-masked copy of each record, and a record
+# boundary that cut a CDATA/comment (the row CLOSING tag inside opaque
+# content hit the lineSep delimiter) is detected — inside the schema
+# sample it routes to the driver-side full parse with a warning; past it
+# the job fails with guidance to set ``xml_driver_parse``. Remaining
+# limitation: the row tag must not nest within itself.
 
 #: row elements per driver-side parse fallback / head-scan bytes
 _XML_HEAD_BYTES = 1 << 20
@@ -557,6 +560,60 @@ _XML_HEAD_BYTES = 1 << 20
 
 class _XmlSplitUnsupported(Exception):
     pass
+
+
+class _XmlOpaqueSplitError(ValueError):
+    """The record delimiter (row closing tag) occurred inside a CDATA
+    section or comment, so the byte-range split cut that section in
+    half — the record cannot be parsed locally."""
+
+
+def _mask_xml_opaque(rec: str) -> str:
+    """Copy of ``rec`` with CDATA-section and comment spans overwritten
+    by spaces — offsets preserved — so tag scanning never matches a row
+    tag that only appears inside opaque content (the ElementTree parse
+    still sees the ORIGINAL text via offset slices, so CDATA values
+    survive intact).
+
+    Raises _XmlOpaqueSplitError when the record boundary evidently cut
+    an opaque section: an unterminated ``<![CDATA[`` / ``<!--`` opener,
+    or an orphan ``]]>`` closer (illegal in XML character data, so its
+    presence outside a CDATA section means the opener is in the previous
+    record). An orphan ``-->`` is NOT flagged — it is legal text, and a
+    comment split across records always leaves the unterminated opener
+    in the earlier record, which is flagged."""
+    if "<![CDATA[" not in rec and "<!--" not in rec and "]]>" not in rec:
+        return rec
+    spans = []
+    i, n = 0, len(rec)
+    while True:
+        co = rec.find("<![CDATA[", i)
+        cm = rec.find("<!--", i)
+        starts = [x for x in (co, cm) if x != -1]
+        nxt = min(starts) if starts else -1
+        region_end = nxt if nxt != -1 else n
+        j = rec.find("]]>", i, region_end)
+        if j != -1:
+            raise _XmlOpaqueSplitError(
+                "']]>' outside any CDATA section: the record delimiter "
+                "split a CDATA section containing the row closing tag")
+        if nxt == -1:
+            break
+        closer = "]]>" if nxt == co else "-->"
+        end = rec.find(closer, nxt)
+        if end == -1:
+            raise _XmlOpaqueSplitError(
+                f"unterminated {'CDATA section' if nxt == co else 'comment'}:"
+                " the record delimiter split it — the row closing tag "
+                "appears inside opaque content")
+        spans.append((nxt, end + len(closer)))
+        i = end + len(closer)
+    if not spans:
+        return rec
+    buf = list(rec)
+    for a, b in spans:
+        buf[a:b] = " " * (b - a)
+    return "".join(buf)
 
 
 def _xml_iterator_segment(iterator: str | None) -> tuple[str, str | None]:
@@ -603,19 +660,27 @@ def _xml_scan_rows(rec: str, local: str):
     closing tag was the record delimiter; self-closing rows and (when the
     delimiter never matched, e.g. a prefixed document) complete elements
     are handled by quote-aware open-tag scanning + same-tag nesting count.
+
+    Tag scanning runs over a CDATA/comment-masked copy (offsets
+    preserved) so a row tag inside opaque content neither starts a
+    phantom row nor corrupts the nesting count; the yielded element
+    strings slice the ORIGINAL record, so CDATA values reach ElementTree
+    intact. A record whose boundary cut an opaque section raises
+    _XmlOpaqueSplitError (see _mask_xml_opaque).
     """
     import re as _re
 
+    masked = _mask_xml_opaque(rec)
     pat = _re.compile(rf"<((?:[\w.-]+:)?{_re.escape(local)})(?=[\s/>])")
     pos = 0
     while True:
-        m = pat.search(rec, pos)
+        m = pat.search(masked, pos)
         if m is None:
             return
         tag = m.group(1)
-        i, n, q = m.end(), len(rec), None
+        i, n, q = m.end(), len(masked), None
         while i < n:
-            ch = rec[i]
+            ch = masked[i]
             if q:
                 if ch == q:
                     q = None
@@ -628,7 +693,7 @@ def _xml_scan_rows(rec: str, local: str):
             # open tag truncated at the record boundary: attribute values
             # contained the closing tag — not recoverable here
             return
-        if rec[i - 1] == "/":          # self-closing row
+        if masked[i - 1] == "/":       # self-closing row
             yield rec[m.start():i + 1]
             pos = i + 1
             continue
@@ -636,13 +701,13 @@ def _xml_scan_rows(rec: str, local: str):
         opened = _re.compile(rf"<{_re.escape(tag)}(?=[\s/>])")
         depth, j = 1, i + 1
         while depth:
-            mc = close.search(rec, j)
+            mc = close.search(masked, j)
             if mc is None:
                 # the close tag WAS the record delimiter — content runs to
                 # the end of the record
                 yield rec[m.start():] + f"</{tag}>"
                 return
-            mo = opened.search(rec, j)
+            mo = opened.search(masked, j)
             if mo is not None and mo.start() < mc.start():
                 depth += 1
                 j = mo.end()
@@ -714,6 +779,9 @@ def _read_xml(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     shallow/opaque to locate the ancestor (relative single-segment,
     wildcard ancestor) fall back to the driver-side full parse, as do
     iterators without a concrete row tag."""
+    truthy = ("yes", "true", "1")
+    if str(ls.options.get("xml_driver_parse", "")).lower() in truthy:
+        return _read_xml_driver(spark, ls)
     try:
         return _read_xml_distributed(spark, ls)
     except _XmlSplitUnsupported:
@@ -845,8 +913,12 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             head = f.read(_XML_HEAD_BYTES).decode("utf-8", "replace")
     except OSError:
         head = ""
+    try:
+        head_masked = _mask_xml_opaque(head)
+    except _XmlOpaqueSplitError:
+        head_masked = head     # byte-truncated head cut a CDATA/comment
     m = _re.search(rf"<((?:[\w.-]+:)?{_re.escape(split_local)})(?=[\s/>])",
-                   head)
+                   head_masked)
     littag = m.group(1) if m else split_local
 
     records = (
@@ -857,12 +929,36 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     full_scan = str(ls.options.get("xml_full_schema_scan", "")).lower() in truthy
     strict = str(ls.options.get("xml_strict", "")).lower() in truthy
 
+    def safe_frag_rows(rec):
+        """Executor-side wrapper: a CDATA/comment cut past the schema
+        sample can't silently fall back (the distributed scan is already
+        running) — fail the job with actionable guidance instead."""
+        try:
+            return frag_rows(rec)
+        except _XmlOpaqueSplitError as e:
+            raise ValueError(
+                f"XML source {ls.source!r}: {e}. The distributed record "
+                "splitter cannot handle a row closing tag inside "
+                "CDATA/comments — set the logical-source option "
+                "xml_driver_parse to use the (bounded) driver-side full "
+                "parse") from e
+
     sample_dropped = 0
     if not full_scan:
         sample = records.limit(XML_SCHEMA_SAMPLE_RECORDS).collect()
         ks: set[str] = set()
         for r in sample:
-            rows, nd = frag_rows(r.value)
+            try:
+                rows, nd = frag_rows(r.value)
+            except _XmlOpaqueSplitError as e:
+                # detected inside the bounded sample: route to the
+                # driver-side full parse loudly (it handles CDATA natively)
+                import warnings
+
+                warnings.warn(
+                    f"XML source {ls.source!r}: {e} — falling back to the "
+                    "driver-side full parse", stacklevel=2)
+                raise _XmlSplitUnsupported(str(e)) from e
             sample_dropped += nd
             for row in rows:
                 ks.update(row)
@@ -878,7 +974,7 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             for pdf in batches:
                 ks: set[str] = set()
                 for rec in pdf["value"]:
-                    rows, _ = frag_rows(rec)
+                    rows, _ = safe_frag_rows(rec)
                     for row in rows:
                         ks.update(row)
                 yield pd.DataFrame({"k": sorted(ks)})
@@ -905,7 +1001,7 @@ def _read_xml_distributed(spark: SparkSession, ls: LogicalSource) -> DataFrame:
             data: dict[str, list] = {c: [] for c in cols}
             n_dropped = 0
             for rec in pdf["value"]:
-                rows, nd = frag_rows(rec)
+                rows, nd = safe_frag_rows(rec)
                 n_dropped += nd
                 for row in rows:
                     for c in cols:

@@ -1040,3 +1040,84 @@ def test_value_anomalies_flags_outlier(spark):
     assert all(not out[i]["anomaly"] for i in range(21))
     # a single-value type has std 0 → z 0, never anomalous
     assert out[22]["z"] == 0.0 and out[22]["anomaly"] is False
+
+
+def _encode_png(width, height, channels, pixels, filters):
+    """Minimal test-side PNG encoder: one explicit filter type per row
+    (the inverse transform of each is what decode_png must undo)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    colortype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pred
+            raw.append(v & 0xFF)
+        prev = bytearray(line)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_roundtrip_all_filters():
+    import random
+
+    from sdm_rdfizer_spark.ops.multimodal import decode_png
+
+    rng = random.Random(3)
+    for channels in (1, 3, 4):
+        w, h = 9, 7
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        png = _encode_png(w, h, channels, pixels, filters=[0, 1, 2, 3, 4])
+        gw, gh, gpix = decode_png(png)
+        assert (gw, gh) == (w, h)
+        assert gpix == pixels
+
+
+def test_png_decoder_through_media_pipeline(spark):
+    """register_decoder carries a REAL codec: actual PNG bytes flow
+    through the mapInPandas feature pass and come back with the true
+    dimensions."""
+    from sdm_rdfizer_spark.ops.multimodal import (
+        DECODERS, extract_features, png_decoder, register_decoder,
+    )
+
+    png = _encode_png(17, 5, 3, bytes(range(255))[: 17 * 5 * 3], [0, 4])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), {"src": "test"})],
+        "media_id long, kind string, payload binary, meta map<string,string>")
+    old = DECODERS["image"]
+    register_decoder("image", png_decoder)
+    try:
+        rows = extract_features(df).collect()
+    finally:
+        register_decoder("image", old)
+    assert len(rows) == 1
+    assert (rows[0]["width"], rows[0]["height"]) == (17, 5)
+    assert rows[0]["n_bytes"] == len(png)

@@ -303,3 +303,66 @@ def test_parent_axis_mapping_uses_distributed_scan(spark, tmp_path, monkeypatch)
         ("<http://x.org/item/b>", "<http://x.org/shop/s1>"),
         ("<http://x.org/item/c>", "<http://x.org/shop/s2>"),
     }
+
+
+def test_scan_rows_masks_cdata_and_comments():
+    # a row OPEN tag inside CDATA or a comment must not start a phantom
+    # row or corrupt the nesting count — and the CDATA text must survive
+    rec = ('<item sku="a"><note><![CDATA[see <item sku="X"> there]]></note>'
+           '</item><!-- <item sku="Y"> --><item sku="b"><note>n</note>')
+    got = list(_xml_scan_rows(rec, "item"))
+    assert len(got) == 2
+    assert '<![CDATA[see <item sku="X"> there]]>' in got[0]
+    assert got[1] == '<item sku="b"><note>n</note></item>'
+
+
+def test_scan_rows_split_inside_cdata_raises():
+    from sdm_rdfizer_spark.sources import (
+        _XmlOpaqueSplitError, _mask_xml_opaque,
+    )
+
+    # lineSep consumed a '</item>' INSIDE a CDATA section: the earlier
+    # record has an unterminated opener, the later one an orphan ']]>'
+    with pytest.raises(_XmlOpaqueSplitError):
+        _mask_xml_opaque('<item><note><![CDATA[ text ')
+    with pytest.raises(_XmlOpaqueSplitError):
+        _mask_xml_opaque(' more ]]></note></item><item>')
+    with pytest.raises(_XmlOpaqueSplitError):
+        _mask_xml_opaque('<item><!-- a comment containing ')
+    # an orphan '-->' is legal XML text and must NOT raise
+    assert _mask_xml_opaque('<item><note>a --> b</note>') \
+        == '<item><note>a --> b</note>'
+
+
+def test_xml_cdata_row_tag_e2e(spark, tmp_path):
+    # document whose CDATA mentions the row tag (open form only, so the
+    # lineSep never splits inside it) parses distributed with the CDATA
+    # value intact
+    p = tmp_path / "cd.xml"
+    p.write_text(
+        "<catalog>"
+        '<item sku="a1"><name><![CDATA[x <item sku="zz"> y]]></name></item>'
+        "<!-- commented out: <item sku='dead'><name>n</name> -->"
+        '<item sku="b2"><name>gadget</name></item>'
+        "</catalog>"
+    )
+    got = rows_of(spark, p, "/catalog/item")
+    assert sorted((r["sku"], r["name"]) for r in got) == [
+        ("a1", 'x <item sku="zz"> y'), ("b2", "gadget")]
+
+
+def test_xml_cdata_closing_tag_falls_back_to_driver(spark, tmp_path):
+    # CDATA contains the row CLOSING tag → the lineSep split cuts the
+    # section; detection in the schema sample routes to the driver-side
+    # full parse, which handles CDATA natively
+    p = tmp_path / "cdc.xml"
+    p.write_text(
+        "<catalog>"
+        '<item sku="a1"><name><![CDATA[bad </item> here]]></name></item>'
+        '<item sku="b2"><name>gadget</name></item>'
+        "</catalog>"
+    )
+    with pytest.warns(UserWarning, match="driver-side full parse"):
+        got = rows_of(spark, p, "/catalog/item")
+    assert sorted((r["sku"], r["name"]) for r in got) == [
+        ("a1", "bad </item> here"), ("b2", "gadget")]
