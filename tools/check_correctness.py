@@ -38,11 +38,22 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     import time as _time
+    # driver-materialization guard (judge r4): this tool targets the
+    # sf0.01 oracle corpus; at bigger sf dirs a wide query can pull
+    # millions of rendered rows into the driver. Refuse past the cap —
+    # throughput at scale is bench.py's job (noop write, no collect).
+    max_rows = int(os.environ.get("SDM_CC_MAX_ROWS", "1000000"))
     for name, fn in qs.items():
         if only and name not in only:
             continue
         _t0 = _time.perf_counter()
         sdf = fn(spark, sf_dir)
+        n_capped = sdf.limit(max_rows + 1).count()
+        if n_capped > max_rows:
+            print(f"{name:32s} SKIP  >{max_rows:,} result rows — refusing "
+                  f"the driver collect (raise $SDM_CC_MAX_ROWS to force; "
+                  f"use bench.py for large-sf runs)")
+            continue
         srows = [tuple("" if v is None else str(v) for v in r) for r in sdf.collect()]
         scols = sorted(sdf.columns)
         # driver sorts columns by name before hashing
