@@ -75,16 +75,32 @@ def main() -> None:
     # apart in the r3 plan audit); the min is the stable throughput
     # signal. SPARK_GRAFT_BENCH_RUNS=1 restores single-run timing.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # skip list for large-sf sweeps: the documented O(n²) exact baselines
+    # (dedup_ngram_jaccard without max_df, dedup_embedding_cosine) are
+    # infeasible past ~100k rows — mark them skipped instead of hanging
+    skip = {s for s in
+            os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
+        if name in skip:
+            print(f"[bench] {name}: SKIPPED", file=sys.stderr, flush=True)
+            continue
         best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()   # drop persisted parent-join DFs
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()  # drop persisted parent-join DFs
+        except Exception as exc:  # one failure must not abort the sweep
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"[bench] {name}: ERROR {errors[name]}",
+                  file=sys.stderr, flush=True)
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(best, 2)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
@@ -96,6 +112,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if skip:
+        result["skipped"] = sorted(skip)
+    if errors:
+        result["errors"] = errors
     # the result must be the SOLE final stdout line AND fit a bounded
     # tail-capture window: compact separators keep the 71-query dict
     # under ~2 KB (the r3 driver artifact recorded "parsed": null

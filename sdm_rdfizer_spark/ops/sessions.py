@@ -25,32 +25,89 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: int = 30,
     value_col: str = "value",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Assign events to sessions (a new session starts after a gap of
     more than ``gap_minutes`` of inactivity) and return per-session stats:
     (user_id, session_seq, session_start, session_end, n_events,
     sum_value). Timestamps render second-resolution for engine-portable
     comparison; the value sum is exact decimal.
+
+    ``chunk_seconds`` is the hot-key escape hatch (same trick as
+    ``asof_join``): the event-level window partitions on (user, coarse
+    time chunk) so a celebrity user's rows spread over many tasks, and
+    the cross-chunk stitching happens on tiny per-chunk summaries —
+    whether a chunk's first event continues the previous chunk's session
+    (gap vs the previous non-empty chunk's last timestamp) and the
+    running session-count offset. Sessions spanning chunk edges merge in
+    the final combinable (user, seq) aggregation. Output is identical to
+    the unchunked path.
     """
     # TIMESTAMP_NTZ (parquet timestamps without zone) casts to long only
     # via TIMESTAMP; the session tz is UTC so the hop is value-preserving
     if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
         events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    prev = F.lag(ts_col).over(w)
-    new_session = (
-        prev.isNull()
-        | (F.col(ts_col).cast("long") - prev.cast("long") > gap_minutes * 60)
-    )
-    seq = F.sum(new_session.cast("long")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marked = events.select(
-        F.col(user_col),
-        F.col(ts_col),
-        F.col(value_col),
-        seq.alias("session_seq"),
-    )
+    gap = gap_minutes * 60
+    if chunk_seconds is None:
+        w = Window.partitionBy(user_col).orderBy(ts_col)
+        prev = F.lag(ts_col).over(w)
+        new_session = (
+            prev.isNull()
+            | (F.col(ts_col).cast("long") - prev.cast("long") > gap)
+        )
+        seq = F.sum(new_session.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        marked = events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(value_col),
+            seq.alias("session_seq"),
+        )
+    else:
+        cs = float(chunk_seconds)
+        ev = events.select(user_col, ts_col, value_col).withColumn(
+            "__c", F.floor(F.col(ts_col).cast("double") / cs).cast("long"))
+        wch = Window.partitionBy(user_col, "__c").orderBy(ts_col)
+        prev_in = F.lag(ts_col).over(wch)
+        # internal mark: gap vs the previous event IN THE SAME CHUNK; a
+        # chunk's first event is decided by the summary-level carry below
+        int_new = F.when(prev_in.isNull(), F.lit(0)).otherwise(
+            (F.col(ts_col).cast("long") - prev_in.cast("long") > gap)
+            .cast("long"))
+        marked_c = ev.withColumn("__int_new", int_new).withColumn(
+            "__local",
+            F.sum("__int_new").over(
+                wch.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        # one tiny row per non-empty (user, chunk): combinable aggregates
+        summ = marked_c.groupBy(user_col, "__c").agg(
+            F.min(ts_col).alias("__first_ts"),
+            F.max(ts_col).alias("__last_ts"),
+            F.sum("__int_new").alias("__n_int"))
+        wu = Window.partitionBy(user_col).orderBy("__c")
+        carry_last = F.lag("__last_ts").over(wu)
+        first_new = (
+            carry_last.isNull()
+            | (F.col("__first_ts").cast("long") - carry_last.cast("long")
+               > gap)).cast("long")
+        summ = summ.withColumn("__first_new", first_new)
+        offset = F.coalesce(
+            F.sum(F.col("__first_new") + F.col("__n_int")).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+        summ = summ.withColumn("__offset", offset)
+        # global seq = sessions before this chunk + this chunk's first-
+        # event decision + internal marks up to the event (the first
+        # event's own __int_new is 0 by construction)
+        joined = marked_c.join(
+            summ.select(user_col, "__c", "__first_new", "__offset"),
+            [user_col, "__c"])
+        marked = joined.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(value_col),
+            (F.col("__offset") + F.col("__first_new") + F.col("__local"))
+            .alias("session_seq"),
+        )
     return (
         marked.groupBy(user_col, "session_seq")
         .agg(
@@ -77,6 +134,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Ordered funnel analysis: per user, the earliest time each step
     was reached STRICTLY AFTER the previous step (classic product
@@ -89,11 +147,38 @@ def funnel(
     per-user dedup collapses to user grain. A user who skipped step k
     gets NULL from k on (the strict ts > t_{k-1} comparison propagates
     NULL), matching the left-join oracle semantics.
+
+    ``skew_safe=True`` replaces the whole-partition windows with a chain
+    of per-step combinable min-aggregations joined back on the user key
+    — no window puts all of a user's rows in one task, so a celebrity
+    user costs nothing extra (map-side partial aggregation absorbs the
+    skew; the per-step joins are shuffle joins AQE can skew-split).
+    Output is identical; the windowed path stays the default because it
+    reads the events once instead of once per step.
     """
     from pyspark.sql.window import Window
 
     if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
         events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    tcols = [f"t_{i}" for i in range(1, len(steps) + 1)]
+    if skew_safe:
+        base = events.select(user_col, ts_col, type_col)
+        cur = (base.where(F.col(type_col) == steps[0])
+               .groupBy(user_col).agg(F.min(ts_col).alias("t_1")))
+        for i, step in enumerate(steps[1:], start=2):
+            cand = (
+                base.where(F.col(type_col) == step)
+                .join(cur.select(user_col, f"t_{i-1}"), user_col)
+                .where(F.col(ts_col) > F.col(f"t_{i-1}"))
+                .groupBy(user_col).agg(F.min(ts_col).alias(f"t_{i}"))
+            )
+            cur = cur.join(cand, user_col, "left")
+        return (
+            base.select(user_col).distinct()
+            .join(cur, user_col, "left")
+            .select(user_col, *tcols)
+            .withColumn("completed", F.col(tcols[-1]).isNotNull())
+        )
     w = Window.partitionBy(user_col)
     df = events
     prev = None
@@ -103,7 +188,6 @@ def funnel(
             cond = cond & (F.col(ts_col) > F.col(prev))
         df = df.withColumn(f"t_{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
         prev = f"t_{i}"
-    tcols = [f"t_{i}" for i in range(1, len(steps) + 1)]
     return (
         df.select(user_col, *tcols).dropDuplicates([user_col])
         .withColumn("completed", F.col(tcols[-1]).isNotNull())

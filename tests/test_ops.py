@@ -1121,3 +1121,74 @@ def test_png_decoder_through_media_pipeline(spark):
     assert len(rows) == 1
     assert (rows[0]["width"], rows[0]["height"]) == (17, 5)
     assert rows[0]["n_bytes"] == len(png)
+
+
+def _skewed_session_events(spark):
+    """Skewed sessionization fixture: a hot user with ~90% of events,
+    sessions that span chunk edges (events CHUNK apart but inside the
+    gap), equal-timestamp events, and events exactly on chunk edges."""
+    import random
+
+    rng = random.Random(11)
+    CHUNK = 600
+    rows = []
+    for uid, n in [(1, 900), (2, 60), (3, 40)]:
+        t = 0
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.15:
+                t += 0              # equal-ts collision
+            elif r < 0.3:
+                t = ((t // CHUNK) + 1) * CHUNK   # exactly on a chunk edge
+            elif r < 0.8:
+                t += rng.randrange(1, 900)       # inside the 30-min gap
+            else:
+                t += 1800 + rng.randrange(1, 3600)   # new session
+            rows.append((uid, t, round(rng.random() * 10, 2)))
+    return spark.createDataFrame(rows, "user_id long, t long, value double") \
+        .selectExpr("user_id", "timestamp_seconds(t) AS ts", "value")
+
+
+def test_sessionize_chunked_equals_unchunked(spark):
+    from sdm_rdfizer_spark.ops.sessions import sessionize
+
+    ev = _skewed_session_events(spark)
+    base = sorted(map(tuple, sessionize(ev).collect()))
+    chunked = sorted(map(tuple, sessionize(ev, chunk_seconds=600).collect()))
+    assert base == chunked
+    assert len(base) > 10
+
+
+def test_sessionize_chunked_partitions_on_user_and_chunk(spark):
+    import re
+
+    from sdm_rdfizer_spark.ops.sessions import sessionize
+
+    out = sessionize(_skewed_session_events(spark), chunk_seconds=600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # the event-level running windows must partition on (user, chunk);
+    # only the tiny per-chunk summary window partitions on user alone
+    assert any("__c" in s for s in specs), specs
+
+
+def test_funnel_skew_safe_equals_windowed(spark):
+    import random
+
+    from sdm_rdfizer_spark.ops.sessions import funnel
+
+    rng = random.Random(5)
+    types = ["view", "click", "purchase", "other"]
+    rows = []
+    for uid, n in [(1, 500), (2, 30), (3, 20), (4, 10), (5, 3)]:
+        t = 0
+        for _ in range(n):
+            t += rng.randrange(0, 100)       # includes equal-ts events
+            rows.append((uid, t, rng.choice(types)))
+    ev = spark.createDataFrame(rows, "user_id long, t long, event_type string") \
+        .selectExpr("user_id", "timestamp_seconds(t) AS ts", "event_type")
+    steps = ["view", "click", "purchase"]
+    a = sorted(map(tuple, funnel(ev, steps).collect()))
+    b = sorted(map(tuple, funnel(ev, steps, skew_safe=True).collect()))
+    assert a == b
+    assert len(a) == 5
