@@ -1549,6 +1549,17 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize(read_parquet(spark, f"{sf}/events.parquet"), gap_minutes=30)
 
 
+def _q_sessionize_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key path of sessionize: the event window partitions on
+    (user, 1-hour chunk) with carry-stitched session numbering — must
+    produce byte-identical sessions (same oracle as events_sessionize)."""
+    from sdm_rdfizer_spark.ops.sessions import sessionize
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return sessionize(read_parquet(spark, f"{sf}/events.parquet"),
+                      gap_minutes=30, chunk_seconds=3600)
+
+
 def _q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState): emits
     every session the stream has proof is over — with a single
@@ -2270,6 +2281,24 @@ def _q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_events_funnel_skew_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe funnel: per-step combinable min-aggs joined on the user
+    key instead of whole-partition windows — a celebrity user spreads
+    over tasks (same oracle as events_funnel)."""
+    from sdm_rdfizer_spark.ops.sessions import funnel
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf}/events.parquet")
+    out = funnel(ev, ["view", "click", "purchase"], skew_safe=True)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("t_1", _TS_FMT).alias("t_1"),
+        F.date_format("t_2", _TS_FMT).alias("t_2"),
+        F.date_format("t_3", _TS_FMT).alias("t_3"),
+        "completed",
+    )
+
+
 _EVENTS_FUNNEL_ORACLE = f"""
 WITH u AS (
   SELECT DISTINCT user_id FROM events
@@ -2555,6 +2584,29 @@ def _q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_events_asof_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key path of the as-of join: the running-last window partitions
+    on (user, 1-hour chunk) with per-chunk carry summaries stitched at
+    the edges — must be byte-identical to the unchunked join (same
+    oracle as events_asof_join)."""
+    from sdm_rdfizer_spark.ops.asof import asof_join
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    right = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    right_cols=["value"], chunk_seconds=3600)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.date_format("asof_ts", _TS_FMT).alias("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
 _EVENTS_ASOF_ORACLE = f"""
 WITH l AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -2821,6 +2873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_lineitem_orders_join": _q_lineitem_orders_join,
         "rml_customer_graph": _q_customer_graph,
         "rml_lineitem_wide": _q_lineitem_wide,
+        # skew-mitigation variants: same oracles as their base queries,
+        # so the driver artifact certifies output-identity of the
+        # chunked/skew-safe paths
+        "events_asof_chunked": _q_events_asof_chunked,
+        "events_sessionize_chunked": _q_sessionize_chunked,
+        "events_funnel_skew_safe": _q_events_funnel_skew_safe,
     }
     cov = _coverage_rounds()
     tie = {n: i for i, n in enumerate(static)}
@@ -2897,6 +2955,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _EVENTS_ASOF_ORACLE,
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "events_asof_chunked": _EVENTS_ASOF_ORACLE,
+        "events_sessionize_chunked": _SESSIONIZE_ORACLE,
+        "events_funnel_skew_safe": _EVENTS_FUNNEL_ORACLE,
         "events_retention": _EVENTS_RETENTION_ORACLE,
         "events_anomalies": _EVENTS_ANOMALIES_ORACLE,
         "corpus_pipeline": _corpus_pipeline_oracle(),
