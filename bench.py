@@ -35,7 +35,10 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        # local-mode driver heap holds the executors too; sf10 sweeps need
+        # more than the sf0.1 default (GCLocker retry warnings at 16g)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # C1-only JIT: each query compiles a unique generated class; C2
         # compilation of those burns minutes of CPU across a 20-query run
         # while hot paths limp along interpreted. C1 compiles ~100x
