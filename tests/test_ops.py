@@ -1192,3 +1192,42 @@ def test_funnel_skew_safe_equals_windowed(spark):
     b = sorted(map(tuple, funnel(ev, steps, skew_safe=True).collect()))
     assert a == b
     assert len(a) == 5
+
+
+def test_simhash_pairs_hot_bucket_refinement_identical(spark):
+    from sdm_rdfizer_spark.ops.dedup import simhash_pairs as simhash_pairs_mod
+    """Hot-bucket refinement must not change the output: buckets over
+    the cap are re-banded on the remaining bits (pigeonhole keeps every
+    pair within max_hamming), and the exact Hamming filter makes the
+    final pair set identical to the unrefined plan.
+
+    The corpus engineers hot buckets: many docs share a dominant token
+    stream (similar low-bit votes → shared slice values) while differing
+    elsewhere, plus genuine near-dup pairs and unrelated docs. cap=2
+    forces essentially every bucket through the refined path."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa", "lambda", "sigma"]
+    rows = []
+    for i in range(120):
+        # shared dominant prefix → clustered slice values (hot buckets)
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        tail = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+        rows.append((i, base + tail))
+    # genuine near-dups: single-token perturbations of one doc
+    for j in range(10):
+        rows.append((1000 + j, rows[0][1] + f" x{j}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for bits, h in [(32, 2), (64, 3)]:
+        plain = {(r["id_a"], r["id_b"], r["hamming"])
+                 for r in simhash_pairs_mod(
+                     df, bits=bits, max_hamming=h,
+                     hot_bucket_cap=None).collect()}
+        refined = {(r["id_a"], r["id_b"], r["hamming"])
+                   for r in simhash_pairs_mod(
+                       df, bits=bits, max_hamming=h,
+                       hot_bucket_cap=2).collect()}
+        assert refined == plain and plain  # non-empty, identical
