@@ -83,9 +83,15 @@ def main() -> None:
     # infeasible past ~100k rows — mark them skipped instead of hanging
     skip = {s for s in
             os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
+    # only list: re-measure a subset in isolation (e.g. superlinear-flagged
+    # queries) without paying for the full sweep
+    only = {s for s in
+            os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
         if name in skip:
             print(f"[bench] {name}: SKIPPED", file=sys.stderr, flush=True)
             continue

@@ -506,10 +506,22 @@ class MappingPlanner:
             # the other side: its duplicate-rate track speeds UP as
             # duplicates rise because dedup prunes work — here dedup of
             # provably-distinct output is pure overhead.)
-            deduped = [
-                part if self._tm_dup_free(tm) else dedup_triples(part, "spog")
-                for tm, part in parts_by_tm
-            ]
+            deduped = []
+            for tm, part in parts_by_tm:
+                if self._tm_dup_free(tm):
+                    deduped.append(part)
+                    continue
+                nrefs = self._tm_narrow_ok(tm)
+                if nrefs is not None:
+                    # dedup below rendering: recompile this TM with the
+                    # distinct keyed on (raw subject refs, entry index,
+                    # rendered object) — same triple set, ~4× fewer
+                    # bytes through the plan's dominant shuffle
+                    npart = self.compile_tm(tm, narrow_refs=nrefs)
+                    if npart is not None:
+                        deduped.append(npart)
+                        continue
+                deduped.append(dedup_triples(part, "spog"))
             return reduce(DataFrame.union, deduped)
 
         out = reduce(DataFrame.union, parts)
@@ -578,28 +590,30 @@ class MappingPlanner:
                     return False
         return True
 
-    def _tm_dup_free(self, tm: TriplesMap) -> bool:
-        """True iff every branch of this TM provably emits distinct
-        triples: flat scan (no iterator fan-out), IRI subject whose
-        template is injective over its reference columns, those columns
-        verified unique in the source (bounded DuckDB probe), projection-
-        only POMs with pairwise-distinct constant predicates, and
-        constant graphs. Joins/gathers/quoted terms and function objects
-        are out of scope — their branches keep the distinct."""
+    def _subject_static_refs(self, tm: TriplesMap) -> list[str] | None:
+        """Static (no-data) half of the subject injectivity argument,
+        shared by full dedup elision (`_tm_dup_free`) and narrow dedup
+        (`_tm_narrow_ok`): flat scan, IRI subject whose TEMPLATE SHAPE is
+        injective (separators outside the encoder's safe alphabet, encode
+        branch forced by a leading "http"), plain reference columns,
+        constant graphs, distinct rdf classes. Returns the subject's
+        reference columns, or None when the shape can't be proven.
+        VALUE-level injectivity (trim/float/%/http collisions) is a
+        separate data question answered by the probes."""
         ls = tm.source
         if ls.fmt not in ("csv", "tsv", "parquet") or ls.iterator or ls.view:
-            return False
+            return None
         st = tm.subject.term
         if st.kind not in (TEMPLATE, REFERENCE):
-            return False
+            return None
         if st.term_type not in (None, "IRI"):
             # BlankNode sanitization ('/'→'2F') breaks the injectivity
             # argument; UnsafeIRI skips encoding entirely
-            return False
+            return None
         if not self._constant_graphs_ok(tm.subject.graphs):
-            return False
+            return None
         if len(set(tm.subject.rdf_classes)) != len(tm.subject.rdf_classes):
-            return False
+            return None
         plain = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
         if st.kind == TEMPLATE:
             # parts = [lit0, ref1, lit1, ref2, ..., litN]: every literal
@@ -610,7 +624,7 @@ class MappingPlanner:
             parts = re.split(r"\{([^{}]*)\}", st.value)
             refs = parts[1::2]
             if not refs:
-                return False
+                return None
             if "http" not in (parts[0] or ""):
                 # compile_template only percent-encodes a substituted
                 # value once "http" has appeared in the template text
@@ -619,18 +633,22 @@ class MappingPlanner:
                 # uniformly, so ("x/y","z") and ("x","y/z") render the
                 # same IRI — the separator argument below needs encoded
                 # values, so require the encode branch for ALL refs
-                return False
+                return None
             for sep in parts[2:-1:2]:
                 if not re.search(r"[^A-Za-z0-9_\-.~:@=+%]", sep or ""):
-                    return False
+                    return None
         else:
             refs = [st.value]
         if not all(plain.fullmatch(r or "") for r in refs):
-            return False
+            return None
+        return refs
+
+    def _pom_constants_ok(self, tm, poms) -> bool:
+        """Pairwise-distinct constant predicates + constant graphs for
+        the given POMs, with no rdf:type predicate colliding with rr:class
+        emissions — the cross-POM half of both elision proofs."""
         preds = []
-        for pom in tm.poms:
-            if not self._pom_emits_once_per_row(tm, pom):
-                return False
+        for pom in poms:
             if pom.predicate.kind != CONSTANT:
                 return False
             if not self._constant_graphs_ok(pom.graphs):
@@ -641,7 +659,55 @@ class MappingPlanner:
         if tm.subject.rdf_classes and any(
                 "22-rdf-syntax-ns#type" in p for p in preds):
             return False
-        return self._subject_unique_probe(ls, sorted(set(refs)))
+        return True
+
+    def _tm_dup_free(self, tm: TriplesMap) -> bool:
+        """True iff every branch of this TM provably emits distinct
+        triples: statically injective subject shape, subject columns
+        verified unique AND render-injective in the source (bounded
+        DuckDB probe), POMs that emit at most once per row with pairwise-
+        distinct constant predicates, and constant graphs. Joins/gathers/
+        quoted terms and function objects are out of scope — their
+        branches keep the distinct."""
+        refs = self._subject_static_refs(tm)
+        if refs is None:
+            return False
+        if not all(self._pom_emits_once_per_row(tm, pom) for pom in tm.poms):
+            return False
+        if not self._pom_constants_ok(tm, tm.poms):
+            return False
+        return self._subject_unique_probe(tm.source, sorted(set(refs)))
+
+    def _tm_narrow_ok(self, tm: TriplesMap) -> list[str] | None:
+        """Narrow-dedup eligibility: the TM misses full elision only on
+        subject-key UNIQUENESS, but its subject rendering is still
+        provably INJECTIVE — so the per-TM distinct can be pushed BELOW
+        string rendering onto (raw subject refs, entry index, rendered
+        object). The shuffle then carries ~40-byte native tuples instead
+        of ~150-byte rendered triples, which is the difference between an
+        in-memory hash aggregate and a spilling one at scale (sf10:
+        60 GB → ~24 GB through the distinct). Returns the subject refs,
+        or None.
+
+        Requirements beyond `_subject_static_refs`: every POM is a pure
+        projection (TEMPLATE/REFERENCE/CONSTANT/FUNCTION object — the
+        rendered object is IN the dedup key, so no object-side
+        injectivity is needed), the usual distinct-constant-predicate /
+        constant-graph conditions, and VALUE-level subject injectivity:
+        free for integer-typed parquet columns (canonical rendering, no
+        trim/%/http/float hazards — no data scan, so this fires at any
+        source size), a bounded DuckDB value probe for string columns."""
+        refs = self._subject_static_refs(tm)
+        if refs is None:
+            return None
+        for pom in tm.poms:
+            if pom.obj.kind not in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
+                return None
+        if not self._pom_constants_ok(tm, tm.poms):
+            return None
+        if not self._subject_value_injective(tm.source, sorted(set(refs))):
+            return None
+        return refs
 
     def _pom_emits_once_per_row(self, tm, pom) -> bool:
         """True when the POM contributes at most ONE triple per source
@@ -689,6 +755,88 @@ class MappingPlanner:
         ok = self._run_unique_probe(ls, refs, _glob)
         _PROBE_CACHE[key] = ok
         return ok
+
+    def _subject_value_injective(self, ls, refs: list[str]) -> bool:
+        """Subject rendering is injective on the source's VALUES (no
+        uniqueness claim). Integer-typed parquet columns qualify from
+        the schema footer alone — no data scan, no size bound, so this
+        holds at 100 TB. String columns fall back to the same bounded
+        DuckDB value checks the uniqueness probe uses (trim-stable, no
+        float-looking values, no '%', no 'http'). Cached like the
+        uniqueness probe."""
+        import glob as _glob
+
+        key = ("inj", ls.cache_key(), tuple(refs),
+               _stat_key(ls.source, _glob))
+        cached = _PROBE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        ok = self._run_injective_probe(ls, refs, _glob)
+        _PROBE_CACHE[key] = ok
+        return ok
+
+    def _run_injective_probe(self, ls, refs, _glob) -> bool:
+        try:
+            import duckdb
+
+            paths = _glob.glob(ls.source) or [ls.source]
+            total = 0
+            for p in paths:
+                if not os.path.isfile(p):
+                    return False
+                total += os.path.getsize(p)
+            int_types = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                         "UBIGINT"}
+            cols = ", ".join(f'"{r}"' for r in refs)
+            if ls.fmt == "parquet":
+                rel = f"read_parquet('{ls.source}')"
+            else:
+                d = "\t" if ls.fmt == "tsv" else (ls.delimiter or ",")
+                rel = (f"read_csv('{ls.source}', all_varchar=true, "
+                       f"delim='{d}', header=true)")
+            con = duckdb.connect()
+            types = [t for _, t, *_ in
+                     con.execute(f"DESCRIBE SELECT {cols} FROM {rel}"
+                                 ).fetchall()]
+            if all(t in int_types for t in types):
+                # canonical integer rendering is injective; DESCRIBE on
+                # parquet reads only the footer, so no size bound applies
+                return True
+            if total > self.dedup_elision_probe_bytes:
+                return False
+            conds, checks = [], []
+            for r, t in zip(refs, types):
+                c = f'"{r}"'
+                if t in int_types:
+                    conds.append(f"{c} IS NOT NULL")
+                elif t == "VARCHAR":
+                    # same value hazards as _run_unique_probe, minus the
+                    # uniqueness condition: rendering collides when a
+                    # value is float-looking (canonicalization merges
+                    # "1.50"/"1.5"), contains '%' (passes through the
+                    # encoder), isn't trim-stable, or contains 'http'
+                    # (template bypass skips encoding)
+                    conds.append(
+                        f"({c} IS NOT NULL AND trim({c}) <> '' AND "
+                        f"{c} NOT IN ('nan', 'N/A', 'None', 'NULL'))")
+                    checks.append(
+                        f"coalesce(bool_and(NOT regexp_matches"
+                        f"({c}, '^-?[0-9]+\\.[0-9]+$') AND "
+                        f"NOT contains({c}, '%') AND "
+                        f"{c} = trim({c}) AND "
+                        f"NOT contains({c}, 'http')), true)")
+                else:
+                    return False
+            if not checks:
+                return True
+            where = " AND ".join(conds) or "true"
+            row = con.execute(
+                f"SELECT {' AND '.join(checks)} FROM (SELECT {cols} "
+                f"FROM {rel} WHERE {where})").fetchone()
+            return bool(row and row[0])
+        except Exception:
+            return False
 
     def _run_unique_probe(self, ls, refs, _glob) -> bool:
         try:
@@ -757,7 +905,8 @@ class MappingPlanner:
             return False
 
     # ------------------------------------------------------------------
-    def compile_tm(self, tm: TriplesMap) -> DataFrame:
+    def compile_tm(self, tm: TriplesMap,
+                   narrow_refs: list[str] | None = None) -> DataFrame:
         """One TriplesMap → triples DataFrame.
 
         Plan shape: a SINGLE scan pass computes the subject and every
@@ -904,6 +1053,14 @@ class MappingPlanner:
                     gdf = gdf.withColumn("__rule", F.lit(None).cast("string"))
                 branches.append(gdf)
 
+        if narrow_refs is not None:
+            if (not entries or fusers or deferred or branches
+                    or tm.subject.term.kind == GATHER):
+                # shape drifted from what _tm_narrow_ok proved — let the
+                # caller fall back to the rendered distinct
+                return None
+            return self._narrow_entries(tm, base_df, entries, narrow_refs,
+                                        subject_term)
         if entries:
             def fields(p, o, g, v, tset, rule=None):
                 fs = [
@@ -941,6 +1098,62 @@ class MappingPlanner:
         return reduce(DataFrame.union, branches)
 
     # ------------------------------------------------------------------
+    def _narrow_entries(self, tm, base_df, entries, refs, subject_term):
+        """Narrow dedup (see ``_tm_narrow_ok``): dedup BELOW rendering.
+
+        The rendered-triple distinct shuffles ~150-byte string rows; on a
+        wide fact-table mapping that is the whole cost of materialization
+        once the per-task hash aggregate outgrows executor memory. Here
+        the explode carries only (raw subject refs, entry index, rendered
+        object) — the entry index determines the predicate, graph and
+        rule constants, and the subject is rendered AFTER the distinct.
+        Valid because the subject rendering is injective over the refs
+        (proved by the caller) and predicates/graphs are pairwise-distinct
+        constants, so two narrow rows are equal iff their rendered
+        triples are equal. The object needs no injectivity argument —
+        its rendered form IS the dedup key."""
+        norm = []
+        for e in entries:
+            p, o, g, v = e[0], e[1], e[2], e[3]
+            rule = e[5] if len(e) > 5 else None
+            norm.append((p, o, g, v, rule))
+        structs = F.array(*[
+            F.struct(
+                F.lit(i).alias("pi"),
+                o.cast("string").alias("o"),
+                v.alias("v"),
+            )
+            for i, (_p, o, _g, v, _r) in enumerate(norm)
+        ])
+        refs = list(dict.fromkeys(refs))
+        exploded = (
+            base_df.select(*[F.col(r) for r in refs],
+                           F.explode(structs).alias("__t"))
+            .where(F.col("__t.v"))
+            .select(*refs, F.col("__t.pi").alias("__pi"),
+                    F.col("__t.o").alias("__o"))
+            .dropDuplicates(refs + ["__pi", "__o"])
+        )
+        # subject validity was enforced pre-dedup by base_filter; the
+        # fresh compile here only re-renders it from the surviving refs
+        subj = compile_term_map(exploded, subject_term, "subject",
+                                base=self.base,
+                                infer_datatypes=self.infer_datatypes,
+                                func_maps=tm.func_maps)
+        p_arr = F.array(*[p for p, *_ in norm])
+        g_arr = F.array(*[g.cast("string") for _p, _o, g, _v, _r in norm])
+        out = [
+            subj.expr.alias("s"),
+            F.element_at(p_arr, F.col("__pi") + 1).cast("string").alias("p"),
+            F.col("__o").alias("o"),
+            F.element_at(g_arr, F.col("__pi") + 1).alias("g"),
+        ]
+        if self.track_rules:
+            r_arr = F.array(*[F.lit(r).cast("string")
+                              for *_x, r in norm])
+            out.append(F.element_at(r_arr, F.col("__pi") + 1).alias("__rule"))
+        return exploded.select(*out)
+
     def _graph_exprs(self, df: DataFrame, graphs: list[TermMap], layers=None) -> list:
         """One graph expression per declared graph map — R2RML emits the
         triple into EVERY named graph (rr:graphMap is multi-valued); a

@@ -58,6 +58,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # RML term constructors (encode chains, canonicalization) can
         # cross that limit on wide mappings.
         "spark.sql.codegen.hugeMethodLimit": "8000",
+        # Big shuffles (e.g. a 600M-triple distinct at sf10) must fan out
+        # past the static shuffle-partition count or each reduce task
+        # builds a multi-GB hash set and spills; AQE coalesces small
+        # shuffles back down, so a high initial count costs nothing on
+        # dimension-sized stages. Sort-based shuffle writes one file per
+        # map task regardless of out-partitions, so the map side is flat.
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     }.items():
         try:
             spark.conf.set(k, v)

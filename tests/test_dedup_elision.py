@@ -266,3 +266,106 @@ def test_no_elision_with_nm_join(spark, tmp_path):
     assert _shuffles(df) >= 1
     # each child matches both parents: 1:N multiplicity preserved
     assert df.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# narrow dedup: subject key NOT unique, but rendering still injective —
+# the distinct is pushed below string rendering onto (raw refs, entry
+# index, rendered object). Marker: the dedup HashAggregate keys contain
+# "__pi" instead of the rendered s/p columns.
+
+
+def _narrow_fired(df) -> bool:
+    return "__pi" in _plan(df)
+
+
+def test_narrow_dedup_on_nonunique_int_parquet(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    # duplicate keys AND cross-row partial collisions: rows (1,ann,10) /
+    # (1,ann,99) share the name triple but not the score triple
+    pq.write_table(pa.table({"id": [1, 1, 1, 2],
+                             "name": ["ann", "ann", "ann", "bob"],
+                             "score": [10, 10, 99, 20]}),
+                   str(tmp_path / "u.parquet"))
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/u.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}"; rr:class ex:Item ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:score; rr:objectMap [ rml:reference "score" ] ] .
+"""
+    fast = materialize(spark, m)
+    slow = materialize(spark, m, dedup_elision=False)
+    assert _narrow_fired(fast), _plan(fast)
+    assert not _narrow_fired(slow)
+    assert _shuffles(fast) == 1
+    got = sorted(map(tuple, fast.collect()))
+    assert got == sorted(map(tuple, slow.collect()))
+    # duplicates actually collapsed: 2 subjects x (type+name) + 3 scores
+    assert len(got) == 7
+
+
+def test_narrow_dedup_on_clean_varchar_csv(spark, tmp_path):
+    # string keys pass the bounded injectivity probe (trim-stable, no
+    # floats/%/http) even though they are not unique
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\n1,ann,10\n1,ann,10\n2,bob,20\n")
+    df = materialize(spark, _mapping(tmp_path))
+    assert _narrow_fired(df), _plan(df)
+    assert df.where((F.col("s") == "<http://ex.org/i/1>")
+                    & (F.col("p") == "<http://ex.org/name>")).count() == 1
+
+
+def test_narrow_refused_on_trim_unstable_values(spark, tmp_path):
+    # ' 1' and '1' render the same subject — narrow dedup on raw refs
+    # would emit the duplicate twice, so the probe must refuse
+    (tmp_path / "u.csv").write_text(
+        "id,name,score\n 1,ann,10\n1,ann,10\n")
+    df = materialize(spark, _mapping(tmp_path))
+    assert not _narrow_fired(df), _plan(df)
+    assert df.where(F.col("p") == "<http://ex.org/name>").count() == 1
+
+
+def test_narrow_refused_on_join_pom(spark, tmp_path):
+    # a 1:N parent join changes row multiplicity — out of narrow scope
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [1, 1], "fk": [10, 10]}),
+                   str(tmp_path / "child.parquet"))
+    pq.write_table(pa.table({"k": [10, 10], "lbl": ["x", "y"]}),
+                   str(tmp_path / "parent.parquet"))
+    m = PFX + f"""
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/child.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/c/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "fk"; rr:parent "k" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/parent.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/p/{{lbl}}" ] .
+"""
+    df = materialize(spark, m)
+    assert not _narrow_fired(df), _plan(df)
+    # both duplicate child rows join both parents; dedup collapses to 2
+    assert df.count() == 2
+
+
+def test_narrow_multi_graph_and_class_matches_rendered(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [7, 7, 8], "v": ["a", "a", "b"]}),
+                   str(tmp_path / "g.parquet"))
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/g.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}"; rr:class ex:Item;
+                  rr:graph ex:g1; rr:graph ex:g2 ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
+"""
+    fast = materialize(spark, m)
+    slow = materialize(spark, m, dedup_elision=False)
+    assert _narrow_fired(fast), _plan(fast)
+    assert (sorted(map(tuple, fast.collect()))
+            == sorted(map(tuple, slow.collect())))
