@@ -43,12 +43,16 @@ def main() -> None:
         # compilation of those burns minutes of CPU across a 20-query run
         # while hot paths limp along interpreted. C1 compiles ~100x
         # faster at ~2x steady-state cost — a large net win here.
-        # 512m code cache: ~25k generated-class methods across a 20+ query
+        # 1g code cache: ~25k generated-class methods across a 20+ query
         # run overflow the 48m default, which silently DISABLES the JIT
-        # ("CodeCache is full") and leaves later queries interpreted
+        # ("CodeCache is full") and leaves later queries interpreted —
+        # the full 72-query sf10 sweep showed exactly that signature
+        # (late-sweep queries 2-6x their isolated re-runs: ivf 153s vs
+        # isolated, ccnet 325s vs 213s isolated), so size for the whole
+        # sweep, not 20 queries
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+            "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=1g",
         )
         .getOrCreate()
     )

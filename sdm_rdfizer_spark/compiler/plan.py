@@ -701,8 +701,15 @@ class MappingPlanner:
         if refs is None:
             return None
         for pom in tm.poms:
-            if pom.obj.kind not in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
-                return None
+            if pom.obj.kind in (TEMPLATE, REFERENCE, CONSTANT, FUNCTION):
+                continue
+            if pom.obj.kind == PARENT and self._pom_emits_once_per_row(tm, pom):
+                # N:1-fused / self-join-eliminated / projection joins ride
+                # the same explode pass, and the rendered parent object is
+                # IN the dedup key — multiplicity-changing (1:N) joins
+                # compile to separate branches and disqualify below
+                continue
+            return None
         if not self._pom_constants_ok(tm, tm.poms):
             return None
         if not self._subject_value_injective(tm.source, sorted(set(refs))):
@@ -990,8 +997,9 @@ class MappingPlanner:
         # emits into EVERY declared graph map, so one entry per graph
         for cls in tm.subject.rdf_classes:
             for graph in graphs:
-                entries.append((F.lit(RDF_TYPE), F.lit(f"<{cls}>"), graph, F.lit(True),
-                                _tset(tm.subject.term)))
+                entries.append((F.lit(RDF_TYPE), F.lit(f"<{cls}>"), graph,
+                                F.lit(True), _tset(tm.subject.term), None,
+                                (F.lit(""), f"<{cls}>")))
 
         branches: list[DataFrame] = []
         deferred = []  # join-valued POMs: closures over the layered base_df
@@ -1054,7 +1062,10 @@ class MappingPlanner:
                 branches.append(gdf)
 
         if narrow_refs is not None:
-            if (not entries or fusers or deferred or branches
+            # fused N:1 joins are fine: their left joins already applied
+            # to base_df and their entries carry the rendered parent
+            # object, which is part of the narrow dedup key
+            if (not entries or deferred or branches
                     or tm.subject.term.kind == GATHER):
                 # shape drifted from what _tm_narrow_ok proved — let the
                 # caller fall back to the rendered distinct
@@ -1062,7 +1073,7 @@ class MappingPlanner:
             return self._narrow_entries(tm, base_df, entries, narrow_refs,
                                         subject_term)
         if entries:
-            def fields(p, o, g, v, tset, rule=None):
+            def fields(p, o, g, v, tset, rule=None, osplit=None):
                 fs = [
                     p.alias("p"),
                     o.cast("string").alias("o"),
@@ -1116,14 +1127,20 @@ class MappingPlanner:
         for e in entries:
             p, o, g, v = e[0], e[1], e[2], e[3]
             rule = e[5] if len(e) > 5 else None
-            norm.append((p, o, g, v, rule))
+            osplit = e[6] if len(e) > 6 else None
+            # factor out the entry's CONSTANT tail (datatype decoration,
+            # or a whole constant object): the entry index recovers it
+            # after the shuffle, so the dedup key carries only the
+            # per-row core bytes
+            core, sfx = osplit if osplit is not None else (o, "")
+            norm.append((p, core, g, v, rule, sfx))
         structs = F.array(*[
             F.struct(
                 F.lit(i).alias("pi"),
-                o.cast("string").alias("o"),
+                core.cast("string").alias("o"),
                 v.alias("v"),
             )
-            for i, (_p, o, _g, v, _r) in enumerate(norm)
+            for i, (_p, core, _g, v, _r, _s) in enumerate(norm)
         ])
         refs = list(dict.fromkeys(refs))
         exploded = (
@@ -1135,22 +1152,30 @@ class MappingPlanner:
             .dropDuplicates(refs + ["__pi", "__o"])
         )
         # subject validity was enforced pre-dedup by base_filter; the
-        # fresh compile here only re-renders it from the surviving refs
+        # fresh compile here only re-renders it from the surviving refs.
+        # Layered: an unlayered template render duplicates the per-ref
+        # encode chain across its branches and blows past the JIT limit
+        # — at 554M post-dedup rows that interpreted render dominated
+        # the reduce stage
+        post_layers = ExprLayers()
         subj = compile_term_map(exploded, subject_term, "subject",
                                 base=self.base,
                                 infer_datatypes=self.infer_datatypes,
-                                func_maps=tm.func_maps)
+                                func_maps=tm.func_maps, layers=post_layers)
+        exploded = post_layers.apply(exploded)
         p_arr = F.array(*[p for p, *_ in norm])
-        g_arr = F.array(*[g.cast("string") for _p, _o, g, _v, _r in norm])
+        g_arr = F.array(*[g.cast("string") for _p, _c, g, _v, _r, _s in norm])
+        s_arr = F.array(*[F.lit(s) for *_x, s in norm])
         out = [
             subj.expr.alias("s"),
             F.element_at(p_arr, F.col("__pi") + 1).cast("string").alias("p"),
-            F.col("__o").alias("o"),
+            F.concat(F.col("__o"),
+                     F.element_at(s_arr, F.col("__pi") + 1)).alias("o"),
             F.element_at(g_arr, F.col("__pi") + 1).alias("g"),
         ]
         if self.track_rules:
             r_arr = F.array(*[F.lit(r).cast("string")
-                              for *_x, r in norm])
+                              for _p, _c, _g, _v, r, _s in norm])
             out.append(F.element_at(r_arr, F.col("__pi") + 1).alias("__rule"))
         return exploded.select(*out)
 
@@ -1227,8 +1252,10 @@ class MappingPlanner:
             obj = compile_term_map(df, om, "object", base=self.base,
                                    infer_datatypes=self.infer_datatypes,
                                    func_maps=tm.func_maps, layers=layers)
+            osplit = ((obj.core, obj.suffix)
+                      if obj.suffix is not None else None)
             return [(pred.expr, obj.expr, graph, pred.valid & obj.valid, tgs,
-                     _rule_id(om))
+                     _rule_id(om), osplit)
                     for graph in graphs]
         if om.kind == PARENT:
             return self._compile_join(tm, df, pred, om, graphs, layers, tgs)

@@ -181,10 +181,20 @@ def encode_iri_component(col: Column) -> Column:
 
 @dataclass
 class CompiledValue:
-    """A lexical value expression + its row-validity condition."""
+    """A lexical value expression + its row-validity condition.
+
+    ``core``/``suffix`` (optional) factor the rendered term into a
+    per-row part and a CONSTANT tail, i.e. ``expr == concat(core,
+    lit(suffix))``. Narrow dedup keys on ``core`` alone and re-attaches
+    the suffix after the shuffle — a literal's `^^<datatype>` decoration
+    is ~47 bytes/row that would otherwise ride (and spill) the dedup
+    hash for no information. Appending a fixed-per-entry suffix is
+    injective, so dedup on the core is exact."""
 
     expr: Column
     valid: Column
+    core: Column | None = None
+    suffix: str | None = None
 
 
 class ExprLayers:
@@ -442,29 +452,43 @@ def compile_term_map(
     # Literal: resolve datatype / language (constant or map-valued)
     dt_col = lang_col = None
     valid = cv.valid
+    # const_suffix: the decoration when it is a plan CONSTANT — lets
+    # narrow dedup key on the bare body and re-attach the tail after the
+    # shuffle ("" = undecorated; None = per-row decoration, can't split)
+    const_suffix: str | None = ""
     if tm.language is not None:
         lang_col = F.lit(tm.language)
+        const_suffix = f"@{tm.language}"
     elif tm.language_map is not None:
         lcv = compile_term_map(df, tm.language_map, "language", base=base,
                                func_maps=func_maps, layers=layers)
         lang_col, valid = lcv.expr, valid & lcv.valid
+        const_suffix = None
     elif tm.datatype is not None:
         dt_col = F.lit(tm.datatype)
+        const_suffix = f"^^<{tm.datatype}>"
     elif tm.datatype_map is not None:
         dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base,
                                func_maps=func_maps, layers=layers)
         dt_col, valid = dcv.expr, valid & dcv.valid
+        const_suffix = None
     elif infer_datatypes and tm.kind == REFERENCE:
         nd = natural_datatype(df, tm.value)
         if nd:
             dt_col = F.lit(nd)
+            const_suffix = f"^^<{nd}>"
         elif dict(df.dtypes).get(tm.value) == "string":
             # string source (CSV/XML/JSON text): per-row value sniffing
             # (reference functions.py:16-65)
             sval, sdt = sniff_datatype(cv.expr)
             return CompiledValue(
                 wrap_literal(sval, sdt, None, datatype_nullable=True), valid)
-    return CompiledValue(wrap_literal(cv.expr, dt_col, lang_col), valid)
+    full = wrap_literal(cv.expr, dt_col, lang_col)
+    if const_suffix is None:
+        return CompiledValue(full, valid)
+    return CompiledValue(full, valid,
+                         core=wrap_literal(cv.expr, None, None),
+                         suffix=const_suffix)
 
 
 def _is_literal_position(tm: TermMap, position: str) -> bool:
@@ -488,4 +512,7 @@ def _compile_constant(tm: TermMap, position: str) -> CompiledValue:
             term = f'"{v}"^^<{tm.datatype}>'
         else:
             term = f'"{v}"'
-    return CompiledValue(F.lit(term), F.lit(True))
+    # a constant term is ALL suffix for narrow dedup — no reason to
+    # carry its bytes through the shuffle when the entry index names it
+    return CompiledValue(F.lit(term), F.lit(True),
+                         core=F.lit(""), suffix=term)

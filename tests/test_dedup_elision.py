@@ -369,3 +369,72 @@ def test_narrow_multi_graph_and_class_matches_rendered(spark, tmp_path):
     assert _narrow_fired(fast), _plan(fast)
     assert (sorted(map(tuple, fast.collect()))
             == sorted(map(tuple, slow.collect())))
+
+
+def test_narrow_dedup_with_fused_n1_join(spark, tmp_path):
+    # duplicate child keys + an N:1 parent join: the fused left join
+    # rides the explode pass and its rendered parent object is in the
+    # narrow dedup key, so narrow still fires and matches the rendered
+    # distinct exactly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [1, 1, 2, 2], "fk": [10, 10, 20, 30]}),
+                   str(tmp_path / "child.parquet"))
+    pq.write_table(pa.table({"k": [10, 20], "lbl": ["x", "y"]}),
+                   str(tmp_path / "parent.parquet"))
+    m = PFX + f"""
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/child.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/c/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:fk; rr:objectMap [ rml:reference "fk" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:to; rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "fk"; rr:parent "k" ] ] ] .
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/parent.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/p/{{k}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:lbl; rr:objectMap [ rml:reference "lbl" ] ] .
+"""
+    fast = materialize(spark, m)
+    slow = materialize(spark, m, dedup_elision=False)
+    assert _narrow_fired(fast), _plan(fast)
+    got = sorted(map(tuple, fast.collect()))
+    assert got == sorted(map(tuple, slow.collect()))
+    # child c/2 row with fk=30 has no parent: join triple dropped but
+    # its fk triple survives; duplicate (1,10) rows collapse
+    assert ("<http://ex.org/c/2>", "<http://ex.org/to>",
+            "<http://ex.org/p/20>", None) in got
+
+
+def test_narrow_dedup_splits_constant_decorations(spark, tmp_path):
+    # datatype/language decorations and constant objects are per-entry
+    # constants: narrow dedup keys on the bare body and re-attaches the
+    # tail after the shuffle — output must still match the rendered
+    # distinct byte for byte
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [1, 1, 2],
+                             "qty": [5.5, 5.5, 7.25],
+                             "note": ["hi", "hi", "yo"]}),
+                   str(tmp_path / "d.parquet"))
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/d.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}"; rr:class ex:Item ];
+  rr:predicateObjectMap [ rr:predicate ex:qty; rr:objectMap [
+      rml:reference "qty";
+      rr:datatype <http://www.w3.org/2001/XMLSchema#double> ] ];
+  rr:predicateObjectMap [ rr:predicate ex:note; rr:objectMap [
+      rml:reference "note"; rr:language "en" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:kind; rr:objectMap [
+      rr:constant "thing" ] ] .
+"""
+    fast = materialize(spark, m)
+    slow = materialize(spark, m, dedup_elision=False)
+    assert _narrow_fired(fast), _plan(fast)
+    got = sorted(map(tuple, fast.collect()))
+    assert got == sorted(map(tuple, slow.collect()))
+    assert any('^^<http://www.w3.org/2001/XMLSchema#double>' in r[2]
+               for r in got)
+    assert any(r[2] == '"hi"@en' for r in got)
+    assert any(r[2] == '"thing"' for r in got)
