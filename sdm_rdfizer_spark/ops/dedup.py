@@ -260,7 +260,7 @@ def embedding_neardup_pairs(
     centroid collect) and rebalances the buckets; candidates are still
     scored with the ORIGINAL vectors, so pair scores are unaffected.
     """
-    from .similarity import random_hyperplanes, _dot, _dot_lit, _norm
+    from .similarity import random_hyperplanes, _dot, _norm
 
     # foot-gun guard: exact is the all-pairs O(n²) verification baseline;
     # a large corpus must opt in explicitly instead of silently running
@@ -278,8 +278,10 @@ def embedding_neardup_pairs(
     if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         planes = random_hyperplanes(dim, n_planes, seed)
-        # unrolled literal dot: codegen-able, bit-identical fold order
-        projs = [_dot_lit(F.col("__v"), p) for p in planes]
+        projs = [
+            _dot(F.col("__v"), F.array(*[F.lit(x) for x in p]))
+            for p in planes
+        ]
         if center:
             row = v.agg(*[F.avg(pr).alias(f"__b{i}")
                           for i, pr in enumerate(projs)]).first()

@@ -141,9 +141,18 @@ def lsh_bucket_topk(
     ]
 
     def bucket(vec: Column, planes) -> Column:
+        # HOF dot on purpose: the unrolled literal chain (_dot_lit)
+        # overflows this stage's generated method past the JVM's 64 KB
+        # limit (the bucket feeds an explode + shuffle join in ONE
+        # codegen stage), dropping the whole stage — join included — to
+        # interpreted eval, measured 2× slower at sf10. The HOF is a
+        # compact fallback expression INSIDE an otherwise-compiled
+        # stage. IVF keeps _dot_lit (16 centroids × dim: expression
+        # volume dominates there and wins 2.2× even interpreted).
         bits = []
         for p in planes:
-            bits.append(F.when(_dot_lit(vec, p) >= 0,
+            plane = F.array(*[F.lit(x) for x in p])
+            bits.append(F.when(_dot(vec, plane) >= 0,
                                F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
@@ -240,19 +249,24 @@ def _assign_cells(frame: DataFrame, vcol: str,
     """Nearest-centroid cell id per row (cosine, lowest-cid tie-break),
     centroids as broadcast plan literals — no shuffle."""
     cnorms = {cid: math.sqrt(sum(x * x for x in vec)) for cid, vec in centroids}
-    norm = _norm(F.col(vcol))
+    # per-centroid sims staged as separate columns so each unrolled dot
+    # compiles into its own generated function (see stage_sims)
+    staged = frame.withColumn("__an", _norm(F.col(vcol))).withColumns({
+        f"__asim{cid}": F.round(
+            _dot_lit(F.col(vcol), vec)
+            / (F.col("__an") * F.lit(cnorms[cid])), 9)
+        for cid, vec in centroids
+    })
     sims = F.array(*[
         F.struct(
-            F.round(
-                _dot_lit(F.col(vcol), vec)
-                / (norm * F.lit(cnorms[cid])), 9
-            ).alias("sim"),
+            F.col(f"__asim{cid}").alias("sim"),
             F.lit(-cid).alias("negcid"),
             F.lit(cid).alias("cid"),
         )
-        for cid, vec in centroids
+        for cid, _vec in centroids
     ])
-    return frame.withColumn("cell", F.array_max(sims).getField("cid"))
+    return (staged.withColumn("cell", F.array_max(sims).getField("cid"))
+            .drop("__an", *[f"__asim{cid}" for cid, _ in centroids]))
 
 
 def ivf_topk(
@@ -304,44 +318,55 @@ def ivf_topk(
 
     cnorms = {cid: py_norm(cvec) for cid, cvec in centroids}
 
-    def cell_sims(vec: Column, norm: Column) -> Column:
+    def stage_sims(frame: DataFrame, vcol: str, ncol: str) -> DataFrame:
+        # each centroid similarity staged as its OWN column: one inlined
+        # expression holding all n_cells unrolled dots exceeds the JVM's
+        # 64 KB generated-method limit and drops the stage to
+        # interpreted eval — separate projections split into separate
+        # generated functions and stay compiled
+        return frame.withColumns({
+            f"__sim{cid}": F.round(
+                _dot_lit(F.col(vcol), cvec)
+                / (F.col(ncol) * F.lit(cnorms[cid])), 9)
+            for cid, cvec in centroids
+        })
+
+    def sim_structs() -> Column:
         # array<struct<sim,negcid,cid>> — struct ordering gives argmax
-        # with lowest-cid tie-break via the negated id field; the vector
-        # norm is computed once, centroid norms are plan constants
+        # with lowest-cid tie-break via the negated id field
         return F.array(*[
             F.struct(
-                F.round(
-                    _dot_lit(vec, cvec)
-                    / (norm * F.lit(cnorms[cid])), 9
-                ).alias("sim"),
+                F.col(f"__sim{cid}").alias("sim"),
                 F.lit(-cid).alias("negcid"),
                 F.lit(cid).alias("cid"),
             )
-            for cid, cvec in centroids
+            for cid, _cvec in centroids
         ])
 
-    cand = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", _norm(F.col("__cv"))).withColumn(
-        "cell", F.array_max(cell_sims(F.col("__cv"), F.col("__cn"))).getField("cid")
-    )
+    sim_cols = [f"__sim{cid}" for cid, _ in centroids]
+    cand = stage_sims(
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ).withColumn("__cn", _norm(F.col("__cv"))), "__cv", "__cn",
+    ).withColumn(
+        "cell", F.array_max(sim_structs()).getField("cid")
+    ).drop(*sim_cols)
 
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__qn", _norm(F.col("__qv"))).withColumn(
+    probes = stage_sims(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ).withColumn("__qn", _norm(F.col("__qv"))), "__qv", "__qn",
+    ).withColumn(
         "cell",
         F.explode(
             F.transform(
-                F.slice(
-                    F.sort_array(cell_sims(F.col("__qv"), F.col("__qn")), asc=False),
-                    1, n_probe,
-                ),
+                F.slice(F.sort_array(sim_structs(), asc=False), 1, n_probe),
                 lambda s: s.getField("cid"),
             )
         ),
-    )
+    ).drop(*sim_cols)
 
     scored = (
         cand.join(F.broadcast(probes), ["cell"])
