@@ -1,8 +1,11 @@
 """Similarity search over embedding columns.
 
 Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
-(random-hyperplane) variant as the scale path. Dot products use
-``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python in the loop.
+(random-hyperplane) variant as the scale path. Pairwise dot products use
+``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python in the loop; the
+one exception is IVF centroid assignment, where the k×dim constant
+matrix is evaluated by an Arrow-batched NumPy pass with a fold-order-
+preserving loop (see ``_centroid_dots`` for why both Column forms lose).
 
 Scale posture: brute force is a broadcast nested-loop (queries are small:
 broadcast them; candidates stream). The LSH variant buckets both sides by
@@ -14,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -27,19 +32,45 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _dot_lit(a: Column, vals: list[float]) -> Column:
-    """Dot product against a PYTHON-side constant vector, unrolled to a
-    ``a[0]*v0 + a[1]*v1 + …`` chain. Unlike the HOF form this compiles
-    into whole-stage codegen (GetArrayItem/Multiply/Add — the generator
-    splits long chains into sub-8KB methods) instead of per-element
-    interpreted lambda dispatch with an intermediate array allocation —
-    ~10× per-row on centroid assignment. The left-fold accumulation
-    order is IDENTICAL to ``_dot`` (((0+x0·v0)+x1·v1)+…), so results are
-    bit-identical and oracle comparisons are unaffected."""
-    expr: Column = F.lit(0.0)
-    for i, v in enumerate(vals):
-        expr = expr + a[i] * F.lit(float(v))
-    return expr
+def _centroid_dots(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched pandas UDF computing the dot of a vector column
+    against EVERY centroid at once — the dense-linear-algebra escape
+    hatch for k×dim constant matrices.
+
+    Why not Column expressions: the HOF ``_dot`` pays per-element
+    interpreted lambda dispatch (k×dim lambda calls per row — 2× the
+    whole query at sf10), and an unrolled literal chain generates
+    k×dim×~80 B of Java that either overflows janino's 64 KB method
+    limit (stage falls back to interpreted AND re-pays a multi-second
+    failed compile on every action) or compiles for minutes. A NumPy
+    loop vectorized across the batch but SEQUENTIAL across dimensions
+    (``acc += v[:, i] * c[i]``) does the identical float-addition
+    sequence ``((0 + v0·c0) + v1·c1) + …`` per row as ``_dot``'s left
+    fold, so results stay bit-identical and oracle comparisons are
+    unaffected; division/round/argmax stay in compiled Column land.
+    One Arrow batch crosses the boundary per partition-chunk."""
+    cvecs = [np.asarray(vec, dtype=np.float64) for _, vec in centroids]
+    dim = len(cvecs[0]) if cvecs else 0
+
+    @F.pandas_udf("array<double>")
+    def dots(col: pd.Series) -> pd.Series:
+        vals = col.tolist()
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if live:
+            m = np.array([vals[i] for i in live], dtype=np.float64)
+            accs = []
+            for c in cvecs:
+                acc = np.zeros(len(live), dtype=np.float64)
+                for i in range(dim):
+                    acc = acc + m[:, i] * c[i]
+                accs.append(acc)
+            stacked = np.stack(accs, axis=1)
+            for row, i in enumerate(live):
+                out[i] = stacked[row].tolist()
+        return pd.Series(out)
+
+    return dots
 
 
 def _norm(a: Column) -> Column:
@@ -141,14 +172,15 @@ def lsh_bucket_topk(
     ]
 
     def bucket(vec: Column, planes) -> Column:
-        # HOF dot on purpose: the unrolled literal chain (_dot_lit)
-        # overflows this stage's generated method past the JVM's 64 KB
-        # limit (the bucket feeds an explode + shuffle join in ONE
-        # codegen stage), dropping the whole stage — join included — to
-        # interpreted eval, measured 2× slower at sf10. The HOF is a
-        # compact fallback expression INSIDE an otherwise-compiled
-        # stage. IVF keeps _dot_lit (16 centroids × dim: expression
-        # volume dominates there and wins 2.2× even interpreted).
+        # HOF dot on purpose: an unrolled literal chain overflows this
+        # stage's generated method past the JVM's 64 KB limit (the
+        # bucket feeds an explode + shuffle join in ONE codegen stage),
+        # dropping the whole stage — join included — to interpreted
+        # eval, measured 2× slower at sf10. The HOF is a compact
+        # fallback expression INSIDE an otherwise-compiled stage; at
+        # n_planes×dim volume it is cheap enough. IVF, where k×dim
+        # expression volume dominates, uses the Arrow-batched
+        # _centroid_dots instead.
         bits = []
         for p in planes:
             plane = F.array(*[F.lit(x) for x in p])
@@ -249,24 +281,20 @@ def _assign_cells(frame: DataFrame, vcol: str,
     """Nearest-centroid cell id per row (cosine, lowest-cid tie-break),
     centroids as broadcast plan literals — no shuffle."""
     cnorms = {cid: math.sqrt(sum(x * x for x in vec)) for cid, vec in centroids}
-    # per-centroid sims staged as separate columns so each unrolled dot
-    # compiles into its own generated function (see stage_sims)
-    staged = frame.withColumn("__an", _norm(F.col(vcol))).withColumns({
-        f"__asim{cid}": F.round(
-            _dot_lit(F.col(vcol), vec)
-            / (F.col("__an") * F.lit(cnorms[cid])), 9)
-        for cid, vec in centroids
-    })
+    dots = _centroid_dots(centroids)
+    staged = frame.withColumn("__an", _norm(F.col(vcol))).withColumn(
+        "__adots", dots(F.col(vcol)))
     sims = F.array(*[
         F.struct(
-            F.col(f"__asim{cid}").alias("sim"),
+            F.round(F.col("__adots")[i] / (F.col("__an") * F.lit(cnorms[cid])),
+                    9).alias("sim"),
             F.lit(-cid).alias("negcid"),
             F.lit(cid).alias("cid"),
         )
-        for cid, _vec in centroids
+        for i, (cid, _vec) in enumerate(centroids)
     ])
     return (staged.withColumn("cell", F.array_max(sims).getField("cid"))
-            .drop("__an", *[f"__asim{cid}" for cid, _ in centroids]))
+            .drop("__an", "__adots"))
 
 
 def ivf_topk(
@@ -318,46 +346,42 @@ def ivf_topk(
 
     cnorms = {cid: py_norm(cvec) for cid, cvec in centroids}
 
-    def stage_sims(frame: DataFrame, vcol: str, ncol: str) -> DataFrame:
-        # each centroid similarity staged as its OWN column: one inlined
-        # expression holding all n_cells unrolled dots exceeds the JVM's
-        # 64 KB generated-method limit and drops the stage to
-        # interpreted eval — separate projections split into separate
-        # generated functions and stay compiled
-        return frame.withColumns({
-            f"__sim{cid}": F.round(
-                _dot_lit(F.col(vcol), cvec)
-                / (F.col(ncol) * F.lit(cnorms[cid])), 9)
-            for cid, cvec in centroids
-        })
+    # all n_cells dots in ONE Arrow-batched NumPy pass (see
+    # _centroid_dots — Column-expression forms either pay per-element
+    # HOF dispatch or break codegen at k×dim scale); the division,
+    # rounding and argmax tie-break stay in compact compiled expressions
+    # over the returned array
+    dots = _centroid_dots(centroids)
 
     def sim_structs() -> Column:
         # array<struct<sim,negcid,cid>> — struct ordering gives argmax
         # with lowest-cid tie-break via the negated id field
         return F.array(*[
             F.struct(
-                F.col(f"__sim{cid}").alias("sim"),
+                F.round(
+                    F.col("__dots")[i]
+                    / (F.col("__n") * F.lit(cnorms[cid])), 9
+                ).alias("sim"),
                 F.lit(-cid).alias("negcid"),
                 F.lit(cid).alias("cid"),
             )
-            for cid, _cvec in centroids
+            for i, (cid, _cvec) in enumerate(centroids)
         ])
 
-    sim_cols = [f"__sim{cid}" for cid, _ in centroids]
-    cand = stage_sims(
-        df.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("__cv"),
-        ).withColumn("__cn", _norm(F.col("__cv"))), "__cv", "__cn",
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__n", _norm(F.col("__cv"))).withColumn(
+        "__dots", dots(F.col("__cv"))
     ).withColumn(
         "cell", F.array_max(sim_structs()).getField("cid")
-    ).drop(*sim_cols)
+    ).drop("__dots").withColumnRenamed("__n", "__cn")
 
-    probes = stage_sims(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        ).withColumn("__qn", _norm(F.col("__qv"))), "__qv", "__qn",
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__n", _norm(F.col("__qv"))).withColumn(
+        "__dots", dots(F.col("__qv"))
     ).withColumn(
         "cell",
         F.explode(
@@ -366,7 +390,7 @@ def ivf_topk(
                 lambda s: s.getField("cid"),
             )
         ),
-    ).drop(*sim_cols)
+    ).drop("__dots").withColumnRenamed("__n", "__qn")
 
     scored = (
         cand.join(F.broadcast(probes), ["cell"])
