@@ -146,6 +146,52 @@ def png_decoder(kind: str, payload: bytes) -> DecodeResult:
     return DecodeResult(width=w, height=h)
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Real stdlib-only WAV/PCM decode (RIFF chunk walk, no external
+    audio libs): returns ``(n_channels, sample_rate, sample_width_bytes,
+    n_frames)`` — the audio analogue of :func:`decode_png`, proving the
+    registry carries real codec work for ``kind="audio"`` too.
+
+    Walks RIFF/WAVE chunks directly (rather than the ``wave`` module) so
+    trailing metadata chunks and streamed payloads without tight sizes
+    still parse; only uncompressed PCM (format tag 1) and IEEE float
+    (tag 3) are in scope."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid, ln = struct.unpack("<4sI", payload[pos:pos + 8])
+        pos += 8
+        body = payload[pos:pos + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = min(ln, len(payload) - pos)
+        pos += ln + (ln & 1)              # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV has no fmt/data chunk")
+    tag, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if tag not in (1, 3):
+        raise NotImplementedError(
+            f"decode_wav supports PCM (1) and IEEE float (3); got tag {tag}")
+    if not n_channels or not sample_rate or not block_align:
+        raise ValueError("WAV fmt chunk has zero channels/rate/block size")
+    n_frames = data_len // block_align
+    return n_channels, sample_rate, bits // 8, n_frames
+
+
+def wav_decoder(kind: str, payload: bytes) -> DecodeResult:
+    """``DECODERS``-shaped wrapper over :func:`decode_wav` — register
+    with ``register_decoder("audio", wav_decoder)``; duration derives
+    from the frame count and sample rate."""
+    _ch, rate, _sw, n_frames = decode_wav(payload)
+    return DecodeResult(duration_ms=(n_frames * 1000) // rate)
+
+
 def extract_features(df: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas (Arrow batches).
 

@@ -1231,3 +1231,56 @@ def test_simhash_pairs_hot_bucket_refinement_identical(spark):
                        df, bits=bits, max_hamming=h,
                        hot_bucket_cap=2).collect()}
         assert refined == plain and plain  # non-empty, identical
+
+
+def _encode_wav(n_channels, sample_rate, sample_width, n_frames,
+                extra_chunk=False):
+    """Minimal PCM WAV writer (RIFF + fmt + data, optional trailing LIST
+    chunk) for decode_wav tests."""
+    import struct
+
+    block = n_channels * sample_width
+    data = bytes(n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, sample_width * 8)
+    chunks = b"".join([
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+    if extra_chunk:
+        tail = b"INFOx"
+        chunks += b"LIST" + struct.pack("<I", len(tail)) + tail + b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_header_and_frames():
+    from sdm_rdfizer_spark.ops.multimodal import decode_wav
+
+    wav = _encode_wav(2, 16000, 2, 8000, extra_chunk=True)
+    assert decode_wav(wav) == (2, 16000, 2, 8000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))
+
+
+def test_wav_decoder_through_media_pipeline(spark):
+    """register_decoder carries a REAL audio codec: actual WAV bytes
+    flow through the mapInPandas feature pass and come back with the
+    true duration."""
+    from sdm_rdfizer_spark.ops.multimodal import (
+        DECODERS, extract_features, register_decoder, wav_decoder,
+    )
+
+    wav = _encode_wav(1, 8000, 2, 12000)     # 1.5 s mono 16-bit
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), {"src": "test"})],
+        "media_id long, kind string, payload binary, meta map<string,string>")
+    old = DECODERS["audio"]
+    register_decoder("audio", wav_decoder)
+    try:
+        rows = extract_features(df).collect()
+    finally:
+        register_decoder("audio", old)
+    assert len(rows) == 1
+    assert rows[0]["duration_ms"] == 1500
+    assert rows[0]["n_bytes"] == len(wav)
