@@ -26,7 +26,8 @@ from sdm_rdfizer_spark import materialize
 
 ROOT = os.path.join(os.path.dirname(__file__), "fixtures", "rmltc")
 CASES = sorted(d for d in os.listdir(ROOT)
-               if os.path.isdir(os.path.join(ROOT, d)))
+               if os.path.isdir(os.path.join(ROOT, d))
+               and not d.startswith("."))
 
 _BNODE_RE = re.compile(r"_:[A-Za-z0-9]+")
 
