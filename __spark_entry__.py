@@ -925,7 +925,8 @@ def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _docs(spark, sf), num_hashes=16, bands=4, shingle_n=3
+        _docs(spark, sf), num_hashes=16, bands=4, shingle_n=3,
+        exact_first=True,
     ).select(
         F.col("id_a"), F.col("id_b"),
         F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
@@ -1022,13 +1023,16 @@ FROM w LEFT JOIN wc ON w.doc_id = wc.doc_id
 def _q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs -> connected components
     (iterative min-label propagation) -> canonical-doc flag per document.
-    The oracle replays the components with a recursive CTE."""
-    from sdm_rdfizer_spark.ops.dedup import dedup_canonical, minhash_lsh_pairs
+    exact_first contracts signature-equal cliques to one node BEFORE the
+    pair join (provably identical output — see
+    neardup_canonical_exact_first), so boilerplate replica groups cost
+    O(m) instead of O(m²). The oracle replays the components with a
+    recursive CTE."""
+    from sdm_rdfizer_spark.ops.dedup import neardup_canonical_exact_first
 
-    docs = _docs(spark, sf)
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
-    return dedup_canonical(docs, pairs).select(
-        "doc_id", "component", "is_canonical")
+    return neardup_canonical_exact_first(
+        _docs(spark, sf), num_hashes=16, bands=4, shingle_n=3
+    ).select("doc_id", "component", "is_canonical")
 
 
 def _dedup_components_oracle() -> str:

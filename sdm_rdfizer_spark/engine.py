@@ -103,6 +103,7 @@ def materialize(
     gather_row_order: str = "value",
     dedup_scope: str = "spog",
     dedup_elision: bool = True,
+    narrow_dedup_min_bytes: int = 48 << 20,
 ) -> DataFrame:
     """Compile an RML mapping document into its triples DataFrame."""
     tune_session(spark)
@@ -120,6 +121,7 @@ def materialize(
         gather_row_order=gather_row_order,
         dedup_scope=dedup_scope,
         dedup_elision=dedup_elision,
+        narrow_dedup_min_bytes=narrow_dedup_min_bytes,
     )
     return planner.compile_all()
 

@@ -95,24 +95,33 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    *,
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding.
+def _sig_groups(sig: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Member map (id, __cid) over SIGNATURE-equality classes: __cid =
+    min id among docs whose whole MinHash signature is identical.
 
-    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; a
-    pair sharing ≥1 band hash is a candidate. Returns
-    (id_a, id_b, n_shared_bands) with id_a < id_b.
-    """
+    Signature equality is the exact invariance class of the banding
+    join — equal-signature docs share every band hash, so they pair
+    identically with every external doc and fully intra-pair — which
+    makes collapsing these groups before the pair join provably
+    output-preserving (no appeal to text equality needed; byte-identical
+    replicas and whitespace variants land in the same class because the
+    signature is a pure function of the shingle set)."""
+    skey = F.md5(F.concat_ws("|", *[F.col(f"mh{i}")
+                                    for i in range(num_hashes)]))
+    mem = sig.select(F.col(id_col), skey.alias("__gk"))
+    grp = mem.groupBy("__gk").agg(F.min(id_col).alias("__cid"))
+    return mem.join(grp, "__gk").select(F.col(id_col), F.col("__cid"))
+
+
+def _band_pair_join(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Banding self-join over a signature frame → (id_a, id_b,
+    n_shared_bands) with id_a < id_b."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col,
-                             num_hashes=num_hashes, shingle_n=shingle_n)
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -135,6 +144,122 @@ def minhash_lsh_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    exact_first: bool = False,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; a
+    pair sharing ≥1 band hash is a candidate. Returns
+    (id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    ``exact_first`` is the boilerplate-clique defense for large corpora:
+    a group of m identical documents puts all m in one band bucket and
+    the self-join emits m(m-1)/2 pairs THROUGH THE SHUFFLE — web corpora
+    with thousands-strong boilerplate cliques make that quadratic. With
+    exact_first, signature-equal docs (see ``_sig_groups``) collapse to
+    one canonical before the banding join; the dropped pairs are
+    reconstructed afterwards by expansion (canonical pairs fan back out
+    over members; intra-group pairs share all ``bands`` bands by
+    definition), so the OUTPUT is provably identical while the join
+    itself only ever sees one representative per clique. Note the output
+    still contains the m²/2 clique pairs — if you only need clusters,
+    ``neardup_canonical_exact_first`` skips the expansion entirely and
+    stays linear.
+    """
+    sig = minhash_signatures(df, text_col, id_col,
+                             num_hashes=num_hashes, shingle_n=shingle_n)
+    if not exact_first:
+        return _band_pair_join(sig, id_col, num_hashes, bands)
+    # eager checkpoint: sig feeds the group map, the collapsed join AND
+    # the expansion — without it the shingle explosion would recompute
+    # once per consumer
+    sig = sig.localCheckpoint(eager=True)
+    mem = _sig_groups(sig, id_col, num_hashes)
+    canon_ids = mem.where(F.col(id_col) == F.col("__cid")).select(id_col)
+    canon = _band_pair_join(sig.join(canon_ids, id_col),
+                            id_col, num_hashes, bands)
+    a = mem.select(F.col(id_col).alias("__ma"), F.col("__cid").alias("__ca"))
+    b = mem.select(F.col(id_col).alias("__mb"), F.col("__cid").alias("__cb"))
+    cross = (
+        canon.join(a, F.col("__ca") == F.col("id_a"))
+        .join(b, F.col("__cb") == F.col("id_b"))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "n_shared_bands",
+        )
+    )
+    x, y = mem.alias("x"), mem.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.__cid") == F.col("y.__cid"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(bands).cast("long").alias("n_shared_bands"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def neardup_canonical_exact_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_iters: int = 25,
+) -> DataFrame:
+    """``dedup_canonical(df, minhash_lsh_pairs(df))`` with the
+    boilerplate-clique hazard removed: (id, component, is_canonical),
+    output provably identical to the uncollapsed pipeline.
+
+    Signature-equal groups (``_sig_groups``) contract to their canonical
+    (min-id) member BEFORE pair generation, so an m-strong clique of
+    identical documents contributes ONE node and zero intra pairs to the
+    label-propagation graph instead of m nodes and m²/2 edges — the only
+    measured superlinearity in the suite (sf10 r5: replica cliques drove
+    dedup_components to 13.7×). Afterwards every doc takes its
+    canonical's component. Label preservation: the component label is
+    the min id of the cluster; a group's canonical IS its min id, so
+    min over the contracted cluster's canonicals = min over all member
+    ids — labels are unchanged, not just cluster shapes. Docs without a
+    signature (NULL text → no shingles) never pair in either pipeline
+    and stay singleton components.
+    """
+    sig = minhash_signatures(df, text_col, id_col,
+                             num_hashes=num_hashes,
+                             shingle_n=shingle_n).localCheckpoint(eager=True)
+    mem = _sig_groups(sig, id_col, num_hashes)
+    canon_ids = mem.where(F.col(id_col) == F.col("__cid")).select(id_col)
+    canon_pairs = _band_pair_join(sig.join(canon_ids, id_col),
+                                  id_col, num_hashes, bands)
+    comp = neardup_components(canon_pairs, max_iters=max_iters)
+    return (
+        df.select(F.col(id_col))
+        .join(mem, id_col, "left")
+        .join(comp, F.col("__cid") == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", "__cid", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
 
 
@@ -433,8 +558,12 @@ def simhash_pairs(
              F.col("b.band").alias("band"), F.col("b.sv").alias("sv"))
 
     rem_bits = bits - width
-    n_sub = min(max_hamming + 1, rem_bits)
-    if hot_bucket_cap is None or n_sub < 2:
+    n_sub = max_hamming + 1
+    # the pigeonhole argument needs max_hamming+1 DISJOINT sub-slices of
+    # the remaining bits; with rem_bits <= max_hamming a within-threshold
+    # pair can differ on every sub-slice and be silently dropped, so the
+    # refinement is only recall-preserving when rem_bits >= max_hamming+1
+    if hot_bucket_cap is None or rem_bits < max_hamming + 1:
         cand = _pair_join(banded, id_col, ["band", "sv"])
     else:
         sizes = banded.groupBy("band", "sv").agg(

@@ -55,7 +55,12 @@ def _centroid_dots(centroids: list[tuple[int, list[float]]]):
     @F.pandas_udf("array<double>")
     def dots(col: pd.Series) -> pd.Series:
         vals = col.tolist()
-        live = [i for i, v in enumerate(vals) if v is not None]
+        # malformed rows (short vector, NULL element) degrade to a NULL
+        # dot array — matching the HOF _dot's NULL propagation — instead
+        # of an IndexError/cast failure killing the whole task
+        live = [i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+                and not any(e is None for e in v)]
         out: list = [None] * len(vals)
         if live:
             m = np.array([vals[i] for i in live], dtype=np.float64)

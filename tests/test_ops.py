@@ -85,6 +85,74 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_exact_first_identical_output(spark):
+    """exact_first collapses signature-equal cliques before the banding
+    join but must reconstruct the IDENTICAL pair set afterwards —
+    including whitespace/trim variants that share a signature without
+    being byte-identical."""
+    from sdm_rdfizer_spark.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),              # near-dup of 1
+        (3, "completely unrelated text with other words entirely here now"),
+        (4, base),                      # exact dup of 1
+        (5, "  " + base + "  "),        # whitespace variant: same words
+        (6, None),                      # NULL text: never pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"]) for r in rows)
+    plain = key(minhash_lsh_pairs(df).collect())
+    ef = key(minhash_lsh_pairs(df, exact_first=True).collect())
+    assert plain == ef
+    pairs = {(a, b) for a, b, _ in ef}
+    assert {(1, 4), (1, 5), (4, 5), (1, 2)} <= pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_neardup_canonical_exact_first_clique_linear(spark):
+    """A 10k-strong replica clique must cost O(m), not O(m²): the
+    contracted pair graph holds ONE node for the clique, and the output
+    matches the uncollapsed pipeline computed on a small slice."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import (
+        dedup_canonical, minhash_lsh_pairs, neardup_canonical_exact_first)
+
+    boiler = "all rights reserved contact us terms of service privacy policy"
+    uniq = [(i, f"document number {i} talks about topic {i % 7} in detail")
+            for i in range(50)]
+    df_small = spark.createDataFrame(
+        uniq + [(1000 + i, boiler) for i in range(20)],
+        "doc_id long, text string")
+    want = sorted(
+        map(tuple, dedup_canonical(
+            df_small, minhash_lsh_pairs(df_small)).collect()))
+    got = sorted(
+        map(tuple, neardup_canonical_exact_first(df_small).collect()))
+    assert want == got
+
+    # scale the clique to 10k replicas: the uncollapsed pipeline would
+    # push ~50M intra pairs through the shuffle; exact_first completes
+    # in seconds because the banding join sees one representative
+    rep = spark.range(10_000).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(boiler).alias("text"))
+    big = spark.createDataFrame(uniq, "doc_id long, text string") \
+        .unionByName(rep)
+    t0 = time.time()
+    out = neardup_canonical_exact_first(big)
+    n = out.count()
+    comp_rows = out.where(F.col("component") == 1000).count()
+    elapsed = time.time() - t0
+    assert n == 10_050
+    assert comp_rows == 10_000          # whole clique labeled by min id
+    assert elapsed < 120, f"clique path took {elapsed:.0f}s — not linear"
+
+
 def test_ngram_jaccard(spark):
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
