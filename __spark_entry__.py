@@ -2479,6 +2479,205 @@ def _orders_wide_oracle() -> str:
     return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
 
 
+def _stage_gtfs_sources(sf: str) -> str:
+    """Stage the GTFS-Madrid-Bench source heterogeneity shape from the sf
+    parquet tables: CSV facts + JSON dimensions + (via
+    ``_stage_supplier_xml``) an XML source, one dir per sf. The
+    reference's flagship workload runs ~10 interlinked TriplesMaps over
+    exactly this files/mixed/nested/tabular mix
+    (kgcw_2023_challenge/results/eswc_challenge_results/results/
+    gtfs-madrid-bench.csv:2-8)."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    import duckdb
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "sdm_gtfs_fixture_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if os.path.exists(os.path.join(d, "_DONE")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+        f"FROM '{sf}/customer.parquet' ORDER BY c_custkey) TO "
+        f"'{d}/customer.csv' (HEADER, DELIMITER ',')")
+    con.execute(
+        f"COPY (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        f"strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+        f"o_orderpriority FROM '{sf}/orders.parquet' "
+        f"ORDER BY o_orderkey) TO '{d}/orders.csv' (HEADER, DELIMITER ',')")
+    nations = [
+        {"n_nationkey": k, "n_name": n, "n_regionkey": r}
+        for k, n, r in con.execute(
+            f"SELECT n_nationkey, n_name, n_regionkey FROM "
+            f"'{sf}/nation.parquet' ORDER BY n_nationkey").fetchall()]
+    with open(os.path.join(d, "nation.json"), "w") as f:
+        _json.dump({"nations": nations}, f)
+    regions = [
+        {"r_regionkey": k, "r_name": n}
+        for k, n in con.execute(
+            f"SELECT r_regionkey, r_name FROM '{sf}/region.parquet' "
+            f"ORDER BY r_regionkey").fetchall()]
+    with open(os.path.join(d, "region.json"), "w") as f:
+        _json.dump({"regions": regions}, f)
+    open(os.path.join(d, "_DONE"), "w").close()
+    return d
+
+
+def _q_gtfs_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """GTFS-Madrid-Bench-shaped composite: 10 interlinked TriplesMaps
+    over mixed CSV/JSON/XML sources in ONE materialization — cross-format
+    joins (CSV→JSON, XML→JSON), a parent shared by two child TMs
+    (#Nation feeds #Customer and #Supplier from one cached build), two
+    same-source self-join eliminations, and non-unique-subject label TMs
+    whose duplicates the global distinct collapses. This is the
+    many-TM/many-source/shared-parent plan shape the reference's
+    flagship GTFS numbers exercise (BASELINE.md gtfs scale 1/10/100)."""
+    d = _stage_gtfs_sources(sf)
+    xml = _stage_supplier_xml(sf)
+    mapping = _PREFIXES + f"""
+<#Region> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/region.json";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.regions[*]" ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/region/{{r_regionkey}}"; rr:class ex:Region ];
+  rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rml:reference "r_name" ] ] .
+
+<#Nation> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/nation.json";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.nations[*]" ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/nation/{{n_nationkey}}"; rr:class ex:Nation ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:inRegion; rr:objectMap [
+      rr:parentTriplesMap <#Region>;
+      rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ] ] .
+
+<#Customer> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/customer/{{c_custkey}}"; rr:class ex:Customer ];
+  rr:predicateObjectMap [ rr:predicate ex:custName; rr:objectMap [ rml:reference "c_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:custNation; rr:objectMap [
+      rr:parentTriplesMap <#Nation>;
+      rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#Supplier> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{xml}"; rml:referenceFormulation ql:XPath;
+                      rml:iterator "/suppliers/supplier" ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/supplier/{{s_suppkey}}"; rr:class ex:Supplier ];
+  rr:predicateObjectMap [ rr:predicate ex:suppName; rr:objectMap [ rml:reference "s_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:suppNation; rr:objectMap [
+      rr:parentTriplesMap <#Nation>;
+      rr:joinCondition [ rr:child "s_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#Order> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/order/{{o_orderkey}}"; rr:class ex:Order ];
+  rr:predicateObjectMap [ rr:predicate ex:date; rr:objectMap [ rml:reference "o_orderdate" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:total;
+    rr:objectMap [ rml:reference "o_totalprice"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:orderedBy; rr:objectMap [
+      rr:parentTriplesMap <#Customer>;
+      rr:joinCondition [ rr:child "o_custkey"; rr:parent "c_custkey" ] ] ] .
+
+<#OrderStatus> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/order/{{o_orderkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ rml:reference "o_orderstatus" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:withPriority; rr:objectMap [
+      rr:parentTriplesMap <#Priority>;
+      rr:joinCondition [ rr:child "o_orderpriority"; rr:parent "o_orderpriority" ] ] ] .
+
+<#Priority> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/priority/{{o_orderpriority}}"; rr:class ex:Priority ] .
+
+<#Segment> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/segment/{{c_mktsegment}}"; rr:class ex:Segment ] .
+
+<#CustomerSegment> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/customer/{{c_custkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:inSegment; rr:objectMap [
+      rr:parentTriplesMap <#Segment>;
+      rr:joinCondition [ rr:child "c_mktsegment"; rr:parent "c_mktsegment" ] ] ] .
+
+<#CalendarDay> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/gtfs/date/{{o_orderdate}}"; rr:class ex:CalendarDay ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+def _gtfs_composite_oracle() -> str:
+    v = "http://ex.org/vocab/"
+    g = "http://ex.org/gtfs/"
+    # the IRI encoder percent-encodes space → %20 in template values
+    # (only hazard in this data: '4-NOT SPECIFIED'); everything else in
+    # the template slots is encoder-safe alphanumerics/.-
+    prio = "replace(o_orderpriority, ' ', '%20')"
+    parts = [
+        # Region
+        f"SELECT '<{g}region/' || r_regionkey || '>' AS s, "
+        f"'<{RDF_TYPE}>' AS p, '<{v}Region>' AS o FROM region",
+        f"SELECT '<{g}region/' || r_regionkey || '>', '<{v}label>', "
+        f"'\"' || r_name || '\"' FROM region",
+        # Nation
+        f"SELECT '<{g}nation/' || n_nationkey || '>', '<{RDF_TYPE}>', "
+        f"'<{v}Nation>' FROM nation",
+        f"SELECT '<{g}nation/' || n_nationkey || '>', '<{v}name>', "
+        f"'\"' || n_name || '\"' FROM nation",
+        f"SELECT '<{g}nation/' || n_nationkey || '>', '<{v}inRegion>', "
+        f"'<{g}region/' || r_regionkey || '>' "
+        f"FROM nation JOIN region ON n_regionkey = r_regionkey",
+        # Customer
+        f"SELECT '<{g}customer/' || c_custkey || '>', '<{RDF_TYPE}>', "
+        f"'<{v}Customer>' FROM customer",
+        f"SELECT '<{g}customer/' || c_custkey || '>', '<{v}custName>', "
+        f"'\"' || c_name || '\"' FROM customer",
+        f"SELECT '<{g}customer/' || c_custkey || '>', '<{v}custNation>', "
+        f"'<{g}nation/' || n_nationkey || '>' "
+        f"FROM customer JOIN nation ON c_nationkey = n_nationkey",
+        # Supplier (XML source, same rows as the supplier table)
+        f"SELECT '<{g}supplier/' || s_suppkey || '>', '<{RDF_TYPE}>', "
+        f"'<{v}Supplier>' FROM supplier",
+        f"SELECT '<{g}supplier/' || s_suppkey || '>', '<{v}suppName>', "
+        f"'\"' || s_name || '\"' FROM supplier",
+        f"SELECT '<{g}supplier/' || s_suppkey || '>', '<{v}suppNation>', "
+        f"'<{g}nation/' || n_nationkey || '>' "
+        f"FROM supplier JOIN nation ON s_nationkey = n_nationkey",
+        # Order
+        f"SELECT '<{g}order/' || o_orderkey || '>', '<{RDF_TYPE}>', "
+        f"'<{v}Order>' FROM orders",
+        f"SELECT '<{g}order/' || o_orderkey || '>', '<{v}date>', "
+        f"'\"' || strftime(o_orderdate, '%Y-%m-%d') || '\"' FROM orders",
+        f"SELECT '<{g}order/' || o_orderkey || '>', '<{v}total>', "
+        f"'\"' || {_canon('o_totalprice')} || '\"^^<{XSD}double>' FROM orders",
+        f"SELECT '<{g}order/' || o_orderkey || '>', '<{v}orderedBy>', "
+        f"'<{g}customer/' || c_custkey || '>' "
+        f"FROM orders JOIN customer ON o_custkey = c_custkey",
+        # OrderStatus + priority self-join elimination
+        f"SELECT '<{g}order/' || o_orderkey || '>', '<{v}status>', "
+        f"'\"' || o_orderstatus || '\"' FROM orders",
+        f"SELECT '<{g}order/' || o_orderkey || '>', '<{v}withPriority>', "
+        f"'<{g}priority/' || {prio} || '>' FROM orders",
+        # label TMs: duplicates collapse under the global distinct
+        f"SELECT DISTINCT '<{g}priority/' || {prio} || '>', "
+        f"'<{RDF_TYPE}>', '<{v}Priority>' FROM orders",
+        f"SELECT DISTINCT '<{g}segment/' || c_mktsegment || '>', "
+        f"'<{RDF_TYPE}>', '<{v}Segment>' FROM customer",
+        f"SELECT '<{g}customer/' || c_custkey || '>', '<{v}inSegment>', "
+        f"'<{g}segment/' || c_mktsegment || '>' FROM customer",
+        f"SELECT DISTINCT '<{g}date/' || strftime(o_orderdate, '%Y-%m-%d') || "
+        f"'>', '<{RDF_TYPE}>', '<{v}CalendarDay>' FROM orders",
+    ]
+    return "SELECT DISTINCT s, p, o FROM (" + " UNION ALL ".join(parts) + ")"
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric per-vector int8 quantization + reconstruction MSE —
     pure per-row HOF arithmetic, shuffle-free."""
@@ -2870,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_jdbc_nation": _q_jdbc_nation,
         "rml_star_subject_join": _q_star_subject_join,
         "rml_orders_wide": _q_orders_wide,
+        "rml_gtfs_composite": _q_gtfs_composite,
         "rml_gather_seq": _q_gather_seq,
         "rml_xml_supplier": _q_xml_supplier,
         "rml_csv_infer": _q_csv_infer,
@@ -2897,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_lineitem_orders_join": _LINEITEM_ORDERS_ORACLE,
         "rml_lineitem_wide": _lineitem_wide_oracle(),
         "rml_orders_wide": _orders_wide_oracle(),
+        "rml_gtfs_composite": _gtfs_composite_oracle(),
         "rml_void_stats": _void_stats_oracle(),
         "rml_dedup_flags": _DEDUP_FLAGS_ORACLE,
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,
