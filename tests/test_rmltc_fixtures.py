@@ -47,8 +47,20 @@ def _canon(lines):
     return sorted(out)
 
 
+def _rows_to_nq(df):
+    out = []
+    for r in df.select("s", "p", "o", "g").collect():
+        tail = " ." if r["g"] is None else f" {r['g']} ."
+        out.append(f"{r['s']} {r['p']} {r['o']}{tail}")
+    return out
+
+
+def _read_lines(path):
+    return [l for l in open(path).read().splitlines() if l.strip()]
+
+
 @pytest.mark.parametrize("case", CASES)
-def test_rmltc_case(spark, case):
+def test_rmltc_case(spark, case, tmp_path):
     d = os.path.join(ROOT, case)
     mapping = open(os.path.join(d, "mapping.ttl")).read()
     err_marker = os.path.join(d, "expect-error.txt")
@@ -58,11 +70,52 @@ def test_rmltc_case(spark, case):
             materialize(spark, mapping, base_dir=d,
                         missing_policy="abort").collect()
         return
+    targets_dir = os.path.join(d, "targets")
+    if os.path.isdir(targets_dir):
+        _run_target_case(spark, d, mapping, targets_dir, tmp_path)
+        return
     df = materialize(spark, mapping, base_dir=d, missing_policy="abort")
-    got = []
-    for r in df.select("s", "p", "o", "g").collect():
-        tail = " ." if r["g"] is None else f" {r['g']} ."
-        got.append(f"{r['s']} {r['p']} {r['o']}{tail}")
-    expected = [l for l in open(os.path.join(d, "output.nq")).read()
-                .splitlines() if l.strip()]
+    got = _rows_to_nq(df)
+    expected = _read_lines(os.path.join(d, "output.nq"))
     assert _canon(got) == _canon(expected)
+
+
+def _run_target_case(spark, d, mapping, targets_dir, tmp_path):
+    """RML-IO target case (RMLTTC family): the routed frame for each
+    logical target must equal ``targets/<local-id>.nq``, AND the
+    declared serialization/compression/encoding post-passes must
+    round-trip — write_target's file, decompressed and decoded per the
+    target spec, holds exactly the expected triples (reference order:
+    serialize, then encode, then compress — semantify.py:10013-10088)."""
+    import dataclasses
+    import gzip as _gzip
+
+    from sdm_rdfizer_spark import materialize_with_targets
+    from sdm_rdfizer_spark.sinks import write_target
+
+    main, frames = materialize_with_targets(
+        spark, mapping, base_dir=d, missing_policy="abort")
+    assert _canon(_rows_to_nq(main)) == \
+        _canon(_read_lines(os.path.join(d, "output.nq")))
+    by_local = {
+        spec.target_id.rsplit("/", 1)[-1].rsplit("#", 1)[-1]: (spec, frame)
+        for spec, frame in frames.items()}
+    for fname in sorted(os.listdir(targets_dir)):
+        local = fname[:-3]
+        assert local in by_local, f"no target frame for {local}"
+        spec, frame = by_local[local]
+        expected = _read_lines(os.path.join(targets_dir, fname))
+        assert _canon(_rows_to_nq(frame)) == _canon(expected), local
+        if (spec.serialization or "ntriples") not in ("ntriples", "nquads"):
+            continue
+        out = write_target(frame, dataclasses.replace(
+            spec, path=str(tmp_path / os.path.basename(spec.path))))
+        raw = open(out, "rb").read()
+        comp = (spec.compression or "").lower()
+        if comp in ("gzip", "gz"):
+            raw = _gzip.decompress(raw)
+        enc = (spec.encoding or "").upper().replace("-", "")
+        text = raw.decode("utf-16" if enc == "UTF16" else "utf-8")
+        got_lines = [l for l in text.splitlines() if l.strip()]
+        assert _canon(got_lines) == _canon(expected), \
+            f"{local}: serialized file does not round-trip"
