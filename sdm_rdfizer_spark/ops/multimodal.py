@@ -192,6 +192,120 @@ def wav_decoder(kind: str, payload: bytes) -> DecodeResult:
     return DecodeResult(duration_ms=(n_frames * 1000) // rate)
 
 
+def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Real stdlib-only GIF decode (full LZW): returns ``(width, height,
+    frames)`` where each frame is ``(delay_ms, pixel_index_bytes)`` —
+    the video analogue of :func:`decode_png`/:func:`decode_wav`, so
+    ``sample_frames`` can run on actual animated bytes end-to-end
+    (no ffmpeg in this container; animated GIF is the stdlib-reachable
+    video substrate).
+
+    Pipeline: header + logical screen descriptor → global/local color
+    table skip → Graphic Control Extension delays → per-image LZW
+    decompression (variable code width 3-12 bits, LSB-first packing,
+    clear/EOI codes, dictionary rebuild). Pure Python — suited to
+    fixtures/thumbnails; register a PIL/ffmpeg decoder for production.
+    """
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    width, height, flags, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13])
+    pos = 13
+    if flags & 0x80:                       # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    frames: list[tuple[int, bytes]] = []
+    delay_ms = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                  # trailer
+            break
+        if block == 0x21:                  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:   # GCE: delay
+                delay_ms = struct.unpack(
+                    "<H", payload[pos + 2:pos + 4])[0] * 10
+            while payload[pos]:            # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _l, _t, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if iflags & 0x80:                  # local color table
+            pos += 3 * (2 << (iflags & 0x07))
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames unsupported")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        frames.append((delay_ms, _lzw_decode(bytes(data), min_code,
+                                             fw * fh)))
+        delay_ms = 0
+    return width, height, frames
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit stream, clear/EOI codes, code
+    width grows 1 bit when the dictionary fills, capped at 12."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+
+    table = base + [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = base + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:expect])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):       # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out[:expect])
+
+
+def gif_decoder(kind: str, payload: bytes) -> DecodeResult:
+    """``DECODERS``-shaped wrapper over :func:`decode_gif` — register
+    with ``register_decoder("video", gif_decoder)`` to run the video
+    path on real animated bytes; duration is the sum of frame delays."""
+    w, h, frames = decode_gif(payload)
+    return DecodeResult(width=w, height=h,
+                        duration_ms=sum(d for d, _ in frames))
+
+
 def extract_features(df: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas (Arrow batches).
 

@@ -1191,6 +1191,152 @@ def test_png_decoder_through_media_pipeline(spark):
     assert rows[0]["n_bytes"] == len(png)
 
 
+def _encode_gif(width, height, frames, *, palette_bits=2):
+    """Minimal GIF89a writer for fixtures: ``frames`` is a list of
+    (delay_ms, pixel_index_bytes). LZW stream emits a clear code before
+    every literal so the dictionary never grows — maximally dumb but
+    spec-valid compression the decoder must handle."""
+    import struct
+
+    ncolors = 1 << palette_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (palette_bits - 1),
+                       0, 0)
+    for i in range(ncolors):               # global color table: greys
+        v = (255 * i) // max(ncolors - 1, 1)
+        out += bytes([v, v, v])
+    min_code = max(palette_bits, 2)
+    clear, eoi, cw = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    for delay_ms, pixels in frames:
+        out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delay_ms // 10, 0)
+        out += b"\x00"                     # GCE sub-block terminator
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out += bytes([min_code])
+        codes = [clear]
+        for p in pixels:
+            codes += [p, clear]
+        codes[-1] = eoi
+        acc = nbits = 0
+        stream = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += cw
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            blk = stream[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_decode_gif_roundtrip():
+    from sdm_rdfizer_spark.ops.multimodal import decode_gif
+
+    f0 = bytes([0, 1, 2, 3, 3, 2])
+    f1 = bytes([3, 3, 0, 0, 1, 1])
+    gif = _encode_gif(3, 2, [(100, f0), (250, f1)])
+    w, h, frames = decode_gif(gif)
+    assert (w, h) == (3, 2)
+    assert [(d, p) for d, p in frames] == [(100, f0), (250, f1)]
+
+
+def test_decode_gif_real_lzw_growth():
+    """A repetitive frame long enough to force dictionary growth and the
+    KwKwK special case — encoded here by a REAL greedy LZW compressor,
+    not the clear-code-spam fixture writer."""
+    import struct
+
+    from sdm_rdfizer_spark.ops.multimodal import decode_gif
+
+    width, height = 16, 8
+    pixels = bytes([0, 0, 1, 1] * (width * height // 4))
+    min_code = 2
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    # greedy LZW encode with growing code width (the real algorithm)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, cw = eoi + 1, min_code + 1
+    codes = [clear]
+    run = b""
+    for p in pixels:
+        cand = run + bytes([p])
+        if cand in table:
+            run = cand
+            continue
+        codes.append(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << cw) + 1 and cw < 12:
+            cw += 1
+        run = bytes([p])
+    codes.append(table[run])
+    codes.append(eoi)
+    acc = nbits = 0
+    stream = bytearray()
+    cw2 = min_code + 1
+    emitted = 0
+    for c in codes:
+        acc |= c << nbits
+        nbits += cw2
+        emitted += 1
+        # decoder grows width when ITS table reaches 2^width: encoder
+        # mirror — after emitting code k the decoder table has
+        # eoi+1 + (emitted-2) entries (first two emits add none)
+        if emitted >= 2 and (eoi + emitted - 1) == (1 << cw2) and cw2 < 12:
+            cw2 += 1
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", width, height, 0x81, 0, 0)
+    gif += bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    gif += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        blk = stream[i:i + 255]
+        gif += bytes([len(blk)]) + blk
+    gif += b"\x00\x3B"
+    w, h, frames = decode_gif(bytes(gif))
+    assert (w, h) == (width, height)
+    assert frames[0][1] == pixels
+
+
+def test_gif_decoder_through_frame_pipeline(spark):
+    """register_decoder carries a REAL video codec: actual animated-GIF
+    bytes flow through sample_frames and fan out per true frame-delay
+    duration."""
+    from sdm_rdfizer_spark.ops.multimodal import (
+        DECODERS, extract_features, gif_decoder, register_decoder,
+        sample_frames,
+    )
+
+    frames = [(200, bytes([0, 1, 2, 3])), (300, bytes([3, 2, 1, 0])),
+              (500, bytes([1, 1, 2, 2]))]
+    gif = _encode_gif(2, 2, frames)           # total duration 1000 ms
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(gif), {"src": "test"})],
+        "media_id long, kind string, payload binary, meta map<string,string>")
+    old = DECODERS["video"]
+    register_decoder("video", gif_decoder)
+    try:
+        feats = extract_features(df).collect()
+        got = sample_frames(df, every_ms=250).collect()
+    finally:
+        register_decoder("video", old)
+    assert feats[0]["duration_ms"] == 1000
+    assert (feats[0]["width"], feats[0]["height"]) == (2, 2)
+    assert [(r["frame_idx"], r["ts_ms"]) for r in got] == \
+        [(0, 0), (1, 250), (2, 500), (3, 750)]
+
+
 def _skewed_session_events(spark):
     """Skewed sessionization fixture: a hot user with ~90% of events,
     sessions that span chunk edges (events CHUNK apart but inside the
