@@ -1090,6 +1090,42 @@ FROM inter WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= 0.2
 """
 
 
+def _q_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """The production near-dup pipeline end-to-end: LSH banding
+    candidates (with exact_first clique collapse) -> exact per-pair
+    Jaccard verify -> threshold filter. Linear in the candidate count;
+    never an all-pairs join."""
+    from sdm_rdfizer_spark.ops.dedup import jaccard_verify_pairs, minhash_lsh_pairs
+
+    docs = _docs(spark, sf)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3,
+                              exact_first=True)
+    return jaccard_verify_pairs(docs, pairs, shingle_n=3, threshold=0.5)
+
+
+def _jaccard_verify_oracle() -> str:
+    pairs_sql = _minhash_oracle()
+    return f"""
+WITH pairs AS ({pairs_sql}
+), w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        FOR i IN range(0, greatest(len(words)-3, 0)+1)]) AS shs
+  FROM w
+), j AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(a.shs, b.shs)) AS n_inter,
+         len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS n_union
+  FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / greatest(n_union, 1)::DOUBLE, 6) AS jaccard
+FROM j WHERE round(n_inter / greatest(n_union, 1)::DOUBLE, 6) >= 0.5
+"""
+
+
 def _q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.similarity import brute_force_topk
     from sdm_rdfizer_spark.sources import read_parquet
@@ -3053,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
         "dedup_components": _q_dedup_components,
+        "dedup_jaccard_verify": _q_jaccard_verify,
         # --- RML surface (recorded green in r3) ---
         "rml_xml_parent_axis": _q_xml_parent_axis,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -3134,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),
+        "dedup_jaccard_verify": _jaccard_verify_oracle(),
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "multimodal_framesample": _MULTIMODAL_FRAMESAMPLE_ORACLE,

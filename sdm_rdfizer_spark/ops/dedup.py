@@ -334,6 +334,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for candidate pairs — the
+    verify stage of the production near-dup pipeline
+    (``minhash_lsh_pairs`` candidates → exact |A∩B|/|A∪B| filter).
+
+    Scale posture vs ``ngram_jaccard_pairs``: that operator fans out an
+    inverted-index self-join over the whole corpus (k² rows per shared
+    shingle — the exact baseline); this one is linear in the CANDIDATE
+    set: docs not in any pair are semi-join-pruned before shingling,
+    each pair costs one ``array_intersect`` over two already-distinct
+    shingle arrays, and the only shuffles are the two id-keyed joins
+    attaching shingle arrays to pair sides. Returns (id_a, id_b,
+    jaccard); ``threshold`` filters when given.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # words staged as a column before the shingle lambda (HOF bodies
+    # re-evaluate per element — an inline words() would be O(len²)/doc)
+    docs = (
+        df.join(ids, id_col)
+        .select(F.col(id_col), words(text_col).alias("__w"))
+        .select(F.col(id_col), shingles(F.col("__w"), shingle_n).alias("__sh"))
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    out = joined.select("id_a", "id_b", jac.alias("jaccard"))
+    if threshold is not None:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
 def adaptive_n_planes(n_vectors: int, *, target_occupancy: int = 8,
                       floor: int = 6, ceiling: int = 24) -> int:
     """Hyperplane count sized to the corpus so bucket occupancy — and

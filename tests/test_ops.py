@@ -153,6 +153,35 @@ def test_neardup_canonical_exact_first_clique_linear(spark):
     assert elapsed < 120, f"clique path took {elapsed:.0f}s — not linear"
 
 
+def test_jaccard_verify_pairs(spark):
+    """Verify stage computes exact Jaccard only for candidate pairs and
+    agrees with the all-pairs baseline on those pairs."""
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import (
+        jaccard_verify_pairs, minhash_lsh_pairs, ngram_jaccard_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, base),
+         (4, "completely unrelated text with other words entirely here now")],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, exact_first=True)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_verify_pairs(df, pairs).collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert got.keys() <= want.keys()
+    for k, v in got.items():
+        assert v == want[k]
+    assert got[(1, 3)] == 1.0            # exact dup pair survives verify
+    # threshold filter drops weak candidates
+    strict = jaccard_verify_pairs(df, pairs, threshold=0.9)
+    kept = {(r["id_a"], r["id_b"]) for r in strict.collect()}
+    assert (1, 3) in kept and all(
+        p in got and got[p] >= 0.9 for p in kept)
+
+
 def test_ngram_jaccard(spark):
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
