@@ -1678,30 +1678,48 @@ class MappingPlanner:
 
     def _raw_key_unique_uncached(self, parent_tm, parent_keys):
         ls = parent_tm.source
-        if (ls.fmt != "parquet" or ls.table or ls.query or ls.view
-                or ls.iterator):
+        if (ls.fmt not in ("parquet", "csv", "tsv") or ls.table or ls.query
+                or ls.view or ls.iterator):
             return None
         path = ls.source
         if not (path and os.path.isfile(path)
                 and os.path.getsize(path) <= RAW_PROBE_BYTES):
             return None
+        if any("{" in k for k in parent_keys):
+            return None
         try:
             import duckdb
-            import pyarrow.parquet as pq
-            import pyarrow.types as pt
 
-            schema = pq.read_schema(path)
-            for k in parent_keys:
-                if "{" in k or k not in schema.names:
-                    return None
-                if not pt.is_integer(schema.field(k).type):
-                    return None
             cols = ", ".join(f'"{k}"' for k in parent_keys)
             notnull = " AND ".join(f'"{k}" IS NOT NULL' for k in parent_keys)
-            n, d = duckdb.execute(
-                f"SELECT count(*), count(DISTINCT ({cols})) "
-                f"FROM read_parquet(?) WHERE {notnull}", [path]).fetchone()
-            return True if n == d else None
+            if ls.fmt == "parquet":
+                import pyarrow.parquet as pq
+                import pyarrow.types as pt
+
+                schema = pq.read_schema(path)
+                for k in parent_keys:
+                    if k not in schema.names:
+                        return None
+                    if not pt.is_integer(schema.field(k).type):
+                        return None
+                n, d = duckdb.execute(
+                    f"SELECT count(*), count(DISTINCT ({cols})) "
+                    f"FROM read_parquet(?) WHERE {notnull}", [path]).fetchone()
+                return True if n == d else None
+            # CSV/TSV: every value is a string — raw uniqueness only
+            # implies pair uniqueness when canonical rendering is the
+            # identity on the values, which pure digit strings guarantee
+            # (no float canonicalization, trim-stable, never NULL-ish)
+            d_ = "\t" if ls.fmt == "tsv" else (ls.delimiter or ",")
+            rel = (f"read_csv('{path}', all_varchar=true, delim='{d_}', "
+                   f"header=true)")
+            digit = " AND ".join(
+                f"coalesce(bool_and(regexp_matches(\"{k}\", '^[0-9]+$')), "
+                f"true)" for k in parent_keys)
+            row = duckdb.execute(
+                f"SELECT count(*) = count(DISTINCT ({cols})), {digit} "
+                f"FROM {rel} WHERE {notnull}").fetchone()
+            return True if row and row[0] and all(row[1:]) else None
         except Exception:
             return None
 
