@@ -724,7 +724,11 @@ def _xml_row_dict(el) -> dict[str, str]:
     the reference's ``tag.split('}')[-1]`` handling)."""
     row: dict[str, str] = {}
     for k, v in el.attrib.items():
+        # own attributes answer both spellings: bare (reference style,
+        # semantify.py:3901-3970 strips the '@') and XPath-style "@name"
+        # (published RMLTC *-XML cases reference attributes as "@ID")
         row[k.split("}")[-1]] = str(v)
+        row["@" + k.split("}")[-1]] = str(v)
     if el.text and el.text.strip():
         row["#text"] = el.text.strip()
     for child in el:

@@ -119,7 +119,8 @@ def test_single_pass_sample_schema_discovery(spark, tmp_path):
     )
     ls = LogicalSource(source=str(p), fmt="xml", iterator="/catalog/item")
     df = read_source(spark, ls)
-    assert sorted(df.columns) == ["name", "sku"]
+    # own attributes surface under both spellings (bare + XPath "@")
+    assert sorted(df.columns) == ["@sku", "name", "sku"]
     assert df.count() == 50
     # exactly one scan of the file in the executed plan
     plan = df._jdf.queryExecution().executedPlan().toString()
