@@ -736,7 +736,9 @@ def _xml_row_dict(el) -> dict[str, str]:
         if child.text is not None:
             row[tag] = child.text
         for k, v in child.attrib.items():
+            # both the reference's "tag@attr" spelling and XPath "tag/@attr"
             row[f"{tag}@{k.split('}')[-1]}"] = str(v)
+            row[f"{tag}/@{k.split('}')[-1]}"] = str(v)
     return row
 
 

@@ -148,3 +148,25 @@ def test_sparql_endpoint_source(spark, monkeypatch):
                        query="SELECT ?name ?chr WHERE { ?s ?p ?o }")
     rows = {tuple(r) for r in read_source(spark, ls).collect()}
     assert rows == {("ann", "chr1"), ("bob", None)}
+
+
+def test_xml_child_attribute_xpath_spelling(spark, tmp_path):
+    """Child attributes answer both the reference's "tag@attr" spelling
+    and XPath "tag/@attr" (published *-XML cases use the latter)."""
+    (tmp_path / "c.xml").write_text(
+        '<cat><item><name>widget</name><price cur="EUR">3</price></item>'
+        '<item><name>gadget</name><price cur="USD">7</price></item></cat>')
+    mapping = PREFIXES + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/c.xml";
+                      rml:referenceFormulation ql:XPath;
+                      rml:iterator "/cat/item" ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{name}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:cur;
+    rr:objectMap [ rml:reference "price/@cur" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:cur2;
+    rr:objectMap [ rml:reference "price@cur" ] ] .
+"""
+    got = triple_set(materialize(spark, mapping))
+    assert ("<http://ex.org/i/widget>", "<http://ex.org/vocab/cur>", '"EUR"') in got
+    assert ("<http://ex.org/i/gadget>", "<http://ex.org/vocab/cur2>", '"USD"') in got
