@@ -241,3 +241,33 @@ def test_sequence_pack_conservation(spark, texts, seq_len):
             last_tok = r["tok_offset"] + r["n_tokens"] - 1
             assert r["seq_last"] == last_tok // seq_len
             expect += r["n_tokens"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([
+            "the quick brown fox jumps over the dog",
+            "the quick brown fox jumps over the dog today",
+            "lorem ipsum dolor sit amet consectetur",
+            "  the quick brown fox jumps over the dog  ",
+            "completely different words appear in this one",
+            "",
+        ]),
+        min_size=2, max_size=12,
+    ))
+def test_minhash_exact_first_always_identical(spark, texts_list):
+    """exact_first signature-clique collapse reconstructs the IDENTICAL
+    pair set for ANY corpus — duplicates, whitespace variants, empty
+    and near-dup texts included (the round-6 core invariant)."""
+    from sdm_rdfizer_spark.ops.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_list)],
+        "doc_id long, text string")
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"]) for r in rows)
+    plain = key(minhash_lsh_pairs(df, num_hashes=8, bands=4).collect())
+    ef = key(minhash_lsh_pairs(df, num_hashes=8, bands=4,
+                               exact_first=True).collect())
+    assert plain == ef
