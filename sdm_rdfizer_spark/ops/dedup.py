@@ -356,6 +356,10 @@ def jaccard_verify_pairs(
     attaching shingle arrays to pair sides. Returns (id_a, id_b,
     jaccard); ``threshold`` filters when given.
     """
+    # the pair frame feeds the id semi-join (twice) AND the verify join
+    # base — without cutting lineage the candidate-generation subtree
+    # (typically an LSH banding join) would recompute three times
+    pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
