@@ -10,7 +10,14 @@ Design notes for 100 TB scale:
   * LSH banding turns all-pairs O(n²) into a self-join on (band, hash)
     buckets, which Spark executes as a shuffled hash join on a
     high-cardinality key — no skew for natural corpora; identical-doc
-    floods can be pre-collapsed with exact dedup first;
+    floods (boilerplate cliques) are handled by ``exact_first``:
+    signature-equal groups contract to one canonical before the pair
+    join with provably identical output (see ``_sig_groups``), and
+    ``neardup_canonical_exact_first`` never materializes clique pairs
+    at all;
+  * candidate pairs are verified exactly by ``jaccard_verify_pairs``
+    (per-pair array_intersect — linear in the candidate count), never
+    by the all-pairs inverted-index baseline;
   * hash functions are md5-derived (not xxhash64) so results are
     engine-portable and deterministic across platforms.
 """
