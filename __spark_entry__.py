@@ -1418,6 +1418,54 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space (deterministic centroids = first n_cells vectors by
+    id, like IVF), then mark duplicates only within each cluster — the
+    greedy min-id-survives rule over round(cos, 6) >= threshold.
+    n_cells scales with the corpus so intra-cell pair work stays linear.
+    """
+    import duckdb
+
+    from sdm_rdfizer_spark.ops.dedup import adaptive_n_cells, semantic_dedup
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
+                       [f"{sf}/embeddings.parquet"]).fetchone()[0]
+    out = semantic_dedup(emb, n_cells=adaptive_n_cells(n), threshold=0.35)
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "keep")
+
+
+# SemDeDup with the IVF centroid convention (first 16 corpus vectors by
+# id; assignment = argmax of round(cos, 9), lowest-centroid-id
+# tie-break); a vector is dropped iff a LOWER-id same-cell vector sits
+# within round(cos, 6) >= 0.35. 16 cells = adaptive_n_cells(500) at the
+# sf0.01 oracle corpus.
+_SEMANTIC_DEDUP_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), vsim AS (
+  SELECT v.vec_id, v.embedding::DOUBLE[] AS vec, c.cid,
+         round(list_cosine_similarity(v.embedding::DOUBLE[], c.cvec), 9) AS csim
+  FROM embeddings v CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT vec_id, vec, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM vsim) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
+)
+SELECT g.vec_id, g.cell::BIGINT AS cell, (d.vec_id IS NULL) AS keep
+FROM asg g LEFT JOIN dups d USING (vec_id)
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.similarity import ivf_topk
     from sdm_rdfizer_spark.sources import read_parquet
@@ -3100,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_ivf_topk,
         "dedup_components": _q_dedup_components,
         "dedup_jaccard_verify": _q_jaccard_verify,
+        "dedup_semantic": _q_semantic_dedup,
         # --- RML surface (recorded green in r3) ---
         "rml_xml_parent_axis": _q_xml_parent_axis,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -3182,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "dedup_jaccard_verify": _jaccard_verify_oracle(),
+        "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "multimodal_framesample": _MULTIMODAL_FRAMESAMPLE_ORACLE,

@@ -884,3 +884,104 @@ def ngram_decontaminate(
             (F.col("n_contaminated") > 0).alias("contaminated"),
         )
     )
+
+
+def adaptive_n_cells(n_vectors: int, *, target_occupancy: int = 64,
+                     floor: int = 16, ceiling: int = 4096) -> int:
+    """Cluster count for ``semantic_dedup`` sized to the corpus.
+
+    Intra-cell pair work grows as occupancy², so holding occupancy
+    roughly constant keeps the total pair count LINEAR in n:
+    cells ≈ n / target_occupancy. Floored for stability on tiny corpora
+    and capped because cell assignment broadcasts the k×dim centroid
+    matrix as plan literals (see similarity._assign_cells — beyond a few
+    thousand centroids the argmax expression tree is the bottleneck and
+    an Arrow-batched argmax pass should take over)."""
+    import math
+
+    if n_vectors <= 0:
+        return floor
+    return max(floor, min(ceiling,
+                          math.ceil(n_vectors / target_occupancy)))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then look for
+    duplicates only WITHIN each cluster — the cluster prune turns the
+    all-pairs O(n²) cosine scan into per-cell joins whose total size
+    stays linear when ``n_cells`` scales with the corpus
+    (``adaptive_n_cells``).
+
+    Returns one row per input vector: (id_col, cell, keep) where
+    ``keep`` is false iff some LOWER-id vector in the same cell has
+    ``round(cos, 6) >= threshold`` — the greedy min-id-survives rule,
+    deterministic and engine-portable. Exact duplicates always share a
+    cell (identical vectors produce identical centroid similarities), so
+    every exact-duplicate group keeps exactly its min id.
+
+    Clustering matches ``ivf_topk``: with ``kmeans_iters=0`` the
+    centroids are the first ``n_cells`` corpus vectors by id
+    (deterministic — an engine-replayable oracle exists); ``>0`` refines
+    them with distributed Lloyd iterations. Assignment broadcasts the
+    centroid matrix as plan literals (one Arrow-batched dot pass, no
+    shuffle); the only shuffles are the per-cell self-join and the
+    duplicate-id distinct. Cell assignment ties break on round(cos, 9) /
+    lowest centroid id, like IVF.
+    """
+    from .similarity import _assign_cells, _dot, _norm
+
+    if kmeans_iters > 0:
+        from .similarity import train_kmeans_centroids
+
+        centroids = train_kmeans_centroids(
+            df, id_col=id_col, vec_col=vec_col, k=n_cells,
+            iters=kmeans_iters)
+    else:
+        cent_rows = (
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+    # the assignment pass (one Arrow-batched dot product per centroid)
+    # feeds BOTH self-join sides and the final keep join — checkpoint it
+    # so the corpus is scanned and assigned once, not three times
+    assigned = _assign_cells(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        "__v", centroids,
+    ).withColumn("__n", _norm(F.col("__v"))).localCheckpoint(eager=False)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__n") * F.col("b.__n")), 6)
+    dup_ids = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .where(sim >= F.lit(threshold))
+        .select(F.col("b.__id").alias("__id"))
+        .dropDuplicates()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1527,3 +1527,39 @@ def test_wav_decoder_through_media_pipeline(spark):
     assert len(rows) == 1
     assert rows[0]["duration_ms"] == 1500
     assert rows[0]["n_bytes"] == len(wav)
+
+
+def test_semantic_dedup_cells_and_keep_rule(spark):
+    """Crafted 4-dim corpus with two obvious clusters: exact duplicates
+    land in the same cell and only the min id keeps; near-duplicates
+    above the threshold drop; an equidistant vector tie-breaks to the
+    lowest centroid id and survives (below threshold to everything)."""
+    from sdm_rdfizer_spark.ops.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid of cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid of cell 1
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+        (3, [0.9, 0.1, 0.0, 0.0]),   # near-dup of 0 (cos ~0.994)
+        (4, [0.1, 0.9, 0.0, 0.0]),   # near-dup of 1 (cos ~0.994)
+        (5, [0.7, 0.7, 0.0, 0.0]),   # equidistant: tie -> cell 0; keeps
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, n_cells=2, threshold=0.95).collect()}
+    assert {k: r["keep"] for k, r in out.items()} == {
+        0: True, 1: True, 2: False, 3: False, 4: False, 5: True}
+    assert {k: r["cell"] for k, r in out.items()} == {
+        0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 0}
+
+
+def test_adaptive_n_cells_occupancy_scaling():
+    from sdm_rdfizer_spark.ops.dedup import adaptive_n_cells
+
+    assert adaptive_n_cells(0) == 16          # floor on empty/tiny
+    assert adaptive_n_cells(500) == 16        # sf0.01 oracle corpus
+    assert adaptive_n_cells(64 * 100) == 100  # ~constant occupancy
+    assert adaptive_n_cells(10**9) == 4096    # literal-tree ceiling
+    # occupancy stays ~target as the corpus grows 10x
+    assert 8 <= 64_000 / adaptive_n_cells(64_000) <= 128
+    assert 8 <= 256_000 / adaptive_n_cells(256_000) <= 128
