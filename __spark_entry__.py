@@ -1136,6 +1136,66 @@ FROM j WHERE round(n_inter / greatest(n_union, 1)::DOUBLE, 6) >= 0.5
 """
 
 
+def _q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus similarity join (entity resolution / "is this
+    candidate already in the curated set"): the documents table split by
+    id parity into two corpora, LSH-banded candidates across the split,
+    exact-Jaccard verified. Same md5 hash family on both sides so the
+    oracle replays the buckets."""
+    from sdm_rdfizer_spark.ops.dedup import minhash_lsh_join
+
+    docs = _docs(spark, sf)
+    return minhash_lsh_join(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.3)
+
+
+def _similarity_join_oracle(num_hashes: int = 16, bands: int = 4,
+                            shingle_n: int = 3,
+                            threshold: float = 0.3) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        members = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({members}) AS bh FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i+1:i+{shingle_n}], ' ')
+                                FOR i IN range(0, greatest(len(words)-{shingle_n}, 0)+1)]) AS shs
+  FROM w
+), ex AS (
+  SELECT doc_id, unnest(shs) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM ex GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+), cand AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS n_shared_bands
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+  GROUP BY 1, 2
+), j AS (
+  SELECT c.left_id, c.right_id, c.n_shared_bands,
+         len(list_intersect(a.shs, b.shs)) AS n_inter,
+         len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS n_union
+  FROM cand c JOIN sh a ON c.left_id = a.doc_id JOIN sh b ON c.right_id = b.doc_id
+)
+SELECT left_id, right_id, n_shared_bands,
+       round(n_inter / greatest(n_union, 1)::DOUBLE, 6) AS jaccard
+FROM j WHERE round(n_inter / greatest(n_union, 1)::DOUBLE, 6) >= {threshold}
+"""
+
+
 def _q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.similarity import brute_force_topk
     from sdm_rdfizer_spark.sources import read_parquet
@@ -3149,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_jaccard_verify": _q_jaccard_verify,
         "dedup_semantic": _q_semantic_dedup,
+        "dedup_similarity_join": _q_similarity_join,
         # --- RML surface (recorded green in r3) ---
         "rml_xml_parent_axis": _q_xml_parent_axis,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -3232,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_oracle(),
         "dedup_jaccard_verify": _jaccard_verify_oracle(),
         "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
+        "dedup_similarity_join": _similarity_join_oracle(),
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "multimodal_framesample": _MULTIMODAL_FRAMESAMPLE_ORACLE,

@@ -120,6 +120,22 @@ def _sig_groups(sig: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     return mem.join(grp, "__gk").select(F.col(id_col), F.col("__cid"))
 
 
+def _banded(sig: DataFrame, id_col: str, num_hashes: int,
+            bands: int) -> DataFrame:
+    """(id, band, bh) frame: the signature split into ``bands`` band
+    hashes — the LSH bucket key both the self-join and the cross-corpus
+    similarity join shuffle on."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
+        )
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
+              .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
 def _band_pair_join(
     sig: DataFrame,
     id_col: str,
@@ -128,15 +144,7 @@ def _band_pair_join(
 ) -> DataFrame:
     """Banding self-join over a signature frame → (id_a, id_b,
     n_shared_bands) with id_a < id_b."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
-        )
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
-                .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = _banded(sig, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -905,6 +913,57 @@ def adaptive_n_cells(n_vectors: int, *, target_occupancy: int = 64,
                           math.ceil(n_vectors / target_occupancy)))
 
 
+def _semantic_drop_cells_arrow(assigned: DataFrame, id_col: str,
+                               threshold: float,
+                               block: int = 4096) -> DataFrame:
+    """Large-scale scoring stage of ``semantic_dedup``: ONE shuffle on
+    the cell id, then each cell's pairwise cosine matrix in a blocked
+    BLAS pass inside ``applyInPandas`` — pairs are never materialized
+    through a join, so a near-duplicate clique of m replicas costs an
+    m×m matmul in one task instead of m²/2 rows through the shuffle and
+    m²·dim/2 interpreted HOF lambda calls (sf10 measured: 69 s join
+    path → the matmul is seconds). Column blocks of ``block`` bound the
+    per-task working set to occupancy×block floats regardless of cell
+    size. Malformed vectors (NULL cell / short array) keep=True — no
+    scorable evidence against them."""
+    import pandas as pd
+
+    schema = f"{id_col} long, cell long, keep boolean"
+
+    def drop_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        cell = pdf["cell"].iloc[0]
+        cell = None if pd.isna(cell) else int(cell)
+        vecs = pdf["__v"].tolist()
+        dims = {len(v) for v in vecs if v is not None}
+        dim = max(dims) if dims else 0
+        ok = np.array([v is not None and len(v) == dim
+                       and not any(e is None for e in v) for v in vecs])
+        keep = np.ones(len(ids), dtype=bool)
+        if cell is not None and ok.sum() > 1:
+            x = np.array([vecs[i] for i in np.flatnonzero(ok)],
+                         dtype=np.float64)
+            n = np.sqrt((x * x).sum(axis=1))
+            n[n == 0] = 1.0
+            xn = x / n[:, None]
+            m = len(xn)
+            dropped = np.zeros(m, dtype=bool)
+            for a0 in range(0, m, block):
+                a1 = min(a0 + block, m)
+                sims = np.round(xn @ xn[a0:a1].T, 6)
+                for j in range(a0, a1):
+                    if j > 0 and (sims[:j, j - a0] >= threshold).any():
+                        dropped[j] = True
+            keep[np.flatnonzero(ok)] = ~dropped
+        return pd.DataFrame({id_col: ids, "cell": [cell] * len(ids),
+                             "keep": keep})
+
+    return assigned.groupBy("cell").applyInPandas(drop_in_cell, schema)
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -913,12 +972,13 @@ def semantic_dedup(
     n_cells: int = 16,
     threshold: float = 0.9,
     kmeans_iters: int = 0,
+    max_exact_k: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then look for
     duplicates only WITHIN each cluster — the cluster prune turns the
-    all-pairs O(n²) cosine scan into per-cell joins whose total size
-    stays linear when ``n_cells`` scales with the corpus
+    all-pairs O(n²) cosine scan into per-cell work whose total stays
+    linear when ``n_cells`` scales with the corpus
     (``adaptive_n_cells``).
 
     Returns one row per input vector: (id_col, cell, keep) where
@@ -933,9 +993,14 @@ def semantic_dedup(
     (deterministic — an engine-replayable oracle exists); ``>0`` refines
     them with distributed Lloyd iterations. Assignment broadcasts the
     centroid matrix as plan literals (one Arrow-batched dot pass, no
-    shuffle); the only shuffles are the per-cell self-join and the
-    duplicate-id distinct. Cell assignment ties break on round(cos, 9) /
-    lowest centroid id, like IVF.
+    shuffle). Two scoring paths: up to ``max_exact_k`` cells the
+    intra-cell pairs go through a Column-expression join whose rounding
+    is bit-replayable by a SQL oracle; above it (where the corpus — and
+    with it every per-cell near-dup clique — is large) scoring moves to
+    ``_semantic_drop_cells_arrow``: one shuffle on the cell id and a
+    blocked per-cell BLAS pass, no pair materialization. Same keep rule;
+    the paths differ only in float summation order on 1e-6 rounding
+    ties.
     """
     from .similarity import _assign_cells, _dot, _norm
 
@@ -954,16 +1019,21 @@ def semantic_dedup(
         )
         centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
 
-    # the assignment pass (one Arrow-batched dot product per centroid)
-    # feeds BOTH self-join sides and the final keep join — checkpoint it
-    # so the corpus is scanned and assigned once, not three times
     assigned = _assign_cells(
         df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         ),
-        "__v", centroids,
-    ).withColumn("__n", _norm(F.col("__v"))).localCheckpoint(eager=False)
+        "__v", centroids, max_exact_k=max_exact_k,
+    )
+    if len(centroids) > max_exact_k:
+        return _semantic_drop_cells_arrow(assigned, id_col, threshold)
+
+    # exact small-k path: the assignment pass feeds BOTH self-join sides
+    # and the final keep join — checkpoint it so the corpus is scanned
+    # and assigned once, not three times
+    assigned = assigned.withColumn(
+        "__n", _norm(F.col("__v"))).localCheckpoint(eager=False)
 
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.round(
@@ -984,4 +1054,74 @@ def semantic_dedup(
             F.col("cell"),
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Similarity join (fuzzy join / entity resolution) between TWO
+    corpora: candidate (left, right) pairs whose MinHash signatures
+    share at least one LSH band, optionally verified with exact n-gram
+    Jaccard.
+
+    The reference-world analogue is record linkage across sources; in a
+    training-data pipeline this is "which candidate documents already
+    exist in the curated set". Banding turns the n×m cross product into
+    a shuffled equi-join on (band, band-hash) — both sides hash with the
+    SAME md5 seed family, so near-identical texts collide regardless of
+    which side they sit on. With ``threshold`` the candidates are
+    verified exactly: shingle arrays are attached per side (semi-join
+    pruned to candidate ids — linear in the candidate count, like
+    ``jaccard_verify_pairs``) and pairs below the Jaccard cut drop.
+
+    Returns (left_id, right_id, n_shared_bands[, jaccard]).
+    """
+    lsig = minhash_signatures(left, text_col, id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+    rsig = minhash_signatures(right, text_col, id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+    lb = _banded(lsig, id_col, num_hashes, bands).alias("l")
+    rb = _banded(rsig, id_col, num_hashes, bands).alias("r")
+    cand = (
+        lb.join(rb, (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh")))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    if threshold is None:
+        return cand
+    # verify stage: candidate pairs feed two id semi-joins and the
+    # verify join base — checkpoint so the banding join runs once
+    cand = cand.localCheckpoint(eager=True)
+
+    def _shs(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        ids = cand.select(F.col(out_id).alias(id_col)).distinct()
+        return (
+            df.join(ids, id_col)
+            .select(F.col(id_col), words(text_col).alias("__w"))
+            .select(F.col(id_col).alias(out_id),
+                    shingles(F.col("__w"), shingle_n).alias(out_sh))
+        )
+
+    joined = (cand.join(_shs(left, "left_id", "__shl"), "left_id")
+                  .join(_shs(right, "right_id", "__shr"), "right_id"))
+    inter = F.size(F.array_intersect("__shl", "__shr"))
+    union = F.size("__shl") + F.size("__shr") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return (
+        joined.select("left_id", "right_id", "n_shared_bands",
+                      jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )

@@ -78,6 +78,46 @@ def _centroid_dots(centroids: list[tuple[int, list[float]]]):
     return dots
 
 
+def _centroid_argmax(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched pandas UDF returning the nearest-centroid id per
+    vector — the LARGE-k companion to ``_centroid_dots``.
+
+    Beyond a few hundred centroids the exact path's argmax expression
+    (an F.array of k structs) hits the janino 64 KB method limit — the
+    r5 lesson: the stage silently falls back to interpreted and re-pays
+    a failed multi-second compile per action. Here the whole
+    sims-matrix + argmax happens in ONE NumPy pass (``m @ C.T``), so the
+    plan stays flat no matter how many cells the corpus needs. BLAS
+    summation order differs from the exact path's sequential fold, so
+    this path is NOT bit-matched on 1e-9 rounding ties (ties pick the
+    lowest centroid id in both paths; only the small-k exact path is
+    oracle-checked). Malformed rows (short vector, NULL element) yield a
+    NULL cell, matching ``_centroid_dots``'s NULL propagation."""
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cids = np.array([centroids[i][0] for i in order], dtype=np.int64)
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+    dim = cmat.shape[1] if cmat.size else 0
+
+    @F.pandas_udf("long")
+    def cell(col: pd.Series) -> pd.Series:
+        vals = col.tolist()
+        live = [i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+                and not any(e is None for e in v)]
+        out: list = [None] * len(vals)
+        if live:
+            m = np.array([vals[i] for i in live], dtype=np.float64)
+            vn = np.sqrt((m * m).sum(axis=1))
+            sims = np.round((m @ cmat.T) / (vn[:, None] * cnorms[None, :]), 9)
+            best = cids[np.argmax(sims, axis=1)]  # first max = lowest cid
+            for row, i in enumerate(live):
+                out[i] = int(best[row])
+        return pd.Series(out)
+
+    return cell
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -282,9 +322,16 @@ def train_kmeans_centroids(
 
 
 def _assign_cells(frame: DataFrame, vcol: str,
-                  centroids: list[tuple[int, list[float]]]) -> DataFrame:
+                  centroids: list[tuple[int, list[float]]],
+                  *, max_exact_k: int = 256) -> DataFrame:
     """Nearest-centroid cell id per row (cosine, lowest-cid tie-break),
-    centroids as broadcast plan literals — no shuffle."""
+    centroids as broadcast plan literals — no shuffle. Above
+    ``max_exact_k`` centroids the Column argmax would overflow janino's
+    method limit, so assignment moves wholesale into the Arrow-batched
+    ``_centroid_argmax`` pass (same tie-break; see its codegen note)."""
+    if len(centroids) > max_exact_k:
+        cell = _centroid_argmax(centroids)
+        return frame.withColumn("cell", cell(F.col(vcol)))
     cnorms = {cid: math.sqrt(sum(x * x for x in vec)) for cid, vec in centroids}
     dots = _centroid_dots(centroids)
     staged = frame.withColumn("__an", _norm(F.col(vcol))).withColumn(

@@ -1563,3 +1563,81 @@ def test_adaptive_n_cells_occupancy_scaling():
     # occupancy stays ~target as the corpus grows 10x
     assert 8 <= 64_000 / adaptive_n_cells(64_000) <= 128
     assert 8 <= 256_000 / adaptive_n_cells(256_000) <= 128
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """Similarity join finds near-identical texts ACROSS the two inputs,
+    never pairs within one side, and exact-Jaccard verification drops
+    dissimilar bucket collisions."""
+    from sdm_rdfizer_spark.ops.dedup import minhash_lsh_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    left = spark.createDataFrame(
+        [(0, base), (2, base + " tonight"),
+         (4, "completely different words about spark physical planning")],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(1, base), (3, "unrelated text mentioning catalyst optimizer rules")],
+        "doc_id long, text string")
+    out = minhash_lsh_join(left, right, threshold=0.5).collect()
+    got = {(r["left_id"], r["right_id"]): r["jaccard"] for r in out}
+    assert (0, 1) in got and got[(0, 1)] == 1.0   # identical across sides
+    assert (2, 1) in got                           # near-dup across sides
+    assert all(lid % 2 == 0 and rid % 2 == 1 for lid, rid in got)
+    assert (4, 3) not in got                       # dissimilar pair dropped
+
+
+def test_semantic_dedup_arrow_path_matches_exact(spark):
+    """The blocked-BLAS large-k scoring path must produce the same
+    (cell, keep) verdicts as the Column-exact join path (random data —
+    no 1e-6 rounding ties), including with a tiny block size so the
+    blocking logic is exercised."""
+    import random
+
+    from sdm_rdfizer_spark.ops.dedup import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        # a jittered near-dup for every other vector
+        if i % 2 == 0:
+            rows.append((2 * i + 1,
+                         [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda out: {r["vec_id"]: (r["cell"], r["keep"]) for r in out}
+    exact = key(semantic_dedup(df, n_cells=6, threshold=0.98).collect())
+    arrow = key(semantic_dedup(df, n_cells=6, threshold=0.98,
+                               max_exact_k=1).collect())
+    assert arrow == exact
+    assert any(not v[1] for v in exact.values())   # some dups found
+    assert any(v[1] for v in exact.values())       # and some keepers
+
+
+def test_semantic_drop_cells_blocking_invariant(spark):
+    """Column-block size must not change verdicts (the blocked matmul
+    covers exactly the i<j half-matrix regardless of block)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import _semantic_drop_cells_arrow
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        base = [rng.uniform(-1, 1) for _ in range(6)]
+        rows.append((i, base, i % 3))
+        if i % 4 == 0:
+            rows.append((i + 100,
+                         [x + rng.uniform(-0.005, 0.005) for x in base],
+                         i % 3))
+    assigned = spark.createDataFrame(
+        rows, "__id long, __v array<double>, cell long")
+    key = lambda out: {r[0]: (r[1], r[2]) for r in out}
+    big = key(_semantic_drop_cells_arrow(assigned, "vec_id", 0.98).collect())
+    small = key(_semantic_drop_cells_arrow(assigned, "vec_id", 0.98,
+                                           block=2).collect())
+    assert big == small
+    assert any(not v[1] for v in big.values())

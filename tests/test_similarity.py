@@ -80,3 +80,28 @@ def test_label_centroids_exact_means(spark):
     assert out[("b", 0)]["centroid_val"] == 5.0
     assert all(r["n_vecs"] == (2 if lbl == "a" else 1)
                for (lbl, _), r in out.items())
+
+
+def test_assign_cells_argmax_path_matches_exact(spark):
+    """Above max_exact_k the Arrow argmax path must assign the same
+    cells as the Column-expression exact path (random data — no 1e-9
+    rounding ties), and malformed vectors degrade to NULL cells."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.similarity import _assign_cells
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((40, [0.5, 0.5]))          # short vector -> NULL cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [(i, vec) for i, vec in rows[:5]]
+    frame = df.select("vec_id", F.col("embedding").alias("__v"))
+    exact = {r["vec_id"]: r["cell"] for r in
+             _assign_cells(frame, "__v", centroids).collect()}
+    arrow = {r["vec_id"]: r["cell"] for r in
+             _assign_cells(frame, "__v", centroids, max_exact_k=1).collect()}
+    assert {k: v for k, v in arrow.items() if k != 40} == \
+           {k: v for k, v in exact.items() if k != 40}
+    assert arrow[40] is None
