@@ -951,12 +951,14 @@ def _semantic_drop_cells_arrow(assigned: DataFrame, id_col: str,
             xn = x / n[:, None]
             m = len(xn)
             dropped = np.zeros(m, dtype=bool)
+            rows = np.arange(m)
             for a0 in range(0, m, block):
                 a1 = min(a0 + block, m)
                 sims = np.round(xn @ xn[a0:a1].T, 6)
-                for j in range(a0, a1):
-                    if j > 0 and (sims[:j, j - a0] >= threshold).any():
-                        dropped[j] = True
+                # col j (global) sees only rows i < j — the strict
+                # lower-id half-matrix, vectorized across the block
+                allowed = rows[:, None] < np.arange(a0, a1)[None, :]
+                dropped[a0:a1] = ((sims >= threshold) & allowed).any(axis=0)
             keep[np.flatnonzero(ok)] = ~dropped
         return pd.DataFrame({id_col: ids, "cell": [cell] * len(ids),
                              "keep": keep})

@@ -259,3 +259,22 @@ def test_sliding_window_expand_before_partial_agg(spark, entry):
     exchange_pos = plan.index("Exchange")
     partial_pos = plan.rindex("HashAggregate")
     assert exchange_pos < partial_pos < expand_pos, plan
+
+
+def test_semantic_dedup_small_k_exact_plan(spark, entry):
+    """Small-cell-count semantic dedup: the intra-cell self-join stays a
+    cell equi-join (no cartesian/nested-loop), and the keep join against
+    the (small) duplicate-id set broadcasts."""
+    plan = _plan(entry.queries()["dedup_semantic"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_similarity_join_banding_equi_join(spark, entry):
+    """Cross-corpus similarity join: candidates come from an equi-join
+    on the (band, band-hash) key — never a cartesian — and the verify
+    stage's id joins stay equi-joins."""
+    plan = _plan(entry.queries()["dedup_similarity_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
