@@ -271,3 +271,42 @@ def test_minhash_exact_first_always_identical(spark, texts_list):
     ef = key(minhash_lsh_pairs(df, num_hashes=8, bands=4,
                                exact_first=True).collect())
     assert plain == ef
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([
+            "the quick brown fox jumps over the dog",
+            "the quick brown fox jumps over the dog today",
+            "lorem ipsum dolor sit amet consectetur",
+            "  the quick brown fox jumps over the dog  ",
+            "completely different words appear in this one",
+            "",
+        ]),
+        min_size=2, max_size=12,
+    ))
+def test_similarity_join_matches_parity_filtered_self_pairs(spark, texts_list):
+    """minhash_lsh_join(left, right) over an id-parity split equals the
+    self-join candidate set of the WHOLE corpus restricted to
+    cross-parity pairs — same md5 band family on both sides, so the
+    cross-corpus join must see exactly the pairs the self-join sees."""
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import minhash_lsh_join, minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_list)],
+        "doc_id long, text string")
+    self_pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()
+    expected = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"]) for r in self_pairs
+        if r["id_a"] % 2 != r["id_b"] % 2)
+    joined = minhash_lsh_join(
+        df.where(F.col("doc_id") % 2 == 0),
+        df.where(F.col("doc_id") % 2 == 1),
+        num_hashes=8, bands=4).collect()
+    got = sorted(
+        (min(r["left_id"], r["right_id"]), max(r["left_id"], r["right_id"]),
+         r["n_shared_bands"]) for r in joined)
+    assert got == expected
