@@ -249,6 +249,209 @@ SELECT s, p, o FROM (
 """
 
 
+def _q_rdf_source(spark: SparkSession, sf: str) -> DataFrame:
+    """RML over an RDF-file logical source (.nt) with a SPARQL BGP
+    iterator (reference: rdflib SELECT over the parsed graph,
+    semantify.py:9989-10011; here the BGP compiles into Catalyst
+    self-joins on the shared subject variable): the nation table staged
+    as N-Triples, the 3-pattern iterator projected into (k, n, r) rows,
+    then a two-POM TriplesMap over them."""
+    import hashlib
+    import tempfile
+
+    import duckdb
+
+    from sdm_rdfizer_spark import materialize
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "sdm_ntsrc_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        rows = duckdb.execute(
+            f"SELECT n_nationkey, n_name, n_regionkey FROM "
+            f"'{sf}/nation.parquet' ORDER BY n_nationkey").fetchall()
+        with open(os.path.join(d, "nation.nt"), "w") as f:
+            for k, n, r in rows:
+                f.write(f'<http://x.org/nation/{k}> <http://x.org/key> "{k}" .\n')
+                f.write(f'<http://x.org/nation/{k}> <http://x.org/name> "{n}" .\n')
+                f.write(f'<http://x.org/nation/{k}> <http://x.org/region> "{r}" .\n')
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    mapping = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<#NationFromRDF> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "nation.nt";
+     rml:referenceFormulation ql:NTriples;
+     rml:iterator "SELECT ?k ?n ?r WHERE { ?s <http://x.org/key> ?k . ?s <http://x.org/name> ?n . ?s <http://x.org/region> ?r }" ];
+  rr:subjectMap [ rr:template "http://example.com/nation/{k}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:region; rr:objectMap [
+      rr:template "http://example.com/region/{r}" ] ] .
+"""
+    return materialize(spark, mapping, base_dir=d).select("s", "p", "o")
+
+
+_RDF_SOURCE_ORACLE = """
+SELECT s, p, o FROM (
+  SELECT '<http://example.com/nation/' || n_nationkey || '>' AS s,
+         '<http://example.com/name>' AS p,
+         '"' || n_name || '"' AS o
+  FROM nation
+  UNION ALL
+  SELECT '<http://example.com/nation/' || n_nationkey || '>',
+         '<http://example.com/region>',
+         '<http://example.com/region/' || n_regionkey || '>'
+  FROM nation
+)
+"""
+
+
+def _q_sparql_source(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL-endpoint logical source end-to-end (SURVEY #13): a local
+    stdlib HTTP server answers application/sparql-results+json with
+    LIMIT/OFFSET paging honored, the reader stages one page at a time to
+    parquet (sources.py:114-182 — driver holds at most one page), and
+    the TriplesMap maps the projected bindings. The server serves the
+    nation table, lives only through materialize()'s eager staging, and
+    binds an ephemeral port so parallel runs can't collide."""
+    import json as _json
+    import re as _re
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import duckdb
+
+    from sdm_rdfizer_spark import materialize
+
+    rows = duckdb.execute(
+        f"SELECT n_nationkey, n_name FROM '{sf}/nation.parquet' "
+        f"ORDER BY n_nationkey").fetchall()
+    bindings = [
+        {"key": {"type": "literal", "value": str(k)},
+         "name": {"type": "literal", "value": n}}
+        for k, n in rows
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query).get("query", [""])[0]
+            m = _re.search(r"LIMIT\s+(\d+)\s+OFFSET\s+(\d+)", q, _re.I)
+            lim, off = ((int(m.group(1)), int(m.group(2))) if m
+                        else (len(bindings), 0))
+            data = _json.dumps({
+                "head": {"vars": ["key", "name"]},
+                "results": {"bindings": bindings[off:off + lim]},
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # silence request logging
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        mapping = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .
+@prefix ex: <http://example.com/> .
+
+<#NationFromEndpoint> a rr:TriplesMap;
+  rml:logicalSource [
+    rml:source [ sd:endpoint <http://127.0.0.1:{port}/sparql> ];
+    rml:referenceFormulation ql:SPARQL;
+    rml:query "SELECT ?key ?name WHERE {{ ?s <http://x.org/key> ?key . ?s <http://x.org/name> ?name }}" ];
+  rr:subjectMap [ rr:template "http://example.com/nation/{{key}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+"""
+        # compile (and with it the paged endpoint staging) happens here;
+        # the returned frame reads the staged parquet, not the server
+        return materialize(spark, mapping).select("s", "p", "o")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+_SPARQL_SOURCE_ORACLE = """
+SELECT '<http://example.com/nation/' || n_nationkey || '>' AS s,
+       '<http://example.com/name>' AS p,
+       '"' || n_name || '"' AS o
+FROM nation
+"""
+
+
+def _q_http_csv_source(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV logical source over HTTP (SURVEY #4): a local stdlib server
+    serves the region table as text/csv, `_stage_remote`
+    (sources.py:22-46) downloads it eagerly at compile — reference
+    parity: semantify.py:10225-10231 — and the scan runs on the staged
+    file. Ephemeral port; server torn down after materialize()."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import duckdb
+
+    from sdm_rdfizer_spark import materialize
+
+    rows = duckdb.execute(
+        f"SELECT r_regionkey, r_name FROM '{sf}/region.parquet' "
+        f"ORDER BY r_regionkey").fetchall()
+    body = ("r_regionkey,r_name\n" +
+            "".join(f"{k},{n}\n" for k, n in rows)).encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        mapping = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<#RegionHttp> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "http://127.0.0.1:{port}/region.csv";
+     rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/region/{{r_regionkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+        return materialize(spark, mapping).select("s", "p", "o")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+_HTTP_CSV_SOURCE_ORACLE = """
+SELECT '<http://example.com/region/' || r_regionkey || '>' AS s,
+       '<http://example.com/name>' AS p,
+       '"' || r_name || '"' AS o
+FROM region
+"""
+
+
 def _q_events_timestamps(spark: SparkSession, sf: str) -> DataFrame:
     """Typed timestamp rendering + self-join elimination (same source,
     child==parent keys compiles to a pure projection, SURVEY §4)."""
@@ -3217,6 +3420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_logical_view": _q_logical_view,
         "rml_dedup_reference_scope": _q_dedup_reference_scope,
         "rml_events_timestamps": _q_events_timestamps,
+        "rml_rdf_source": _q_rdf_source,
+        "rml_sparql_source": _q_sparql_source,
+        "rml_http_csv_source": _q_http_csv_source,
         "rml_dedup_flags": _q_dedup_flags,
         "rml_part_template": _q_part_template,
         "rml_orders_quads": _q_orders_quads,
@@ -3266,6 +3472,9 @@ def oracle_sql() -> dict[str, str]:
         "rml_xml_supplier": _XML_SUPPLIER_ORACLE,
         "rml_xml_parent_axis": _XML_PARENT_AXIS_ORACLE,
         "rml_dedup_reference_scope": _DEDUP_REFERENCE_SCOPE_ORACLE,
+        "rml_rdf_source": _RDF_SOURCE_ORACLE,
+        "rml_sparql_source": _SPARQL_SOURCE_ORACLE,
+        "rml_http_csv_source": _HTTP_CSV_SOURCE_ORACLE,
         "rml_csv_infer": _CSV_INFER_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
