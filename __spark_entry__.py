@@ -452,6 +452,67 @@ FROM region
 """
 
 
+def _q_json_predicate_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Inline JSONPath predicate references (SURVEY #27,
+    ``field[?(@.x=='v')].y`` — reference: functions.py:1820-1864): the
+    customer table staged as JSON with a tagged fields array, two POMs
+    selecting different tags out of the SAME array via inline
+    predicates."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    import duckdb
+
+    from sdm_rdfizer_spark import materialize
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "sdm_jsonpred_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        rows = duckdb.execute(
+            f"SELECT c_custkey, c_name, c_mktsegment FROM "
+            f"'{sf}/customer.parquet' ORDER BY c_custkey").fetchall()
+        payload = {"customers": [
+            {"c_custkey": int(k),
+             "fields": [{"t": "name", "v": nm}, {"t": "seg", "v": seg}]}
+            for k, nm, seg in rows]}
+        with open(os.path.join(d, "customer.json"), "w") as f:
+            _json.dump(payload, f)
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    mapping = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<#CustomerFields> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "customer.json";
+     rml:referenceFormulation ql:JSONPath; rml:iterator "$.customers[*]" ];
+  rr:subjectMap [ rr:template "http://example.com/customer/{c_custkey}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [
+      rml:reference "fields[?(@.t=='name')].v" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:segment; rr:objectMap [
+      rml:reference "fields[?(@.t=='seg')].v" ] ] .
+"""
+    return materialize(spark, mapping, base_dir=d).select("s", "p", "o")
+
+
+_JSON_PREDICATE_ORACLE = """
+SELECT s, p, o FROM (
+  SELECT '<http://example.com/customer/' || c_custkey || '>' AS s,
+         '<http://example.com/name>' AS p,
+         '"' || c_name || '"' AS o
+  FROM customer
+  UNION ALL
+  SELECT '<http://example.com/customer/' || c_custkey || '>',
+         '<http://example.com/segment>',
+         '"' || c_mktsegment || '"'
+  FROM customer
+)
+"""
+
+
 def _q_events_timestamps(spark: SparkSession, sf: str) -> DataFrame:
     """Typed timestamp rendering + self-join elimination (same source,
     child==parent keys compiles to a pure projection, SURVEY §4)."""
@@ -3423,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_rdf_source": _q_rdf_source,
         "rml_sparql_source": _q_sparql_source,
         "rml_http_csv_source": _q_http_csv_source,
+        "rml_json_predicate": _q_json_predicate_source,
         "rml_dedup_flags": _q_dedup_flags,
         "rml_part_template": _q_part_template,
         "rml_orders_quads": _q_orders_quads,
@@ -3475,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_rdf_source": _RDF_SOURCE_ORACLE,
         "rml_sparql_source": _SPARQL_SOURCE_ORACLE,
         "rml_http_csv_source": _HTTP_CSV_SOURCE_ORACLE,
+        "rml_json_predicate": _JSON_PREDICATE_ORACLE,
         "rml_csv_infer": _CSV_INFER_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,
