@@ -513,6 +513,43 @@ SELECT s, p, o FROM (
 """
 
 
+def _q_function_condition(spark: SparkSession, sf: str) -> DataFrame:
+    """Function-valued row filter (SURVEY #31): rml:condition on the
+    subject map gates rows through grel:equal — only BUILDING-segment
+    customers emit triples (reference: semantify.py:6383-6407; compiled
+    into a plain Column predicate, never a per-row UDF)."""
+    from sdm_rdfizer_spark import materialize
+
+    d = _stage_gtfs_sources(sf)
+    mapping = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+@prefix ex: <http://example.com/> .
+
+<#BuildingCustomers> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://example.com/customer/{c_custkey}";
+                  rml:condition <#IsBuilding> ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "c_name" ] ] .
+<#IsBuilding>
+  rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:equal ];
+  rr:predicateObjectMap [ rr:predicate grel:valueParam; rr:objectMap [ rml:reference "c_mktsegment" ] ];
+  rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:constant "BUILDING" ] ] .
+"""
+    return materialize(spark, mapping, base_dir=d).select("s", "p", "o")
+
+
+_FUNCTION_CONDITION_ORACLE = """
+SELECT '<http://example.com/customer/' || c_custkey || '>' AS s,
+       '<http://example.com/name>' AS p,
+       '"' || c_name || '"' AS o
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 def _q_events_timestamps(spark: SparkSession, sf: str) -> DataFrame:
     """Typed timestamp rendering + self-join elimination (same source,
     child==parent keys compiles to a pure projection, SURVEY §4)."""
@@ -3485,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_sparql_source": _q_sparql_source,
         "rml_http_csv_source": _q_http_csv_source,
         "rml_json_predicate": _q_json_predicate_source,
+        "rml_function_condition": _q_function_condition,
         "rml_dedup_flags": _q_dedup_flags,
         "rml_part_template": _q_part_template,
         "rml_orders_quads": _q_orders_quads,
@@ -3538,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_sparql_source": _SPARQL_SOURCE_ORACLE,
         "rml_http_csv_source": _HTTP_CSV_SOURCE_ORACLE,
         "rml_json_predicate": _JSON_PREDICATE_ORACLE,
+        "rml_function_condition": _FUNCTION_CONDITION_ORACLE,
         "rml_csv_infer": _CSV_INFER_ORACLE,
         "fnml_string_funcs": _FNML_ORACLE,
         "rml_star_quoted": _RML_STAR_ORACLE,

@@ -373,7 +373,10 @@ def _parse_function_maps(g: Graph) -> dict[str, FunctionMap]:
     """All function descriptors in the mapping, keyed by node id."""
     out: dict[str, FunctionMap] = {}
     nodes = set()
-    for prop in ("functionValue", "functionExecution"):
+    # "condition": a subject-map row filter may point at a function
+    # descriptor that is referenced NOWHERE else (reference:
+    # semantify.py:6383-6407) — collect those nodes too
+    for prop in ("functionValue", "functionExecution", "condition"):
         for ns in _NS:
             for _, _, o in g.match(None, IRI(ns + prop), None):
                 nodes.add(o)

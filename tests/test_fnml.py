@@ -178,3 +178,25 @@ def test_normalize_date_dynamic_pattern(spark, tmp_path):
     # unparseable rows drop the term (validity gate), like the
     # reference's exception path
     assert not any(s == "<http://x.org/d/3>" for s, p, o in got)
+
+
+def test_subject_condition_row_filter(spark, tmp_path):
+    """rml:condition on the subject map filters rows through a function
+    descriptor referenced nowhere else (semantify.py:6383-6407): only
+    Londoners emit triples."""
+    _write_people(tmp_path)
+    m = PFX + textwrap.dedent(f"""
+        <#M> a rr:TriplesMap;
+          rml:logicalSource [ rml:source "{tmp_path}/people.csv"; rml:referenceFormulation ql:CSV ];
+          rr:subjectMap [ rr:template "http://x.org/p/{{pid}}"; rml:condition <#IsLondoner> ];
+          rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+        <#IsLondoner>
+          rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:equal ];
+          rr:predicateObjectMap [ rr:predicate grel:valueParam; rr:objectMap [ rml:reference "city" ] ];
+          rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:constant "London" ] ] .
+    """)
+    got = triple_set(materialize(spark, m))
+    assert got == {
+        ("<http://x.org/p/1>", "<http://x.org/name>", '"Ada Lovelace"'),
+        ("<http://x.org/p/2>", "<http://x.org/name>", '"Alan Turing"'),
+    }
