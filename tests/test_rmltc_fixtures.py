@@ -33,18 +33,35 @@ _BNODE_RE = re.compile(r"_:[A-Za-z0-9]+")
 
 
 def _canon(lines):
-    """Sorted lines with blank-node labels rewritten to first-occurrence
-    ids (scan order = lines sorted with labels masked), so two outputs
-    compare equal iff they are isomorphic modulo bnode naming for the
-    small, asymmetric graphs these fixtures produce."""
-    masked = sorted(lines, key=lambda l: _BNODE_RE.sub("_:_", l))
-    mapping: dict = {}
-    out = []
-    for line in masked:
-        out.append(_BNODE_RE.sub(
-            lambda m: mapping.setdefault(m.group(0), f"_:b{len(mapping)}"),
-            line))
-    return sorted(out)
+    """Sorted lines with blank-node labels rewritten by color
+    refinement: each bnode's color starts as the sorted multiset of its
+    masked lines and is refined three times with its bnode-neighbor
+    colors, so structurally distinct nodes get distinct labels even in
+    SYMMETRIC graphs (e.g. the cartesian-gather Bags, where several
+    nodes share individual masked lines). Nodes still tied after
+    refinement are automorphic for these fixture-scale graphs — any
+    consistent assignment yields the same line multiset."""
+    lines = list(lines)
+    masked_line = lambda l: _BNODE_RE.sub("_:_", l)
+    by_node: dict = {}
+    for l in lines:
+        for b in set(_BNODE_RE.findall(l)):
+            by_node.setdefault(b, []).append(l)
+    color = {b: tuple(sorted(masked_line(l) for l in ls))
+             for b, ls in by_node.items()}
+    for _ in range(3):
+        color = {
+            b: (color[b], tuple(sorted(
+                (masked_line(l),
+                 tuple(sorted(color[o] for o in set(_BNODE_RE.findall(l))
+                              if o != b)))
+                for l in ls)))
+            for b, ls in by_node.items()
+        }
+    order = sorted(by_node, key=lambda b: (repr(color[b]), sorted(by_node[b])))
+    mapping = {b: f"_:b{i}" for i, b in enumerate(order)}
+    return sorted(_BNODE_RE.sub(lambda m: mapping[m.group(0)], l)
+                  for l in lines)
 
 
 def _rows_to_nq(df):
