@@ -1976,6 +1976,38 @@ SELECT DISTINCT event_type FROM events
 """
 
 
+def _q_streaming_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming signature-level near-dup dedup: row-wise MinHash (no
+    aggregation — array_min over the shingle transform per seed), then a
+    stateful dropDuplicates on the signature digest; availableNow drain
+    -> equals the batch DISTINCT over signatures."""
+    from sdm_rdfizer_spark.streaming import stream_minhash_dedup
+
+    return stream_minhash_dedup(spark, sf, num_hashes=8, shingle_n=3)
+
+
+def _streaming_minhash_oracle(num_hashes: int = 8, shingle_n: int = 3) -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    digest = " || '|' || ".join(f"mh{i}" for i in range(num_hashes))
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i+1:i+{shingle_n}], ' ')
+                                FOR i IN range(0, greatest(len(words)-{shingle_n}, 0)+1)]) AS shs
+  FROM w
+), ex AS (
+  SELECT doc_id, unnest(shs) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM ex GROUP BY doc_id
+)
+SELECT DISTINCT md5({digest}) AS sig FROM sig
+"""
+
+
 def _q_streaming_events_window(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming path: events.parquet consumed as a file stream,
     watermarked tumbling-window aggregation, drained with an availableNow
@@ -3479,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rml": _q_streaming_rml,
         "streaming_sliding_window": _q_streaming_sliding_window,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_minhash_dedup": _q_streaming_minhash,
         # --- LLM-pipeline ops (recorded green in r3) ---
         "text_fingerprint": _q_fingerprint,
         "label_centroids": _q_label_centroids,
@@ -3626,6 +3659,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sliding_window": _EVENTS_SLIDING_ORACLE,
         "streaming_events_window": _STREAMING_EVENTS_ORACLE,
         "streaming_dedup": _STREAMING_DEDUP_ORACLE,
+        "streaming_minhash_dedup": _streaming_minhash_oracle(),
         "streaming_rml": _STREAMING_RML_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_asof_join": _EVENTS_ASOF_ORACLE,

@@ -429,3 +429,46 @@ def stream_events_sliding(
     )
     name = "events_sliding_" + str(abs(hash(sf_dir)) % 10**8)
     return run_available_now(agg, name=name, output_mode="complete")
+
+
+def stream_minhash_dedup(
+    spark: SparkSession, sf_dir: str, *, num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming near-duplicate (signature-level) dedup of documents
+    (SURVEY §2.7 beyond-reference): the MinHash signature is computed
+    ROW-WISE — ``array_min`` over a ``transform`` of the shingle array,
+    per seed — so unlike the batch explode+groupBy formulation it needs
+    NO aggregation and is streaming-safe; the only stateful operator is
+    the ``dropDuplicates`` on the signature digest. Whitespace/case
+    variants of a document share the signature (it is a pure function of
+    the shingle set), so this drops them too, not just byte-identical
+    replicas. Drained with availableNow ⇒ equals the batch DISTINCT
+    over signatures (oracle-checkable); in production, bound the state
+    with withWatermark + dropDuplicatesWithinWatermark.
+    """
+    from ..engine import tune_session
+    from ..ops.dedup import shingles
+    from ..ops.text import words
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            "{documents.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    staged = sdf.select(words("text").alias("__w")).select(
+        shingles(F.col("__w"), shingle_n).alias("__sh"))
+    def _mh(seed: int):
+        # one-arg lambda on purpose: a two-arg transform lambda receives
+        # (element, array-index) and the index would shadow the seed
+        return F.array_min(F.transform(
+            "__sh", lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))))
+
+    mins = [_mh(i) for i in range(num_hashes)]
+    sig = staged.select(F.md5(F.concat_ws("|", *mins)).alias("sig"))
+    deduped = sig.dropDuplicates(["sig"])
+    name = "stream_minhash_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(deduped, name=name, output_mode="append")

@@ -139,3 +139,20 @@ def test_stream_sliding_equals_batch(spark):
     want = {tuple(r) for r in sliding_window_agg(
         read_parquet(spark, f"{sf}/events.parquet")).collect()}
     assert got == want
+
+
+def test_stream_minhash_dedup_collapses_variants(spark, tmp_path):
+    """Row-wise streaming MinHash dedup: whitespace/duplicate variants
+    of a document share the signature and collapse to one row; distinct
+    texts survive."""
+    from sdm_rdfizer_spark.streaming import stream_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick  brown fox jumps over the lazy dog"),   # ws variant
+         (2, "the quick brown fox jumps over the lazy dog"),    # replica
+         (3, "completely different words in this document here")],
+        "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = stream_minhash_dedup(spark, str(tmp_path)).collect()
+    assert len(out) == 2
