@@ -3443,6 +3443,59 @@ GROUP BY c.doc_id, c.n_shingles
 """
 
 
+def _q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-free approximate decontamination: the src0 benchmark
+    compresses into a 2^20-bit Bloom filter (128 KB model, broadcast)
+    and every corpus shingle is tested locally — no shuffle touches the
+    corpus. One-sided error: everything ngram_decontaminate flags is
+    flagged here too."""
+    from sdm_rdfizer_spark.ops.dedup import bloom_decontaminate
+
+    docs = _docs(spark, sf)
+    return bloom_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        shingle_n=8, m_bits=1 << 20, k_hashes=4)
+
+
+_BLOOM_DECONTAMINATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS ws FROM documents
+), bsh AS (
+  SELECT DISTINCT unnest({_SHINGLE8_SQL}) AS shingle
+  FROM w WHERE source = 'src0'
+), seeds AS (
+  SELECT unnest(range(0, 4)) AS j
+), bpos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(j || '|' || shingle), 1, 8))::UBIGINT % 1048576 AS p
+  FROM bsh, seeds
+), csh AS (
+  SELECT doc_id, {_SHINGLE8_SQL} AS shs FROM w WHERE source != 'src0'
+), cx AS (
+  SELECT doc_id, unnest(shs) AS shingle FROM csh
+), cp AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(j || '|' || shingle), 1, 8))::UBIGINT % 1048576 AS p
+  FROM cx, seeds
+), probe AS (
+  SELECT doc_id, shingle,
+         count(*) FILTER (WHERE bp.p IS NOT NULL) = 4 AS hit
+  FROM cp LEFT JOIN bpos bp USING (p)
+  GROUP BY doc_id, shingle
+), agg AS (
+  SELECT doc_id, count(*) FILTER (WHERE hit) AS n_maybe
+  FROM probe GROUP BY doc_id
+)
+SELECT c.doc_id,
+       len(c.shs)::BIGINT AS n_shingles,
+       coalesce(a.n_maybe, 0)::BIGINT AS n_maybe_contaminated,
+       round(coalesce(a.n_maybe, 0) / greatest(len(c.shs), 1), 6) AS contamination,
+       coalesce(a.n_maybe, 0) > 0 AS maybe_contaminated
+FROM csh c LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_customer_graph(spark, "/root/testdata/sf0.001")
@@ -3503,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_decontaminate": _q_decontaminate,
+        "text_bloom_decontaminate": _q_bloom_decontaminate,
         "events_sliding_window": _q_events_sliding_window,
         "events_sessionize": _q_sessionize,
         "streaming_dedup": _q_streaming_dedup,
@@ -3651,6 +3705,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _CORPUS_STATS_ORACLE,
         "corpus_datacard": _CORPUS_DATACARD_ORACLE,
         "text_decontaminate": _DECONTAMINATE_ORACLE,
+        "text_bloom_decontaminate": _BLOOM_DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
         "sample_token_budget": _TOKEN_BUDGET_ORACLE,
         "sample_sequence_pack": _sequence_pack_oracle(),

@@ -24,6 +24,7 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1126,4 +1127,105 @@ def minhash_lsh_join(
         joined.select("left_id", "right_id", "n_shared_bands",
                       jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Approximate benchmark decontamination through a Bloom filter —
+    the join-free counterpart of ``ngram_decontaminate`` for 100 TB
+    corpora: instead of shipping the benchmark's shingle strings into a
+    (broadcast) join, the benchmark compresses into an ``m_bits``-wide
+    bitset (a 128 KB model at the default 2^20 bits) that probe tasks
+    test locally. One-sided error: a shingle the benchmark contains is
+    ALWAYS flagged (no false negatives — safe for decontamination);
+    a clean shingle is falsely flagged with p ≈ (1-e^{-kn/m})^k.
+
+    Build side runs entirely in the JVM: benchmark shingles → k md5
+    positions → bit words via shiftleft/bit_or groupBy — only the
+    m/64-long word table is collected (the model, not the data) and
+    broadcast. Probe side stays Arrow-batched: shingle arrays are built
+    by the same JVM ``shingles`` expression, and one pandas UDF hashes
+    each distinct shingle k times (hashlib.md5 — bit-identical to
+    Spark's and DuckDB's md5) against the broadcast bitset. No shuffle
+    touches the corpus at all.
+
+    Returns (id_col, n_shingles, n_maybe_contaminated, contamination,
+    maybe_contaminated) — superset semantics of ``ngram_decontaminate``.
+    """
+    import numpy as np
+
+    sh = shingles(F.col("__w"), shingle_n)
+    bench_shingles = (
+        benchmark.select(words(text_col).alias("__w"))
+        .select(F.explode(sh).alias("shingle"))
+        .dropDuplicates()
+    )
+    seeds = F.array(*[F.lit(j) for j in range(k_hashes)])
+    pos = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("__j").cast("string"), F.lit("|"),
+                           F.col("shingle"))), 1, 8), 16, 10)
+        .cast("long") % F.lit(int(m_bits))
+    )
+    word_rows = (
+        bench_shingles.select(F.explode(seeds).alias("__j"), "shingle")
+        .select(pos.alias("__p")).dropDuplicates()
+        .select(F.shiftright("__p", 6).alias("__w"),
+                # SQL form: the Python shiftleft() wrapper only takes a
+                # literal shift amount, the SQL function takes a column
+                F.expr("shiftleft(1L, CAST(__p % 64 AS INT))").alias("__m"))
+        .groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+        .collect()
+    )
+    bits = np.zeros((int(m_bits) + 63) // 64, dtype=np.uint64)
+    for r in word_rows:
+        bits[int(r["__w"])] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+    bc = corpus.sparkSession.sparkContext.broadcast(bits)
+    m = int(m_bits)
+    k = int(k_hashes)
+
+    @F.pandas_udf("long")
+    def n_hits(col: pd.Series) -> pd.Series:
+        import hashlib
+
+        arr = bc.value
+        out = []
+        for shs in col.tolist():
+            if shs is None:
+                out.append(0)
+                continue
+            n = 0
+            for s in shs:
+                hit = True
+                for j in range(k):
+                    p = int(hashlib.md5(
+                        f"{j}|{s}".encode()).hexdigest()[:8], 16) % m
+                    if not (int(arr[p >> 6]) >> (p & 63)) & 1:
+                        hit = False
+                        break
+                n += hit
+            out.append(n)
+        return pd.Series(out)
+
+    staged = corpus.select(F.col(id_col), words(text_col).alias("__w")) \
+                   .select(F.col(id_col), sh.alias("__shs"))
+    return staged.select(
+        F.col(id_col),
+        F.size("__shs").cast("long").alias("n_shingles"),
+        n_hits(F.col("__shs")).alias("n_maybe_contaminated"),
+    ).select(
+        F.col(id_col), "n_shingles", "n_maybe_contaminated",
+        F.round(F.col("n_maybe_contaminated")
+                / F.greatest(F.col("n_shingles"), F.lit(1)), 6)
+        .alias("contamination"),
+        (F.col("n_maybe_contaminated") > 0).alias("maybe_contaminated"),
     )

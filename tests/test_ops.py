@@ -1641,3 +1641,22 @@ def test_semantic_drop_cells_blocking_invariant(spark):
                                            block=2).collect())
     assert big == small
     assert any(not v[1] for v in big.values())
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, docs):
+    """Bloom decontamination has NO false negatives: every doc the exact
+    n-gram join flags is flagged by the Bloom probe too, and per-doc
+    maybe-counts are >= the exact counts."""
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import bloom_decontaminate, ngram_decontaminate
+
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    exact = {r["doc_id"]: r["n_contaminated"] for r in
+             ngram_decontaminate(corpus, bench, shingle_n=8).collect()}
+    bloom = {r["doc_id"]: r["n_maybe_contaminated"] for r in
+             bloom_decontaminate(corpus, bench, shingle_n=8).collect()}
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    assert any(v > 0 for v in exact.values())   # the relation is non-vacuous
