@@ -1368,6 +1368,31 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def _q_dedup_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end near-dup USER story: the filtered corpus itself —
+    only component-canonical documents survive (clique-collapse pipeline
+    throughout, so boilerplate floods never materialize pairs)."""
+    from sdm_rdfizer_spark.ops.dedup import neardup_canonical_exact_first
+
+    docs = _docs(spark, sf)
+    canon = neardup_canonical_exact_first(docs)
+    return (
+        docs.join(canon.where(F.col("is_canonical")).select("doc_id"),
+                  "doc_id")
+        .select("doc_id", "source", "lang")
+    )
+
+
+def _dedup_filter_oracle() -> str:
+    return f"""
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+JOIN ({_dedup_components_oracle()}) c
+  ON c.doc_id = d.doc_id
+WHERE c.is_canonical
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -3598,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_verify": _q_jaccard_verify,
         "dedup_semantic": _q_semantic_dedup,
         "dedup_similarity_join": _q_similarity_join,
+        "dedup_filter": _q_dedup_filter,
         # --- RML surface (recorded green in r3) ---
         "rml_xml_parent_axis": _q_xml_parent_axis,
         "rml_supplier_bnode": _q_supplier_bnode,
@@ -3692,6 +3718,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_verify": _jaccard_verify_oracle(),
         "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
         "dedup_similarity_join": _similarity_join_oracle(),
+        "dedup_filter": _dedup_filter_oracle(),
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "multimodal_framesample": _MULTIMODAL_FRAMESAMPLE_ORACLE,
