@@ -1852,6 +1852,55 @@ FROM asg g LEFT JOIN dups d USING (vec_id)
 """
 
 
+def _q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization: 64-dim vectors snap to 8 per-subspace
+    codewords (deterministic codebooks = subvectors of the first 16
+    corpus vectors, like IVF's kmeans_iters=0 convention); emits the
+    chosen codeword id + round(L2²,6) reconstruction error per
+    subspace."""
+    from sdm_rdfizer_spark.ops.similarity import pq_encode
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    return pq_encode(emb, m=8, k=16)
+
+
+def _pq_encode_oracle(m: int = 8, k: int = 16, dim: int = 64) -> str:
+    d_sub = dim // m
+    sub_selects = []
+    for j in range(m):
+        o = j * d_sub
+        dist = " + ".join(
+            f"(v.vec[{o + d}] - c.cvec[{o + d}]) * "
+            f"(v.vec[{o + d}] - c.cvec[{o + d}])"
+            for d in range(1, d_sub + 1))
+        sub_selects.append(
+            f"SELECT v.vec_id, {j} AS sub, c.cid, ({dist}) AS dist"
+            f" FROM v CROSS JOIN cent c")
+    asg_sql = "\n  UNION ALL\n  ".join(sub_selects)
+    codes = ",\n       ".join(
+        f"max(CASE WHEN sub = {j} THEN cid END) AS code{j},\n       "
+        f"max(CASE WHEN sub = {j} THEN round(dist, 6) END) AS d{j}"
+        for j in range(m))
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), asg AS (
+  {asg_sql}
+), best AS (
+  SELECT vec_id, sub, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        ORDER BY round(dist, 9), cid) AS rn
+    FROM asg) WHERE rn = 1
+)
+SELECT vec_id, {codes}
+FROM best GROUP BY vec_id
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.similarity import ivf_topk
     from sdm_rdfizer_spark.sources import read_parquet
@@ -3619,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
+        "similarity_pq": _q_pq_encode,
         "dedup_components": _q_dedup_components,
         "dedup_jaccard_verify": _q_jaccard_verify,
         "dedup_semantic": _q_semantic_dedup,
@@ -3709,6 +3759,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "similarity_topk_cosine": _SIMILARITY_TOPK_ORACLE,
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
+        "similarity_pq": _pq_encode_oracle(),
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
         "similarity_quantize": _QUANTIZE_ORACLE,
         "text_length_percentiles": _LENGTH_PERCENTILES_ORACLE,

@@ -543,3 +543,70 @@ def quantize_embeddings(
         F.array_join(q, ",").alias("codes"),
         F.round(mse, 12).alias("mse"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subvectors and snap every subvector to its nearest codeword in
+    a per-subspace codebook of ``k`` entries — the classic vector-index
+    compression (a 64-dim float vector becomes m codes, here 8 bytes).
+
+    Codebooks are deterministic like ``ivf_topk``'s kmeans_iters=0
+    convention: subspace ``j``'s codewords are the ``j``-th subvectors
+    of the first ``k`` corpus vectors by id, so a SQL oracle can replay
+    the assignment bit-for-bit (the per-codeword L2² is a LEFT-TO-RIGHT
+    fold of (x-c)*(x-c) terms — identical FP op order in the HOF
+    aggregate and in a chained-+ SQL expression). Assignment ties break
+    on round(dist², 9) then lowest codeword id. Codebooks ride the plan
+    as literals (k×dim doubles — the model), so encoding is one
+    shuffle-free scan; at real scale you would train the codebooks with
+    per-subspace Lloyd iterations (see ``train_kmeans_centroids`` for
+    the distributed pattern) and move assignment into an Arrow pass like
+    ``_centroid_argmax`` — the k=16/m=8 defaults stay comfortably inside
+    codegen limits.
+
+    Returns (id_col, code0..code{m-1}, d0..d{m-1}): the chosen codeword
+    id and round(L2², 6) reconstruction error per subspace.
+    """
+    cent_rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    codebook = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    dim = len(codebook[0][1])
+    if dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    out_cols = [F.col(id_col)]
+    for j in range(m):
+        sub = F.slice(F.col("__v"), j * d_sub + 1, d_sub)
+        cands = []
+        for cid, cvec in codebook:
+            cw = cvec[j * d_sub:(j + 1) * d_sub]
+            dist = F.aggregate(
+                F.zip_with(sub, F.array(*[F.lit(x) for x in cw]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            cands.append(F.struct(
+                F.round(dist, 9).alias("d9"),
+                F.lit(cid).cast("long").alias("code"),
+                F.round(dist, 6).alias("d6"),
+            ))
+        best = F.array_min(F.array(*cands))
+        out_cols.append(best.getField("code").alias(f"code{j}"))
+        out_cols.append(best.getField("d6").alias(f"d{j}"))
+    return staged.select(*out_cols)

@@ -105,3 +105,26 @@ def test_assign_cells_argmax_path_matches_exact(spark):
     assert {k: v for k, v in arrow.items() if k != 40} == \
            {k: v for k, v in exact.items() if k != 40}
     assert arrow[40] is None
+
+
+def test_pq_encode_codebook_vectors_self_code(spark):
+    """PQ invariants: a codebook vector reconstructs itself exactly in
+    every subspace (d=0, its own id chosen unless an earlier codeword
+    ties), and all codes come from the codebook id set."""
+    import random
+
+    from sdm_rdfizer_spark.ops.similarity import pq_encode
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in pq_encode(df, m=4, k=4).collect()}
+    codebook_ids = {0, 1, 2, 3}
+    for vid, r in out.items():
+        for j in range(4):
+            assert r[f"code{j}"] in codebook_ids
+            assert r[f"d{j}"] >= 0.0
+    for vid in codebook_ids:   # random data: no cross-codeword ties
+        for j in range(4):
+            assert out[vid][f"code{j}"] == vid
+            assert out[vid][f"d{j}"] == 0.0
