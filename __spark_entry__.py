@@ -1244,20 +1244,15 @@ def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
-    rows = num_hashes // bands
+def _minhash_sig_cte(num_hashes: int, shingle_n: int) -> str:
+    """Shared SQL scaffold (w/sh/ex/sig CTE bodies) replaying
+    ops.dedup.minhash_signatures — ONE copy, so a change to shingle
+    slicing or the md5 seed format cannot desynchronize the minhash,
+    similarity-join, and streaming-minhash oracles."""
     mins = ",\n         ".join(
         f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
     )
-    band_selects = []
-    for b in range(bands):
-        members = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({members}) AS bh FROM sig"
-        )
-    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, {_WORDS_SQL} AS words FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct([array_to_string(words[i+1:i+{shingle_n}], ' ')
@@ -1268,8 +1263,25 @@ WITH w AS (
 ), sig AS (
   SELECT doc_id, {mins}
   FROM ex GROUP BY doc_id
-), bands AS (
-  {bands_sql}
+)"""
+
+
+def _band_cte(num_hashes: int, bands: int) -> str:
+    """Band-hash SELECTs over the sig CTE (ops.dedup._banded replay)."""
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        members = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({members}) AS bh FROM sig"
+        )
+    return "\n  UNION ALL\n  ".join(band_selects)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+    return f"""
+WITH {_minhash_sig_cte(num_hashes, shingle_n)}, bands AS (
+  {_band_cte(num_hashes, bands)}
 )
 SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared_bands
 FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
@@ -1480,31 +1492,9 @@ def _q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
 def _similarity_join_oracle(num_hashes: int = 16, bands: int = 4,
                             shingle_n: int = 3,
                             threshold: float = 0.3) -> str:
-    rows = num_hashes // bands
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
-    )
-    band_selects = []
-    for b in range(bands):
-        members = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({members}) AS bh FROM sig"
-        )
-    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
-WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
-), sh AS (
-  SELECT doc_id, list_distinct([array_to_string(words[i+1:i+{shingle_n}], ' ')
-                                FOR i IN range(0, greatest(len(words)-{shingle_n}, 0)+1)]) AS shs
-  FROM w
-), ex AS (
-  SELECT doc_id, unnest(shs) AS shingle FROM sh
-), sig AS (
-  SELECT doc_id, {mins}
-  FROM ex GROUP BY doc_id
-), bands AS (
-  {bands_sql}
+WITH {_minhash_sig_cte(num_hashes, shingle_n)}, bands AS (
+  {_band_cte(num_hashes, bands)}
 ), cand AS (
   SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS n_shared_bands
   FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
@@ -1824,15 +1814,22 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("cell").cast("long").alias("cell"), "keep")
 
 
-# SemDeDup with the IVF centroid convention (first 16 corpus vectors by
+# SemDeDup with the IVF centroid convention (first-k corpus vectors by
 # id; assignment = argmax of round(cos, 9), lowest-centroid-id
 # tie-break); a vector is dropped iff a LOWER-id same-cell vector sits
-# within round(cos, 6) >= 0.35. 16 cells = adaptive_n_cells(500) at the
-# sf0.01 oracle corpus.
+# within round(cos, 6) >= 0.35. The centroid COUNT replays
+# ops.dedup.adaptive_n_cells in SQL — max(16, min(65536, ceil(n/64))) —
+# so the oracle stays correct at every scale factor, not just the
+# sf0.01 gate corpus (where both sides resolve to 16). Bit-exactness of
+# the pair scores is only guaranteed on the Column-exact small-k path
+# (<= max_exact_k cells); above it the Arrow BLAS path may differ on
+# 1e-6 rounding ties.
 _SEMANTIC_DEDUP_ORACLE = """
 WITH cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 16
+  FROM embeddings ORDER BY vec_id
+  LIMIT (SELECT greatest(16, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT)))
+         FROM embeddings)
 ), vsim AS (
   SELECT v.vec_id, v.embedding::DOUBLE[] AS vec, c.cid,
          round(list_cosine_similarity(v.embedding::DOUBLE[], c.cvec), 9) AS csim
@@ -2061,23 +2058,9 @@ def _q_streaming_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _streaming_minhash_oracle(num_hashes: int = 8, shingle_n: int = 3) -> str:
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
-    )
     digest = " || '|' || ".join(f"mh{i}" for i in range(num_hashes))
     return f"""
-WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
-), sh AS (
-  SELECT doc_id, list_distinct([array_to_string(words[i+1:i+{shingle_n}], ' ')
-                                FOR i IN range(0, greatest(len(words)-{shingle_n}, 0)+1)]) AS shs
-  FROM w
-), ex AS (
-  SELECT doc_id, unnest(shs) AS shingle FROM sh
-), sig AS (
-  SELECT doc_id, {mins}
-  FROM ex GROUP BY doc_id
-)
+WITH {_minhash_sig_cte(num_hashes, shingle_n)}
 SELECT DISTINCT md5({digest}) AS sig FROM sig
 """
 

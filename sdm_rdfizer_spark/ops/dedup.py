@@ -896,16 +896,19 @@ def ngram_decontaminate(
 
 
 def adaptive_n_cells(n_vectors: int, *, target_occupancy: int = 64,
-                     floor: int = 16, ceiling: int = 4096) -> int:
+                     floor: int = 16, ceiling: int = 65536) -> int:
     """Cluster count for ``semantic_dedup`` sized to the corpus.
 
     Intra-cell pair work grows as occupancy², so holding occupancy
     roughly constant keeps the total pair count LINEAR in n:
-    cells ≈ n / target_occupancy. Floored for stability on tiny corpora
-    and capped because cell assignment broadcasts the k×dim centroid
-    matrix as plan literals (see similarity._assign_cells — beyond a few
-    thousand centroids the argmax expression tree is the bottleneck and
-    an Arrow-batched argmax pass should take over)."""
+    cells ≈ n / target_occupancy. Floored for stability on tiny corpora;
+    the ceiling bounds the collected centroid MODEL (k×dim doubles —
+    65536×64 ≈ 33 MB, the most a driver should broadcast), not the plan:
+    above similarity._assign_cells' max_exact_k the assignment already
+    runs in the Arrow argmax pass, which handles arbitrary k. Past the
+    ceiling (n > ~4M at the default occupancy) per-cell work grows
+    again — retrain with more centroids per ``train_kmeans_centroids``
+    or shard the corpus first."""
     import math
 
     if n_vectors <= 0:
@@ -927,8 +930,6 @@ def _semantic_drop_cells_arrow(assigned: DataFrame, id_col: str,
     per-task working set to occupancy×block floats regardless of cell
     size. Malformed vectors (NULL cell / short array) keep=True — no
     scorable evidence against them."""
-    import pandas as pd
-
     schema = f"{id_col} long, cell long, keep boolean"
 
     def drop_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1198,22 +1199,27 @@ def bloom_decontaminate(
         import hashlib
 
         arr = bc.value
-        out = []
-        for shs in col.tolist():
-            if shs is None:
-                out.append(0)
-                continue
-            n = 0
-            for s in shs:
-                hit = True
+        # boilerplate shingles repeat across documents: memoize the
+        # membership verdict per distinct shingle within the batch so
+        # each string is hashed at most k times total, not k per doc
+        seen: dict = {}
+
+        def member(s: str) -> bool:
+            v = seen.get(s)
+            if v is None:
+                v = True
                 for j in range(k):
                     p = int(hashlib.md5(
                         f"{j}|{s}".encode()).hexdigest()[:8], 16) % m
                     if not (int(arr[p >> 6]) >> (p & 63)) & 1:
-                        hit = False
+                        v = False
                         break
-                n += hit
-            out.append(n)
+                seen[s] = v
+            return v
+
+        out = []
+        for shs in col.tolist():
+            out.append(0 if shs is None else sum(member(s) for s in shs))
         return pd.Series(out)
 
     staged = corpus.select(F.col(id_col), words(text_col).alias("__w")) \

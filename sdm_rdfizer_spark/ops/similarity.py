@@ -345,8 +345,12 @@ def _assign_cells(frame: DataFrame, vcol: str,
         )
         for i, (cid, _vec) in enumerate(centroids)
     ])
-    return (staged.withColumn("cell", F.array_max(sims).getField("cid"))
-            .drop("__an", "__adots"))
+    # malformed vectors (NULL dots from _centroid_dots) get a NULL cell,
+    # matching _centroid_argmax — without the guard the all-NULL sim
+    # structs tie-break to the lowest centroid id, a garbage assignment
+    cell = F.when(F.col("__adots").isNotNull(),
+                  F.array_max(sims).getField("cid"))
+    return staged.withColumn("cell", cell).drop("__an", "__adots")
 
 
 def ivf_topk(
@@ -582,9 +586,18 @@ def pq_encode(
         .collect()
     )
     codebook = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    if not codebook:
+        raise ValueError("pq_encode: empty input — no codebook vectors")
     dim = len(codebook[0][1])
     if dim % m:
         raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    # a ragged codebook vector would contribute NULL distances, and a
+    # NULL d9 struct sorts FIRST in array_min — every row would silently
+    # snap to the broken codeword; fail loudly instead
+    bad = [cid for cid, vec in codebook if len(vec) != dim]
+    if bad:
+        raise ValueError(f"pq_encode: codebook vectors {bad} have "
+                         f"dimension != {dim}")
     d_sub = dim // m
 
     staged = df.select(
@@ -606,7 +619,10 @@ def pq_encode(
                 F.lit(cid).cast("long").alias("code"),
                 F.round(dist, 6).alias("d6"),
             ))
-        best = F.array_min(F.array(*cands))
+        # malformed INPUT rows (short/NULL vector) get NULL codes rather
+        # than the NULL-distance codeword array_min would tie-break to
+        best = F.when(F.size(F.col("__v")) == F.lit(dim),
+                      F.array_min(F.array(*cands)))
         out_cols.append(best.getField("code").alias(f"code{j}"))
         out_cols.append(best.getField("d6").alias(f"d{j}"))
     return staged.select(*out_cols)

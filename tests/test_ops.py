@@ -1559,10 +1559,11 @@ def test_adaptive_n_cells_occupancy_scaling():
     assert adaptive_n_cells(0) == 16          # floor on empty/tiny
     assert adaptive_n_cells(500) == 16        # sf0.01 oracle corpus
     assert adaptive_n_cells(64 * 100) == 100  # ~constant occupancy
-    assert adaptive_n_cells(10**9) == 4096    # literal-tree ceiling
+    assert adaptive_n_cells(10**9) == 65536   # centroid-model ceiling
     # occupancy stays ~target as the corpus grows 10x
     assert 8 <= 64_000 / adaptive_n_cells(64_000) <= 128
     assert 8 <= 256_000 / adaptive_n_cells(256_000) <= 128
+    assert 8 <= 2_560_000 / adaptive_n_cells(2_560_000) <= 128
 
 
 def test_minhash_lsh_join_cross_corpus(spark):

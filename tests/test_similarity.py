@@ -102,9 +102,8 @@ def test_assign_cells_argmax_path_matches_exact(spark):
              _assign_cells(frame, "__v", centroids).collect()}
     arrow = {r["vec_id"]: r["cell"] for r in
              _assign_cells(frame, "__v", centroids, max_exact_k=1).collect()}
-    assert {k: v for k, v in arrow.items() if k != 40} == \
-           {k: v for k, v in exact.items() if k != 40}
-    assert arrow[40] is None
+    assert arrow == exact
+    assert arrow[40] is None and exact[40] is None
 
 
 def test_pq_encode_codebook_vectors_self_code(spark):
