@@ -459,6 +459,13 @@ def stream_minhash_dedup(
         glob = os.path.join(os.path.dirname(os.path.abspath(path)),
                             "{documents.parquet}")
     sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    if os.path.isfile(path):
+        # the file stream source assigns one task per FILE (it never
+        # splits a parquet the way the batch reader does), so a
+        # single-file input would hash every shingle on one core —
+        # sf1 measured 75 s vs ~9 s spread. In production the stream
+        # arrives as many files and this shuffle is unnecessary.
+        sdf = sdf.repartition(spark.sparkContext.defaultParallelism)
     staged = sdf.select(words("text").alias("__w")).select(
         shingles(F.col("__w"), shingle_n).alias("__sh"))
     def _mh(seed: int):
