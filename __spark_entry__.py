@@ -1855,11 +1855,17 @@ def _q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     corpus vectors, like IVF's kmeans_iters=0 convention); emits the
     chosen codeword id + round(L2²,6) reconstruction error per
     subspace."""
+    import duckdb
+
     from sdm_rdfizer_spark.ops.similarity import pq_encode
     from sdm_rdfizer_spark.sources import read_parquet
 
     emb = read_parquet(spark, f"{sf}/embeddings.parquet")
-    return pq_encode(emb, m=8, k=16)
+    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
+                       [f"{sf}/embeddings.parquet"]).fetchone()[0]
+    # the Column path is SQL-bit-replayable (the oracle gate corpus);
+    # large corpora take the Arrow einsum path (sf10 A/B: 5.8 -> 1.0 s)
+    return pq_encode(emb, m=8, k=16, arrow=n > 100_000)
 
 
 def _pq_encode_oracle(m: int = 8, k: int = 16, dim: int = 64) -> str:

@@ -127,3 +127,20 @@ def test_pq_encode_codebook_vectors_self_code(spark):
         for j in range(4):
             assert out[vid][f"code{j}"] == vid
             assert out[vid][f"d{j}"] == 0.0
+
+
+def test_pq_encode_arrow_path_matches_exact(spark):
+    """The Arrow PQ assignment must produce the same codes and rounded
+    distances as the Column-exact path on random data (no rounding
+    ties)."""
+    import random
+
+    from sdm_rdfizer_spark.ops.similarity import pq_encode
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda out: {r["vec_id"]: tuple(r)[1:] for r in out}
+    exact = key(pq_encode(df, m=4, k=5).collect())
+    fast = key(pq_encode(df, m=4, k=5, arrow=True).collect())
+    assert fast == exact
