@@ -1863,9 +1863,11 @@ def _q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_parquet(spark, f"{sf}/embeddings.parquet")
     n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
                        [f"{sf}/embeddings.parquet"]).fetchone()[0]
-    # the Column path is SQL-bit-replayable (the oracle gate corpus);
-    # large corpora take the Arrow einsum path (sf10 A/B: 5.8 -> 1.0 s)
-    return pq_encode(emb, m=8, k=16, arrow=n > 100_000)
+    # the Column path is SQL-bit-replayable and serves the sf0.01
+    # oracle-gate corpus (500 vectors); anything bigger takes the Arrow
+    # einsum path (A/B: sf0.1 10.3 -> ~0.6 s, sf10 5.8 -> 1.0 s) —
+    # k×m HOF distance folds are interpreter-bound even at small scale
+    return pq_encode(emb, m=8, k=16, arrow=n > 1000)
 
 
 def _pq_encode_oracle(m: int = 8, k: int = 16, dim: int = 64) -> str:
