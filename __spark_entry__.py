@@ -1229,12 +1229,9 @@ def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sf0.1 bench: 1.4 s plain vs 2.1 s collapsed; sf10: 63 s plain vs
     26 s collapsed). Output is identical either way, so the oracle
     doesn't care which path ran."""
-    import duckdb
-
     from sdm_rdfizer_spark.ops.dedup import minhash_lsh_pairs
 
-    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
-                       [f"{sf}/documents.parquet"]).fetchone()[0]
+    n = _parquet_count(sf, "documents")
     return minhash_lsh_pairs(
         _docs(spark, sf), num_hashes=16, bands=4, shingle_n=3,
         exact_first=n >= 200_000,
@@ -1588,12 +1585,9 @@ def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     slices, 65 536 buckets/slice) beyond 10k docs so slice-bucket
     occupancy — and the candidate-pair count, quadratic in it — stays
     flat as data grows (r3 sf1 bench finding)."""
-    import duckdb
-
     from sdm_rdfizer_spark.ops.dedup import simhash_pairs
 
-    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
-                       [f"{sf}/documents.parquet"]).fetchone()[0]
+    n = _parquet_count(sf, "documents")
     return simhash_pairs(_docs(spark, sf), bands=4, max_hamming=2,
                          bits=32 if n <= 10_000 else 64)
 
@@ -1755,12 +1749,9 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # the sf0.01 oracle corpus (500 vectors — oracle replays those exact
     # buckets), more planes at larger corpora so candidate pairs stay
     # near-linear in n
-    import duckdb
-
     from sdm_rdfizer_spark.ops.dedup import adaptive_n_planes
 
-    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
-                       [f"{sf}/embeddings.parquet"]).fetchone()[0]
+    n = _parquet_count(sf, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.35, method="lsh",
                                    n_planes=adaptive_n_planes(n))
 
@@ -1794,6 +1785,15 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
 """
 
 
+def _parquet_count(sf: str, table: str) -> int:
+    """Row count of one testdata parquet via DuckDB (cheap footer read) —
+    shared by the queries that size a model/gate to the live corpus."""
+    import duckdb
+
+    return duckdb.execute("SELECT count(*) FROM read_parquet(?)",
+                          [f"{sf}/{table}.parquet"]).fetchone()[0]
+
+
 def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space (deterministic centroids = first n_cells vectors by
@@ -1801,14 +1801,11 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     greedy min-id-survives rule over round(cos, 6) >= threshold.
     n_cells scales with the corpus so intra-cell pair work stays linear.
     """
-    import duckdb
-
     from sdm_rdfizer_spark.ops.dedup import adaptive_n_cells, semantic_dedup
     from sdm_rdfizer_spark.sources import read_parquet
 
     emb = read_parquet(spark, f"{sf}/embeddings.parquet")
-    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
-                       [f"{sf}/embeddings.parquet"]).fetchone()[0]
+    n = _parquet_count(sf, "embeddings")
     out = semantic_dedup(emb, n_cells=adaptive_n_cells(n), threshold=0.35)
     return out.select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "keep")
@@ -1824,11 +1821,27 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # the pair scores is only guaranteed on the Column-exact small-k path
 # (<= max_exact_k cells); above it the Arrow BLAS path may differ on
 # 1e-6 rounding ties.
-_SEMANTIC_DEDUP_ORACLE = """
+def _semantic_dedup_oracle() -> str:
+    """Interpolates adaptive_n_cells' own defaults into the SQL LIMIT so
+    retuning floor/ceiling/occupancy in ops.dedup cannot silently
+    desynchronize the oracle's cell count (the same drift class
+    _minhash_sig_cte eliminates for the minhash oracles)."""
+    import inspect
+
+    from sdm_rdfizer_spark.ops.dedup import adaptive_n_cells
+
+    d = {p.name: p.default
+         for p in inspect.signature(adaptive_n_cells).parameters.values()}
+    return _SEMANTIC_DEDUP_ORACLE_TEMPLATE.format(
+        floor=d["floor"], ceiling=d["ceiling"],
+        occupancy=float(d["target_occupancy"]))
+
+
+_SEMANTIC_DEDUP_ORACLE_TEMPLATE = """
 WITH cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
   FROM embeddings ORDER BY vec_id
-  LIMIT (SELECT greatest(16, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT)))
+  LIMIT (SELECT greatest({floor}, least({ceiling}, CAST(ceil(count(*) / {occupancy}) AS BIGINT)))
          FROM embeddings)
 ), vsim AS (
   SELECT v.vec_id, v.embedding::DOUBLE[] AS vec, c.cid,
@@ -1855,14 +1868,11 @@ def _q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     corpus vectors, like IVF's kmeans_iters=0 convention); emits the
     chosen codeword id + round(L2²,6) reconstruction error per
     subspace."""
-    import duckdb
-
     from sdm_rdfizer_spark.ops.similarity import pq_encode
     from sdm_rdfizer_spark.sources import read_parquet
 
     emb = read_parquet(spark, f"{sf}/embeddings.parquet")
-    n = duckdb.execute("SELECT count(*) FROM read_parquet(?)",
-                       [f"{sf}/embeddings.parquet"]).fetchone()[0]
+    n = _parquet_count(sf, "embeddings")
     # the Column path is SQL-bit-replayable and serves the sf0.01
     # oracle-gate corpus (500 vectors); anything bigger takes the Arrow
     # einsum path (A/B: sf0.1 10.3 -> ~0.6 s, sf10 5.8 -> 1.0 s) —
@@ -3758,7 +3768,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _embedding_neardup_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "dedup_jaccard_verify": _jaccard_verify_oracle(),
-        "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
+        "dedup_semantic": _semantic_dedup_oracle(),
         "dedup_similarity_join": _similarity_join_oracle(),
         "dedup_filter": _dedup_filter_oracle(),
         "text_repetition": _TEXT_REPETITION_ORACLE,

@@ -307,7 +307,10 @@ def train_kmeans_centroids(
             df.select(F.col(vec_col).cast("array<double>").alias("__v")),
             "__v", centroids)
         means = (
-            assigned.select("cell", F.posexplode("__v").alias("dim", "x"))
+            # malformed vectors carry a NULL cell — they must not form a
+            # NULL group (int(None) would crash the collect below)
+            assigned.where(F.col("cell").isNotNull())
+            .select("cell", F.posexplode("__v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("m"))
             .groupBy("cell")
@@ -632,10 +635,14 @@ def pq_encode(
                 F.lit(cid).cast("long").alias("code"),
                 F.round(dist, 6).alias("d6"),
             ))
-        # malformed INPUT rows (short/NULL vector) get NULL codes rather
-        # than the NULL-distance codeword array_min would tie-break to
-        best = F.when(F.size(F.col("__v")) == F.lit(dim),
-                      F.array_min(F.array(*cands)))
+        # malformed INPUT rows (short/NULL vector OR a NULL element —
+        # either makes every d9 NULL and array_min would tie-break to
+        # the lowest codeword) get NULL codes, matching the Arrow path
+        well_formed = (
+            (F.size(F.col("__v")) == F.lit(dim))
+            & ~F.exists(F.col("__v"), lambda x: x.isNull())
+        )
+        best = F.when(well_formed, F.array_min(F.array(*cands)))
         out_cols.append(best.getField("code").alias(f"code{j}"))
         out_cols.append(best.getField("d6").alias(f"d{j}"))
     return staged.select(*out_cols)
@@ -646,8 +653,11 @@ def _pq_assign_arrow(codebook: list[tuple[int, list[float]]], m: int):
     ``pq_encode``'s Column path (k×m HOF distance folds per row get
     expensive past ~10^5 rows; here all subspace distance matrices are
     NumPy einsums in one pass). Same argmin/tie-break (round(d²,9),
-    lowest codeword id); not bit-matched to the exact path on 1e-9
-    rounding ties (BLAS summation order — see ``_centroid_argmax``).
+    lowest codeword id); not bit-matched to the exact path on decimal
+    rounding boundaries — BLAS summation order differs (see
+    ``_centroid_argmax``) AND np.round is half-even where Spark/SQL
+    round HALF_UP, so values landing exactly on a 1e-9/1e-6 boundary
+    can round differently even from identical doubles.
     Returns one struct column (codes array<long>, ds array<double> with
     round(d²,6)); malformed rows yield NULL arrays."""
     order = sorted(range(len(codebook)), key=lambda i: codebook[i][0])
