@@ -99,6 +99,18 @@ def main() -> None:
         if name in skip:
             print(f"[bench] {name}: SKIPPED", file=sys.stderr, flush=True)
             continue
+        def _release():
+            # drop persisted parent-join DFs AND localCheckpoint blocks:
+            # clearCache only covers the SQL cache, while checkpointed
+            # RDDs (jaccard candidates, semantic-dedup assignments, ...)
+            # stay in the block manager forever in this one-JVM sweep —
+            # at sf10 ~40 queries of residue starved storage+execution
+            # memory until a later aggregation made ZERO task progress
+            # for 30 min (isolated re-run of the same query: 290 s)
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
+
         best = None
         try:
             for _ in range(runs):
@@ -107,12 +119,12 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()  # drop persisted parent-join DFs
+                _release()
         except Exception as exc:  # one failure must not abort the sweep
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"[bench] {name}: ERROR {errors[name]}",
                   file=sys.stderr, flush=True)
-            spark.catalog.clearCache()
+            _release()
             continue
         timings[name] = round(best, 2)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
