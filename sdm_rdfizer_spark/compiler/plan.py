@@ -1636,18 +1636,25 @@ class MappingPlanner:
                 self._parent_unique[cache_key] = row["n"] == row["k"]
         return self._parent_unique[cache_key]
 
-    def _db_parent_small(self, cache_key: tuple) -> bool:
+    def _db_parent_small(self, parent_tm: TriplesMap,
+                         cache_key: tuple) -> bool:
         """Bounded row-count probe of a database-backed parent: True when
-        the compiled (key…, subject) pairs frame has at most
-        DB_BROADCAST_ROWS rows, so the broadcast hint is safe. The
-        ``limit(cap+1)`` bounds the probe — the executor stops consuming
-        the JDBC cursor once cap+1 rows arrive, so a huge parent costs a
-        prefix read, never a full scan. Memoized per planner (the pairs
-        frame itself is cached alongside)."""
+        the RAW scan has at most DB_BROADCAST_ROWS rows, so broadcasting
+        the compiled pairs is safe (pairs rows ≤ source rows — the pairs
+        frame only projects and filters, so a small raw relation bounds
+        it from above). Probing the raw scan matters: the pairs frame for
+        a DB parent is ``dropDuplicates()`` output (the raw-unique
+        shortcut only covers parquet/csv/tsv files), and a ``limit``
+        ABOVE an aggregate cannot short-circuit — it would scan and
+        shuffle the whole JDBC table at compile time. On the raw scan the
+        LocalLimit stops consuming the cursor after cap+1 rows, so a huge
+        parent costs a bounded prefix read and simply returns False (no
+        broadcast — the shuffle-join plan is right for it anyway).
+        Memoized per planner."""
         mkey = ("dbsmall",) + cache_key
         if mkey not in self._parent_unique:
             try:
-                n = (self._parent_plain[cache_key]
+                n = (self.parent_scan(parent_tm)
                      .limit(DB_BROADCAST_ROWS + 1).count())
                 self._parent_unique[mkey] = n <= DB_BROADCAST_ROWS
             except Exception:
@@ -1793,7 +1800,7 @@ class MappingPlanner:
             pairs = F.broadcast(pairs)
             self._parent_broadcast[cache_key] = True
         elif (parent_tm.source.fmt in ("sql", "jdbc")
-              and self._db_parent_small(cache_key)):
+              and self._db_parent_small(parent_tm, cache_key)):
             # Catalyst has no stats for JDBC relations, so a 25-row
             # dimension parent would otherwise plan a sort-merge join
             # that shuffles the FACT side (judge r5). One bounded count

