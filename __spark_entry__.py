@@ -1406,10 +1406,13 @@ WHERE c.is_canonical
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
-    # the deliberate exact baseline: allow_quadratic so the guard does
-    # not abort bench/correctness sweeps at >100k-row scale factors
+    # the exact measure with the identical-shingle-set collapse
+    # (exact_prestage): provably the same output as the all-pairs
+    # baseline, but replica cliques contribute ONE canonical to the
+    # inverted-index join — the sf10 sweep runs it unskipped (r6 had
+    # to skip-mark it as quadratic)
     return ngram_jaccard_pairs(
-        _docs(spark, sf), shingle_n=3, threshold=0.2, allow_quadratic=True
+        _docs(spark, sf), shingle_n=3, threshold=0.2, exact_prestage=True
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -3133,9 +3136,10 @@ def _stage_gtfs_sources(sf: str) -> str:
 
     import duckdb
 
+    # cache key versioned: v2 added the tabular-track CSV dimensions
     d = os.path.join(
         tempfile.gettempdir(),
-        "sdm_gtfs_fixture_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+        "sdm_gtfs_fixture_" + hashlib.md5((sf + "#v2").encode()).hexdigest()[:10])
     if os.path.exists(os.path.join(d, "_DONE")):
         return d
     os.makedirs(d, exist_ok=True)
@@ -3163,6 +3167,13 @@ def _stage_gtfs_sources(sf: str) -> str:
             f"ORDER BY r_regionkey").fetchall()]
     with open(os.path.join(d, "region.json"), "w") as f:
         _json.dump({"regions": regions}, f)
+    # tabular-track copies: the same dimensions as plain CSV tables
+    for tbl, cols in (("nation", "n_nationkey, n_name, n_regionkey"),
+                      ("region", "r_regionkey, r_name"),
+                      ("supplier", "s_suppkey, s_name, s_nationkey")):
+        con.execute(
+            f"COPY (SELECT {cols} FROM '{sf}/{tbl}.parquet' ORDER BY 1) "
+            f"TO '{d}/{tbl}.csv' (HEADER, DELIMITER ',')")
     open(os.path.join(d, "_DONE"), "w").close()
     return d
 
@@ -3412,9 +3423,8 @@ def _q_gtfs_composite(spark: SparkSession, sf: str) -> DataFrame:
     return _materialize(spark, mapping).select("s", "p", "o")
 
 
-def _gtfs_composite_oracle() -> str:
+def _gtfs_composite_oracle(g: str = "http://ex.org/gtfs/") -> str:
     v = "http://ex.org/vocab/"
-    g = "http://ex.org/gtfs/"
     # the IRI encoder percent-encodes space → %20 in template values
     # (only hazard in this data: '4-NOT SPECIFIED'); everything else in
     # the template slots is encoder-safe alphanumerics/.-
@@ -3475,6 +3485,85 @@ def _gtfs_composite_oracle() -> str:
         f"'>', '<{RDF_TYPE}>', '<{v}CalendarDay>' FROM orders",
     ]
     return "SELECT DISTINCT s, p, o FROM (" + " UNION ALL ".join(parts) + ")"
+
+
+def _q_gtfs_tabular(spark: SparkSession, sf: str) -> DataFrame:
+    """GTFS-Madrid-Bench TABULAR track: the composite's 10-TriplesMap
+    shape with EVERY source a flat CSV table (the reference benches this
+    mix separately and it is its scale-100 outlier at 5,061 s —
+    gtfs-madrid-bench.csv:5). Same join topology as rml_gtfs_composite,
+    so the interesting delta is pure source-format cost: five CSV scans
+    (schema-on-read strings) instead of CSV+JSON+XML."""
+    d = _stage_gtfs_sources(sf)
+    g = "http://ex.org/gtfs3/"
+    mapping = _PREFIXES + f"""
+<#Region> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/region.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}region/{{r_regionkey}}"; rr:class ex:Region ];
+  rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rml:reference "r_name" ] ] .
+
+<#Nation> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/nation.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}nation/{{n_nationkey}}"; rr:class ex:Nation ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:inRegion; rr:objectMap [
+      rr:parentTriplesMap <#Region>;
+      rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ] ] .
+
+<#Customer> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}customer/{{c_custkey}}"; rr:class ex:Customer ];
+  rr:predicateObjectMap [ rr:predicate ex:custName; rr:objectMap [ rml:reference "c_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:custNation; rr:objectMap [
+      rr:parentTriplesMap <#Nation>;
+      rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#Supplier> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/supplier.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}supplier/{{s_suppkey}}"; rr:class ex:Supplier ];
+  rr:predicateObjectMap [ rr:predicate ex:suppName; rr:objectMap [ rml:reference "s_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:suppNation; rr:objectMap [
+      rr:parentTriplesMap <#Nation>;
+      rr:joinCondition [ rr:child "s_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#Order> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}order/{{o_orderkey}}"; rr:class ex:Order ];
+  rr:predicateObjectMap [ rr:predicate ex:date; rr:objectMap [ rml:reference "o_orderdate" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:total;
+    rr:objectMap [ rml:reference "o_totalprice"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:orderedBy; rr:objectMap [
+      rr:parentTriplesMap <#Customer>;
+      rr:joinCondition [ rr:child "o_custkey"; rr:parent "c_custkey" ] ] ] .
+
+<#OrderStatus> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}order/{{o_orderkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ rml:reference "o_orderstatus" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:withPriority; rr:objectMap [
+      rr:parentTriplesMap <#Priority>;
+      rr:joinCondition [ rr:child "o_orderpriority"; rr:parent "o_orderpriority" ] ] ] .
+
+<#Priority> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}priority/{{o_orderpriority}}"; rr:class ex:Priority ] .
+
+<#Segment> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}segment/{{c_mktsegment}}"; rr:class ex:Segment ] .
+
+<#CustomerSegment> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/customer.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}customer/{{c_custkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:inSegment; rr:objectMap [
+      rr:parentTriplesMap <#Segment>;
+      rr:joinCondition [ rr:child "c_mktsegment"; rr:parent "c_mktsegment" ] ] ] .
+
+<#CalendarDay> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}date/{{o_orderdate}}"; rr:class ex:CalendarDay ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
 
 
 def _q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
@@ -3936,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_orders_wide": _q_orders_wide,
         "rml_gtfs_composite": _q_gtfs_composite,
         "rml_gtfs_nested": _q_gtfs_nested,
+        "rml_gtfs_tabular": _q_gtfs_tabular,
         "rml_gather_seq": _q_gather_seq,
         "rml_xml_supplier": _q_xml_supplier,
         "rml_csv_infer": _q_csv_infer,
@@ -3965,6 +4055,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_orders_wide": _orders_wide_oracle(),
         "rml_gtfs_composite": _gtfs_composite_oracle(),
         "rml_gtfs_nested": _gtfs_nested_oracle(),
+        "rml_gtfs_tabular": _gtfs_composite_oracle("http://ex.org/gtfs3/"),
         "rml_void_stats": _void_stats_oracle(),
         "rml_dedup_flags": _DEDUP_FLAGS_ORACLE,
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,

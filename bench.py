@@ -77,6 +77,22 @@ def main() -> None:
     spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(_warm, "id long") \
         .write.format("noop").mode("overwrite").save()
 
+    # host-speed calibration (r7): this VM drifts up to ~3× between
+    # measurement windows (r7 measured an UNTOUCHED code path at 2.9×
+    # its r6 isolated number), so every artifact carries the wall time
+    # of a fixed synthetic workload, taken before and after the sweep.
+    # Cross-day comparisons divide by the calibration ratio instead of
+    # guessing; a big start/end delta flags mid-sweep drift.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        (spark.range(0, 100_000_000, 1, 32)
+         .groupBy((F.col("id") % 4096).alias("k"))
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+         .orderBy("k").write.format("noop").mode("overwrite").save())
+        return round(time.perf_counter() - t0, 2)
+
+    calibration_start = _calibrate()
+
     # min of two timed runs per query: this host shows bursty noisy-
     # neighbor stalls (identical runs measured 4.3 s and 23.4 s minutes
     # apart in the r3 plan audit); the min is the stable throughput
@@ -136,6 +152,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": [calibration_start, _calibrate()],
     }
     if skip:
         result["skipped"] = sorted(skip)
@@ -161,6 +178,7 @@ def main() -> None:
         isolated: dict[str, float] = {}
         iso_cold: dict[str, float] = {}
         iso_errors: dict[str, str] = {}
+        iso_calib: list[float] = []
         for name in top:
             env = dict(os.environ,
                        SPARK_GRAFT_BENCH_ONLY=name,
@@ -182,6 +200,7 @@ def main() -> None:
                 else:
                     isolated[name] = sec
                     iso_cold[name] = round(wall - sec, 2)
+                    iso_calib.extend(child.get("calibration_sec", []))
             except Exception as exc:
                 iso_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             msg = (f"{isolated[name]}s (sweep {timings[name]}s, "
@@ -195,6 +214,9 @@ def main() -> None:
         if iso_cold:
             mid = sorted(iso_cold.values())[len(iso_cold) // 2]
             result["isolated_overhead_sec"] = mid
+        if iso_calib:
+            result["isolated_calibration_sec"] = round(
+                sorted(iso_calib)[len(iso_calib) // 2], 2)
         if iso_errors:
             result["isolated_errors"] = iso_errors
     # the result must be the SOLE final stdout line AND fit a bounded

@@ -1734,3 +1734,63 @@ def test_lzw_encode_clear_on_full_dictionary():
     rng = random.Random(42)
     big = bytes(rng.randrange(4) for _ in range(120_000))
     assert _lzw_decode(_lzw_encode(big, 2), 2, len(big)) == big
+
+
+def test_ngram_jaccard_prestage_identical_output(spark):
+    """exact_prestage collapses identical-shingle-set docs before the
+    inverted-index join but must reconstruct the IDENTICAL pair set —
+    byte replicas, whitespace variants (same word sequence), jittered
+    near-dups, and empty/NULL docs all covered."""
+    from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                        # byte replica of 1
+        (3, "  " + base + "   "),         # whitespace variant: same words
+        (4, base + " extra"),             # jittered near-dup
+        (5, "completely unrelated text with other words entirely here now"),
+        (6, ""),                          # empty: no shingles, never pairs
+        (7, None),                        # NULL text
+        (8, "completely unrelated text with other words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.9):
+        want = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=t, allow_quadratic=True).collect()))
+        got = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=t, exact_prestage=True).collect()))
+        assert got == want and want
+    assert not any(6 in (a, b) or 7 in (a, b)
+                   for a, b, _ in got)     # shingle-empty docs never pair
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exact_prestage"):
+        ngram_jaccard_pairs(df, max_df=3, exact_prestage=True)
+
+
+def test_ngram_jaccard_prestage_clique_linear(spark):
+    """A 5k-strong byte-replica clique floods the baseline's inverted
+    index with |sh|·m²/2 shuffle rows; the prestage sees ONE canonical
+    and reconstructs the m²/2 output pairs without the shingle fan-out —
+    completing in seconds."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us terms of service privacy policy"
+    uniq = [(i, f"document number {i} talks about topic {i % 7} in detail")
+            for i in range(50)]
+    rep = spark.range(5_000).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(boiler).alias("text"))
+    big = spark.createDataFrame(uniq, "doc_id long, text string") \
+        .unionByName(rep)
+    t0 = time.time()
+    out = ngram_jaccard_pairs(big, threshold=0.5, exact_prestage=True)
+    n = out.count()
+    elapsed = time.time() - t0
+    assert n >= 5_000 * 4_999 // 2        # the clique's pairs are all there
+    assert elapsed < 120, f"prestage took {elapsed:.0f}s — not collapsed"
