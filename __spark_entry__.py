@@ -1406,13 +1406,22 @@ WHERE c.is_canonical
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
-    # the exact measure with the identical-shingle-set collapse
-    # (exact_prestage): provably the same output as the all-pairs
-    # baseline, but replica cliques contribute ONE canonical to the
-    # inverted-index join — the sf10 sweep runs it unskipped (r6 had
-    # to skip-mark it as quadratic)
+    # the exact measure. Above the quadratic-guard cap the
+    # identical-shingle-set collapse (exact_prestage) kicks in:
+    # provably the same output as the all-pairs baseline, but replica
+    # cliques contribute ONE canonical to the inverted-index join (r6
+    # had to skip-mark sf10 as quadratic). Below it the plain baseline
+    # is both exact and cheaper (the collapse adds two checkpoints +
+    # expansion joins — ~2x at sf0.1 where no replica floods exist);
+    # output is identical on either branch, pinned by a property test.
+    n = _parquet_count(sf, "documents")
+    if n > 20_000:
+        return ngram_jaccard_pairs(
+            _docs(spark, sf), shingle_n=3, threshold=0.2,
+            exact_prestage=True,
+        ).select("id_a", "id_b", "jaccard")
     return ngram_jaccard_pairs(
-        _docs(spark, sf), shingle_n=3, threshold=0.2, exact_prestage=True
+        _docs(spark, sf), shingle_n=3, threshold=0.2, allow_quadratic=True
     ).select("id_a", "id_b", "jaccard")
 
 
