@@ -1821,11 +1821,21 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
 
 def _parquet_count(sf: str, table: str) -> int:
     """Row count of one testdata parquet via DuckDB (cheap footer read) —
-    shared by the queries that size a model/gate to the live corpus."""
+    shared by the queries that size a model/gate to the live corpus.
+    Uses a scoped connection, NOT ``duckdb.execute`` (the module-global
+    default connection): r7's sf10 sweep showed that one OOM elsewhere
+    in the process leaves the global connection permanently failing
+    ("closed pending query result"), which cascaded into every
+    size-gated query that followed. A fresh connection per call is
+    millisecond-cheap for a footer read and shares no fate."""
     import duckdb
 
-    return duckdb.execute("SELECT count(*) FROM read_parquet(?)",
-                          [f"{sf}/{table}.parquet"]).fetchone()[0]
+    con = duckdb.connect()
+    try:
+        return con.execute("SELECT count(*) FROM read_parquet(?)",
+                           [f"{sf}/{table}.parquet"]).fetchone()[0]
+    finally:
+        con.close()
 
 
 def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -3131,6 +3141,24 @@ def _orders_wide_oracle() -> str:
     return "SELECT s, p, o FROM (" + " UNION ".join(parts) + ")"
 
 
+def _duck_staging_con():
+    """DuckDB connection tuned for BIG staging jobs (sf10: 60M-row
+    list/struct aggregations and 15M-row sorted COPYs). The default
+    memory_limit believes 80% of physical RAM is available, but the
+    Spark JVM already holds tens of GB — DuckDB then allocates until
+    malloc fails (r7 sf10 sweep: "Out of Memory Error: Allocation
+    failure" in _stage_gtfs_nested). A conservative explicit limit plus
+    a spill directory makes the aggregation spill instead of dying;
+    preserve_insertion_order=false lets COPY stream."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
+    return con
+
+
 def _stage_gtfs_sources(sf: str) -> str:
     """Stage the GTFS-Madrid-Bench source heterogeneity shape from the sf
     parquet tables: CSV facts + JSON dimensions + (via
@@ -3152,7 +3180,7 @@ def _stage_gtfs_sources(sf: str) -> str:
     if os.path.exists(os.path.join(d, "_DONE")):
         return d
     os.makedirs(d, exist_ok=True)
-    con = duckdb.connect()
+    con = _duck_staging_con()
     con.execute(
         f"COPY (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
         f"FROM '{sf}/customer.parquet' ORDER BY c_custkey) TO "
@@ -3211,42 +3239,72 @@ def _stage_gtfs_nested(sf: str, n_shards: int = 32) -> str:
     if os.path.exists(os.path.join(d, "_DONE")):
         return d
     os.makedirs(d, exist_ok=True)
-    con = duckdb.connect()
-    con.execute(f"""
-CREATE TEMP TABLE onest AS
-SELECT o_custkey, struct_pack(
-    o_orderkey := o_orderkey,
-    o_custkey := o_custkey,
-    o_status := o_orderstatus,
-    o_total := o_totalprice,
-    o_date := strftime(o_orderdate, '%Y-%m-%d'),
-    items := coalesce(items, [])) AS obj
-FROM '{sf}/orders.parquet' LEFT JOIN (
-  SELECT l_orderkey, list(struct_pack(
-      l_orderkey := l_orderkey,
-      l_linenumber := l_linenumber,
-      l_partkey := l_partkey,
-      l_quantity := l_quantity) ORDER BY l_linenumber) AS items
-  FROM '{sf}/lineitem.parquet' GROUP BY l_orderkey
-) li ON li.l_orderkey = o_orderkey
-""")
-    con.execute(f"""
-CREATE TEMP TABLE cnest AS
-SELECT c_custkey % {n_shards} AS shard, c_custkey, struct_pack(
-    c_custkey := c_custkey, c_name := c_name, c_nationkey := c_nationkey,
-    orders := coalesce(orders, [])) AS obj
-FROM '{sf}/customer.parquet' LEFT JOIN (
-  SELECT o_custkey, list(obj ORDER BY obj.o_orderkey) AS orders
-  FROM onest GROUP BY o_custkey
-) oc ON oc.o_custkey = c_custkey
-""")
+    con = _duck_staging_con()
+    # memory-bounded two-pass build (r7: the one-shot list() aggregation
+    # over 60M lineitems cannot spill in DuckDB and OOMs at sf10 even
+    # with an explicit limit): pass 1 hash-partitions the three inputs
+    # by customer shard with SPILLABLE operators (join + partitioned
+    # COPY), pass 2 runs the non-spillable list/struct aggregation once
+    # per shard over 1/n_shards of the data — peak memory is bounded by
+    # the shard size, not the corpus.
+    import shutil
+
+    stage = os.path.join(d, "_stage")
+    os.makedirs(stage, exist_ok=True)
+    con.execute(
+        f"COPY (SELECT o_custkey % {n_shards} AS shard, o_orderkey, "
+        f"o_custkey, o_orderstatus, o_totalprice, "
+        f"strftime(o_orderdate, '%Y-%m-%d') AS o_date "
+        f"FROM '{sf}/orders.parquet') TO '{stage}/orders' "
+        f"(FORMAT PARQUET, PARTITION_BY (shard))")
+    con.execute(
+        f"COPY (SELECT o.o_custkey % {n_shards} AS shard, l.l_orderkey, "
+        f"l.l_linenumber, l.l_partkey, l.l_quantity "
+        f"FROM '{sf}/lineitem.parquet' l "
+        f"JOIN '{sf}/orders.parquet' o ON l.l_orderkey = o.o_orderkey) "
+        f"TO '{stage}/items' (FORMAT PARQUET, PARTITION_BY (shard))")
+    con.execute(
+        f"COPY (SELECT c_custkey % {n_shards} AS shard, c_custkey, "
+        f"c_name, c_nationkey FROM '{sf}/customer.parquet') "
+        f"TO '{stage}/cust' (FORMAT PARQUET, PARTITION_BY (shard))")
     for i in range(n_shards):
+        oglob = f"{stage}/orders/shard={i}/*.parquet"
+        iglob = f"{stage}/items/shard={i}/*.parquet"
+        cglob = f"{stage}/cust/shard={i}/*.parquet"
         # one root object {"customers": [...]} per shard file (FORMAT
         # JSON without ARRAY writes the single row as a single line)
-        con.execute(
-            f"COPY (SELECT list(obj ORDER BY c_custkey) AS customers "
-            f"FROM cnest WHERE shard = {i}) TO '{d}/cust_{i:02d}.json' "
-            f"(FORMAT JSON)")
+        con.execute(f"""
+COPY (
+  WITH onest AS (
+    SELECT o.o_custkey, struct_pack(
+        o_orderkey := o.o_orderkey,
+        o_custkey := o.o_custkey,
+        o_status := o.o_orderstatus,
+        o_total := o.o_totalprice,
+        o_date := o.o_date,
+        items := coalesce(li.items, [])) AS obj
+    FROM read_parquet('{oglob}') o LEFT JOIN (
+      SELECT l_orderkey, list(struct_pack(
+          l_orderkey := l_orderkey,
+          l_linenumber := l_linenumber,
+          l_partkey := l_partkey,
+          l_quantity := l_quantity) ORDER BY l_linenumber) AS items
+      FROM read_parquet('{iglob}') GROUP BY l_orderkey
+    ) li ON li.l_orderkey = o.o_orderkey
+  ), cnest AS (
+    SELECT c.c_custkey, struct_pack(
+        c_custkey := c.c_custkey, c_name := c.c_name,
+        c_nationkey := c.c_nationkey,
+        orders := coalesce(oc.orders, [])) AS obj
+    FROM read_parquet('{cglob}') c LEFT JOIN (
+      SELECT o_custkey, list(obj ORDER BY obj.o_orderkey) AS orders
+      FROM onest GROUP BY o_custkey
+    ) oc ON oc.o_custkey = c.c_custkey
+  )
+  SELECT list(obj ORDER BY c_custkey) AS customers FROM cnest
+) TO '{d}/cust_{i:02d}.json' (FORMAT JSON)
+""")
+    shutil.rmtree(stage, ignore_errors=True)
     open(os.path.join(d, "_DONE"), "w").close()
     return d
 
