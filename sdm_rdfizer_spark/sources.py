@@ -377,8 +377,15 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 def _read_json(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     """Read a JSON document and apply the JSONPath-ish iterator
     (wildcards ``[*]``), compiling each ``[*]`` into an ``explode``
-    (reference walks the dict tree row-at-a-time, semantify.py:5000-5100)."""
-    df = spark.read.option("multiLine", True).json(ls.source)
+    (reference walks the dict tree row-at-a-time, semantify.py:5000-5100).
+
+    ``.jsonl`` sources read in LINE mode (one JSON value per line,
+    multiLine=False): line-mode text input is byte-range SPLITTABLE, so
+    a single large file parallelizes across executors, where a multiLine
+    document is one parse task per file — the scale path for nested JSON
+    (each line carries the same root shape, so iterators are unchanged)."""
+    jsonl = str(ls.source).rstrip().endswith(".jsonl")
+    df = spark.read.option("multiLine", not jsonl).json(ls.source)
     return apply_json_iterator(df, ls.iterator)
 
 
