@@ -1468,7 +1468,7 @@ def _q_ngram_jaccard_maxdf(spark: SparkSession, sf: str) -> DataFrame:
     pair is a true pair; pairs whose overlap lives mostly in ubiquitous
     shingles may be missed.
 
-    The cut is CORPUS-RELATIVE — max(16, n_docs/2000) — because an
+    The cut is CORPUS-RELATIVE — max(16, n_docs/8000) — because an
     absolute df threshold degenerates as the corpus grows: near-dup
     cliques scale with the corpus (a boilerplate page replicated at
     1e-3 rate has df = n/1000), so a fixed cut that finds them at 5k
@@ -1476,7 +1476,7 @@ def _q_ngram_jaccard_maxdf(spark: SparkSession, sf: str) -> DataFrame:
     3,069 of 27M index rows — zero pairs). Relative df is also the
     published convention for stop-shingle cuts (df-fraction, not
     df-count). Join fan-out stays bounded: Σ_kept df² ≤ kept_rows ·
-    (n/2000), i.e. linear in corpus size per kept index row. The
+    (n/8000), i.e. linear in corpus size per kept index row. The
     oracle replays the identical formula in SQL."""
     from sdm_rdfizer_spark.ops.dedup import ngram_jaccard_pairs
 

@@ -749,12 +749,29 @@ def jaccard_verify_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # codegen shingle sets, computed only for docs that appear in a
-    # candidate pair (array content == shingles(); order irrelevant to
-    # array_intersect)
-    docs = (shingle_sets(df.join(ids, id_col), text_col, id_col,
-                         shingle_n=shingle_n)
-            .select(F.col(id_col), F.col("sh").alias("__sh")))
+    # Per-pair verify stays an ARRAY intersection — one row per pair,
+    # array ops in-row. (An index-join variant — pair frame joined
+    # against exploded (id, fingerprint) rows — fans out Σ_pairs·|A|
+    # rows and measured 608 s vs ~150 s here at sf10: right shape for
+    # the all-pairs measure, wrong shape when the pairs are already
+    # enumerated.) The arrays hold 64-bit xxhash64 FINGERPRINTS, built
+    # in-row: long elements take array_distinct/array_intersect down
+    # the primitive fast path (string arrays pay O(k²) object compares
+    # inside the interpreted HOF subtree), and the id-keyed joins move
+    # 8-byte elements instead of shingle text. A verify-false-positive
+    # needs two distinct shingles of the SAME pair to collide on one
+    # 64-bit hash (P ≈ pairs·|A|²·2⁻⁶⁴ — negligible; the sf0.01 oracle
+    # compares against the true string measure). NULL-text docs hash to
+    # one seed value per doc, reproducing the string path's
+    # "[NULL] ∩ [NULL] matches" edge exactly.
+    w = words(text_col)
+    sh_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__w") - shingle_n, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice("__w", i + 1, shingle_n),
+                                          " "))))
+    docs = (df.join(ids, id_col)
+            .select(F.col(id_col), w.alias("__w"))
+            .select(F.col(id_col), sh_arr.alias("__sh")))
     a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
@@ -883,7 +900,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Hamming-near fingerprints indicate near-duplicate documents; bucket
     by bit-slices for a banding search, same shape as MinHash-LSH.
     """
-    w = F.transform(words(text_col), F.lower)
+    # explode first, lowercase per exploded row: a transform(words,
+    # lower) lambda would drag the projection onto the interpreted
+    # evaluator (HOFs never enter codegen); lower-after-explode is the
+    # same multiset and stays in whole-stage codegen
     # token hash from the md5 hex digest: first 8 hex chars → low 32
     # bits (unchanged vs the 32-bit oracle); for wider fingerprints the
     # next 8 hex chars fill bits 32-63 (without this, bits > 32 would be
@@ -896,7 +916,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         hi = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
         return lo.bitwiseOR(F.shiftleft(hi, 32))
 
-    exploded = df.select(F.col(id_col), F.explode(w).alias("tok"))
+    exploded = (df.select(F.col(id_col), F.explode(words(text_col)).alias("__t"))
+                .select(F.col(id_col), F.lower("__t").alias("tok")))
     exploded = exploded.withColumn("h", tok_hash(F.col("tok")))
     votes = [
         F.sum(
