@@ -3280,6 +3280,7 @@ def _orders_wide_oracle() -> str:
 # DuckDB pipeline); thin aliases keep the query functions unchanged and
 # the staging logic now has direct unit tests (tests/test_staging.py).
 from sdm_rdfizer_spark.staging import (          # noqa: E402
+    stage_gtfs_files as _stage_gtfs_files,
     stage_gtfs_nested as _stage_gtfs_nested,
     stage_gtfs_sources as _stage_gtfs_sources,
 )
@@ -3620,6 +3621,93 @@ def _q_gtfs_tabular(spark: SparkSession, sf: str) -> DataFrame:
 
 <#CalendarDay> a rr:TriplesMap;
   rml:logicalSource [ rml:source "{d}/orders.csv"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "{g}date/{{o_orderdate}}"; rr:class ex:CalendarDay ] .
+"""
+    return _materialize(spark, mapping).select("s", "p", "o")
+
+
+def _q_gtfs_files(spark: SparkSession, sf: str) -> DataFrame:
+    """GTFS-Madrid-Bench FILES track: the composite's TriplesMap
+    topology with EVERY entity its own flat file of ONE format —
+    line-JSON records (gtfs-madrid-bench.csv:2 benches this mix
+    separately from mixed/nested/tabular). Same join shape as
+    rml_gtfs_tabular, so the bench delta is pure source-format cost:
+    five splittable JSON record scans instead of CSV; against
+    rml_gtfs_composite it removes the format mixture. JSONL lines are
+    byte-range splittable, so read parallelism is unbounded at any sf
+    (the r8 nested-track lesson applied to flat files)."""
+    d = _stage_gtfs_files(sf)
+    g = "http://ex.org/gtfs4/"
+
+    def ls(name: str) -> str:
+        return (f'rml:logicalSource [ rml:source "{d}/{name}.jsonl"; '
+                f'rml:referenceFormulation ql:JSONPath ]')
+
+    mapping = _PREFIXES + f"""
+<#Region> a rr:TriplesMap;
+  {ls("region")};
+  rr:subjectMap [ rr:template "{g}region/{{r_regionkey}}"; rr:class ex:Region ];
+  rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rml:reference "r_name" ] ] .
+
+<#Nation> a rr:TriplesMap;
+  {ls("nation")};
+  rr:subjectMap [ rr:template "{g}nation/{{n_nationkey}}"; rr:class ex:Nation ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:inRegion; rr:objectMap [
+      rr:parentTriplesMap <#Region>;
+      rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ] ] .
+
+<#Customer> a rr:TriplesMap;
+  {ls("customer")};
+  rr:subjectMap [ rr:template "{g}customer/{{c_custkey}}"; rr:class ex:Customer ];
+  rr:predicateObjectMap [ rr:predicate ex:custName; rr:objectMap [ rml:reference "c_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:custNation; rr:objectMap [
+      rr:parentTriplesMap <#Nation>;
+      rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#Supplier> a rr:TriplesMap;
+  {ls("supplier")};
+  rr:subjectMap [ rr:template "{g}supplier/{{s_suppkey}}"; rr:class ex:Supplier ];
+  rr:predicateObjectMap [ rr:predicate ex:suppName; rr:objectMap [ rml:reference "s_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:suppNation; rr:objectMap [
+      rr:parentTriplesMap <#Nation>;
+      rr:joinCondition [ rr:child "s_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#Order> a rr:TriplesMap;
+  {ls("orders")};
+  rr:subjectMap [ rr:template "{g}order/{{o_orderkey}}"; rr:class ex:Order ];
+  rr:predicateObjectMap [ rr:predicate ex:date; rr:objectMap [ rml:reference "o_orderdate" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:total;
+    rr:objectMap [ rml:reference "o_totalprice"; rr:datatype xsd:double ] ];
+  rr:predicateObjectMap [ rr:predicate ex:orderedBy; rr:objectMap [
+      rr:parentTriplesMap <#Customer>;
+      rr:joinCondition [ rr:child "o_custkey"; rr:parent "c_custkey" ] ] ] .
+
+<#OrderStatus> a rr:TriplesMap;
+  {ls("orders")};
+  rr:subjectMap [ rr:template "{g}order/{{o_orderkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ rml:reference "o_orderstatus" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:withPriority; rr:objectMap [
+      rr:parentTriplesMap <#Priority>;
+      rr:joinCondition [ rr:child "o_orderpriority"; rr:parent "o_orderpriority" ] ] ] .
+
+<#Priority> a rr:TriplesMap;
+  {ls("orders")};
+  rr:subjectMap [ rr:template "{g}priority/{{o_orderpriority}}"; rr:class ex:Priority ] .
+
+<#Segment> a rr:TriplesMap;
+  {ls("customer")};
+  rr:subjectMap [ rr:template "{g}segment/{{c_mktsegment}}"; rr:class ex:Segment ] .
+
+<#CustomerSegment> a rr:TriplesMap;
+  {ls("customer")};
+  rr:subjectMap [ rr:template "{g}customer/{{c_custkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:inSegment; rr:objectMap [
+      rr:parentTriplesMap <#Segment>;
+      rr:joinCondition [ rr:child "c_mktsegment"; rr:parent "c_mktsegment" ] ] ] .
+
+<#CalendarDay> a rr:TriplesMap;
+  {ls("orders")};
   rr:subjectMap [ rr:template "{g}date/{{o_orderdate}}"; rr:class ex:CalendarDay ] .
 """
     return _materialize(spark, mapping).select("s", "p", "o")
@@ -4087,6 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_gtfs_nested": _q_gtfs_nested,
         "rml_gtfs_nested_jsonl": _q_gtfs_nested_jsonl,
         "rml_gtfs_tabular": _q_gtfs_tabular,
+        "rml_gtfs_files": _q_gtfs_files,
         "rml_gather_seq": _q_gather_seq,
         "rml_xml_supplier": _q_xml_supplier,
         "rml_csv_infer": _q_csv_infer,
@@ -4118,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_gtfs_nested": _gtfs_nested_oracle(),
         "rml_gtfs_nested_jsonl": _gtfs_nested_oracle(),
         "rml_gtfs_tabular": _gtfs_composite_oracle("http://ex.org/gtfs3/"),
+        "rml_gtfs_files": _gtfs_composite_oracle("http://ex.org/gtfs4/"),
         "rml_void_stats": _void_stats_oracle(),
         "rml_dedup_flags": _DEDUP_FLAGS_ORACLE,
         "rml_orders_quads": _ORDERS_QUADS_ORACLE,

@@ -88,6 +88,44 @@ def stage_gtfs_sources(sf: str) -> str:
     return d
 
 
+def stage_gtfs_files(sf: str) -> str:
+    """Stage the GTFS-Madrid-Bench FILES heterogeneity track: every
+    entity in its OWN flat file of ONE format — the last of the
+    reference's four benched source mixes (kgcw_2023_challenge/.../
+    gtfs-madrid-bench.csv:2) after mixed (``stage_gtfs_sources`` →
+    CSV+JSON+XML composite), nested (``stage_gtfs_nested``) and tabular
+    (all-CSV). Here every entity is a line-JSON (``.jsonl``) file of
+    flat records: same join topology as the tabular track, so the
+    bench delta against it is pure per-format scan cost (JSON record
+    parse + schema inference vs CSV split), and against the composite
+    it removes the cross-format mixture. Line-JSON is byte-range
+    splittable — read parallelism is unbounded at any sf, unlike a
+    single-object JSON per entity. DuckDB ``FORMAT JSON`` writes NDJSON
+    (one record per line); dates are pre-rendered ISO strings so the
+    JSON scan needs no date coercion."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "sdm_gtfs_files_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if os.path.exists(os.path.join(d, "_DONE")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duck_staging_con()
+    for tbl, cols in (
+        ("region", "r_regionkey, r_name"),
+        ("nation", "n_nationkey, n_name, n_regionkey"),
+        ("supplier", "s_suppkey, s_name, s_nationkey"),
+        ("customer", "c_custkey, c_name, c_nationkey, c_mktsegment"),
+        ("orders", "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+                   "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+                   "o_orderpriority"),
+    ):
+        con.execute(
+            f"COPY (SELECT {cols} FROM '{sf}/{tbl}.parquet' ORDER BY 1) "
+            f"TO '{d}/{tbl}.jsonl' (FORMAT JSON)")
+    open(os.path.join(d, "_DONE"), "w").close()
+    return d
+
+
 # LIMIT-0 projections over the ORIGINAL parquet — schema-exact empty
 # relations substituted when a hash shard got zero rows (judge r7 advice:
 # PARTITION_BY writes no directory for an empty partition, so the shard
