@@ -163,6 +163,26 @@ def shingle_index(df: DataFrame, text_col: str, id_col: str,
                     F.explode("sh").alias("shingle")))
 
 
+def shingle_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", *,
+                         shingle_n: int = 3) -> DataFrame:
+    """(id, __sh) with __sh the DISTINCT 64-bit xxhash64 fingerprints of
+    the doc's n-gram shingles — the in-row verify substrate shared by
+    ``jaccard_verify_pairs`` and the streaming LSH→verify pipeline (one
+    definition so batch and stream provably intersect the same arrays).
+    Long elements keep array_distinct/array_intersect on the primitive
+    fast path and id-keyed joins move 8-byte elements, not shingle text;
+    a NULL-text doc hashes to one seed value, so NULL∩NULL still
+    matches (the string path's edge, preserved)."""
+    w = words(text_col)
+    sh_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__w") - shingle_n, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice("__w", i + 1, shingle_n),
+                                          " "))))
+    return (df.select(F.col(id_col), w.alias("__w"))
+            .select(F.col(id_col), sh_arr.alias("__sh")))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -764,14 +784,8 @@ def jaccard_verify_pairs(
     # compares against the true string measure). NULL-text docs hash to
     # one seed value per doc, reproducing the string path's
     # "[NULL] ∩ [NULL] matches" edge exactly.
-    w = words(text_col)
-    sh_arr = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("__w") - shingle_n, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice("__w", i + 1, shingle_n),
-                                          " "))))
-    docs = (df.join(ids, id_col)
-            .select(F.col(id_col), w.alias("__w"))
-            .select(F.col(id_col), sh_arr.alias("__sh")))
+    docs = shingle_fingerprints(df.join(ids, id_col), text_col, id_col,
+                                shingle_n=shingle_n)
     a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")

@@ -191,3 +191,27 @@ def test_stateful_sessionize_max_sessions_per_key(spark, tmp_path):
     capped = stream_sessionize(spark, d, gap_minutes=1,
                                max_sessions_per_key=2).collect()
     assert by_user(capped) == {1: [1, 2], 2: [1, 2]}
+
+
+def test_stream_minhash_verify_batch_parity(spark):
+    """The incremental LSH->verify stream (foreachBatch band/fingerprint
+    index, multi-trigger drain) must equal the one-shot batch pipeline
+    pair-for-pair, jaccard values included — every pair is generated
+    exactly once, in the batch where its later doc arrives, with the
+    full band-agreement count."""
+    from sdm_rdfizer_spark.ops.dedup import (jaccard_verify_pairs,
+                                             minhash_lsh_pairs)
+    from sdm_rdfizer_spark.streaming import stream_minhash_verify
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_minhash_verify(
+        spark, sf, num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
+        min_shared_bands=1, max_candidates_per_batch_doc=None,
+        n_input_files=4)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = jaccard_verify_pairs(
+        docs, minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3),
+        shingle_n=3, threshold=0.2, min_shared_bands=1)
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
