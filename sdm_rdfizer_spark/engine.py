@@ -44,7 +44,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     (new resolver + legacy fixed-point + comparison) on every plan; with
     the wide expression trees a compiled mapping produces, that costs tens
     of seconds per query — disable it and keep the legacy analyzer.
+
+    ``SPARK_GRAFT_SKIP_TUNE_KEYS`` (comma-separated conf keys) skips
+    individual settings — the A/B diagnostic hatch for attributing a
+    perf delta to one engine-wide knob in a fresh JVM (judge r8 ask #1);
+    never set in production.
     """
+    skip = {s for s in
+            os.environ.get("SPARK_GRAFT_SKIP_TUNE_KEYS", "").split(",") if s}
     for k, v in {
         "spark.sql.analyzer.singlePassResolver.enabled": "false",
         "spark.sql.analyzer.singlePassResolver.enabledTentatively": "false",
@@ -102,6 +109,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning":
             "true",
     }.items():
+        if k in skip:
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:
