@@ -78,6 +78,33 @@ def _stat_key(source, _glob) -> tuple:
         return ()
 
 
+_TRIVIAL_JSON_ITERS = (None, "", "$", "$.", "$[*]", "$.[*]")
+
+
+def _duck_probe_rel(ls) -> str | None:
+    """DuckDB relation string for a PROBE-READABLE file source, or None.
+
+    parquet / csv / tsv as before; flat line-JSON (``.jsonl``, no — or
+    identity — iterator) reads via ``read_json(format='newline_
+    delimited')``: one record per line is exactly the row multiset the
+    Spark line-mode scan produces, so driver-side uniqueness/injectivity
+    checks carry over. Iterator-bearing or multiLine JSON stays
+    unprobed (the refs are relative to the iterator node, which DuckDB
+    doesn't navigate here) — those sources keep their dedup."""
+    if ls.fmt == "parquet":
+        return f"read_parquet('{ls.source}')"
+    if ls.fmt in ("csv", "tsv"):
+        d = "\t" if ls.fmt == "tsv" else (ls.delimiter or ",")
+        return (f"read_csv('{ls.source}', all_varchar=true, "
+                f"delim='{d}', header=true)")
+    if (ls.fmt == "json"
+            and str(ls.source).rstrip().endswith(".jsonl")
+            and (ls.iterator.strip() if ls.iterator else None)
+            in _TRIVIAL_JSON_ITERS):
+        return f"read_json('{ls.source}', format='newline_delimited')"
+    return None
+
+
 def _rule_id(om) -> str:
     """The object-map rule value the reference appends to the PTT table
     key for general predicates (predicate_object_map.object_map.value)."""
@@ -613,7 +640,16 @@ class MappingPlanner:
         VALUE-level injectivity (trim/float/%/http collisions) is a
         separate data question answered by the probes."""
         ls = tm.source
-        if ls.fmt not in ("csv", "tsv", "parquet") or ls.iterator or ls.view:
+        if ls.view:
+            return None
+        if ls.fmt in ("csv", "tsv", "parquet"):
+            if ls.iterator:
+                return None
+        elif _duck_probe_rel(ls) is None:
+            # flat line-JSON (identity iterator) is a flat scan whose
+            # top-level fields are plain columns — same static shape
+            # argument as CSV; iterator-bearing / multiLine JSON and
+            # every other format keep their distinct
             return None
         st = tm.subject.term
         if st.kind not in (TEMPLATE, REFERENCE):
@@ -826,19 +862,25 @@ class MappingPlanner:
                          "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
                          "UBIGINT"}
             cols = ", ".join(f'"{r}"' for r in refs)
-            if ls.fmt == "parquet":
-                rel = f"read_parquet('{ls.source}')"
-            else:
-                d = "\t" if ls.fmt == "tsv" else (ls.delimiter or ",")
-                rel = (f"read_csv('{ls.source}', all_varchar=true, "
-                       f"delim='{d}', header=true)")
+            rel = _duck_probe_rel(ls)
+            if rel is None:
+                return False
             con = duckdb.connect()
             types = [t for _, t, *_ in
                      con.execute(f"DESCRIBE SELECT {cols} FROM {rel}"
                                  ).fetchall()]
             if all(t in int_types for t in types):
                 # canonical integer rendering is injective; DESCRIBE on
-                # parquet reads only the footer, so no size bound applies
+                # parquet reads only the footer, so no size bound
+                # applies. JSON types come from a SAMPLED inference —
+                # a full-parse count (bounded by the probe size cap)
+                # validates them: any later row that fails the sampled
+                # schema errors the scan, and the except arm says False
+                if ls.fmt == "json":
+                    if total > self.dedup_elision_probe_bytes:
+                        return False
+                    con.execute(f"SELECT count(*) FROM (SELECT {cols} "
+                                f"FROM {rel})").fetchone()
                 return True
             if total > self.dedup_elision_probe_bytes:
                 return False
@@ -888,12 +930,9 @@ class MappingPlanner:
             if total > self.dedup_elision_probe_bytes:
                 return False
             cols = ", ".join(f'"{r}"' for r in refs)
-            if ls.fmt == "parquet":
-                rel = f"read_parquet('{ls.source}')"
-            else:
-                d = "\t" if ls.fmt == "tsv" else (ls.delimiter or ",")
-                rel = (f"read_csv('{ls.source}', all_varchar=true, "
-                       f"delim='{d}', header=true)")
+            rel = _duck_probe_rel(ls)
+            if rel is None:
+                return False
             con = duckdb.connect()
             types = [t for _, t, *_ in
                      con.execute(f"DESCRIBE SELECT {cols} FROM {rel}"
@@ -1685,8 +1724,13 @@ class MappingPlanner:
 
     def _raw_key_unique_uncached(self, parent_tm, parent_keys):
         ls = parent_tm.source
-        if (ls.fmt not in ("parquet", "csv", "tsv") or ls.table or ls.query
-                or ls.view or ls.iterator):
+        if (ls.fmt not in ("parquet", "csv", "tsv", "json") or ls.table
+                or ls.query or ls.view):
+            return None
+        if ls.fmt != "json" and ls.iterator:
+            return None
+        if ls.fmt == "json" and _duck_probe_rel(ls) is None:
+            # only flat line-JSON (identity iterator) is probe-readable
             return None
         path = ls.source
         if not (path and os.path.isfile(path)
@@ -1712,6 +1756,23 @@ class MappingPlanner:
                 n, d = duckdb.execute(
                     f"SELECT count(*), count(DISTINCT ({cols})) "
                     f"FROM read_parquet(?) WHERE {notnull}", [path]).fetchone()
+                return True if n == d else None
+            if ls.fmt == "json":
+                # flat line-JSON: integer-typed keys render canonically
+                # (same contract as the parquet arm); the count-distinct
+                # below is a FULL parse, so a sampled-schema mismatch
+                # errors the scan and the except arm answers None
+                int_types = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                             "HUGEINT", "UTINYINT", "USMALLINT",
+                             "UINTEGER", "UBIGINT"}
+                rel = _duck_probe_rel(ls)
+                types = [t for _, t, *_ in duckdb.execute(
+                    f"DESCRIBE SELECT {cols} FROM {rel}").fetchall()]
+                if not all(t in int_types for t in types):
+                    return None
+                n, d = duckdb.execute(
+                    f"SELECT count(*), count(DISTINCT ({cols})) "
+                    f"FROM {rel} WHERE {notnull}").fetchone()
                 return True if n == d else None
             # CSV/TSV: every value is a string — raw uniqueness only
             # implies pair uniqueness when canonical rendering is the

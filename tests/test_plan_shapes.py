@@ -278,3 +278,20 @@ def test_similarity_join_banding_equi_join(spark, entry):
     plan = _plan(entry.queries()["dedup_similarity_join"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gtfs_files_matches_tabular_shape(spark, entry):
+    """The all-JSONL files track must get the SAME dedup-elision plan as
+    the all-CSV tabular track (r9: the driver-side uniqueness/injectivity
+    probes read flat line-JSON through DuckDB read_json, so per-branch
+    distincts elide and dimension parents broadcast without a parent-
+    pairs dedup exchange — a JSON source is not a reason to shuffle)."""
+    plans = {}
+    for q in ("rml_gtfs_files", "rml_gtfs_tabular"):
+        p = _plan(entry.queries()[q](spark, SF))
+        plans[q] = (p.count("Exchange hashpartitioning"),
+                    p.count("BroadcastExchange"),
+                    p.count("SortMergeJoin"))
+    assert plans["rml_gtfs_files"] == plans["rml_gtfs_tabular"], plans
+    assert plans["rml_gtfs_files"][2] == 0
+    assert plans["rml_gtfs_files"][0] <= 3
