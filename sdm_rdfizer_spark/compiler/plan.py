@@ -101,7 +101,17 @@ def _duck_probe_rel(ls) -> str | None:
             and str(ls.source).rstrip().endswith(".jsonl")
             and (ls.iterator.strip() if ls.iterator else None)
             in _TRIVIAL_JSON_ITERS):
-        return f"read_json('{ls.source}', format='newline_delimited')"
+        # sample_size=-1: full-file type inference. The default SAMPLED
+        # inference can type a mixed long+string column BIGINT from an
+        # all-int prefix and then silently CAST later values (" 3" → 3),
+        # so a probe would "prove" int injectivity for values whose
+        # Spark-side canonical rendering (trim, float canonicalization)
+        # can collide. Full inference widens mixed columns to JSON/
+        # VARCHAR, which the int fast path rejects. Probe callers cap
+        # total input bytes BEFORE DESCRIBE, so the full parse is
+        # bounded driver-side work.
+        return ("read_json('{0}', format='newline_delimited', "
+                "sample_size=-1)".format(ls.source))
     return None
 
 
@@ -865,6 +875,11 @@ class MappingPlanner:
             rel = _duck_probe_rel(ls)
             if rel is None:
                 return False
+            if ls.fmt == "json" and total > self.dedup_elision_probe_bytes:
+                # JSON probe relations use sample_size=-1 (full-file
+                # type inference, see _duck_probe_rel) so even DESCRIBE
+                # is a full parse — bound it like any other full read
+                return False
             con = duckdb.connect()
             types = [t for _, t, *_ in
                      con.execute(f"DESCRIBE SELECT {cols} FROM {rel}"
@@ -872,15 +887,10 @@ class MappingPlanner:
             if all(t in int_types for t in types):
                 # canonical integer rendering is injective; DESCRIBE on
                 # parquet reads only the footer, so no size bound
-                # applies. JSON types come from a SAMPLED inference —
-                # a full-parse count (bounded by the probe size cap)
-                # validates them: any later row that fails the sampled
-                # schema errors the scan, and the except arm says False
-                if ls.fmt == "json":
-                    if total > self.dedup_elision_probe_bytes:
-                        return False
-                    con.execute(f"SELECT count(*) FROM (SELECT {cols} "
-                                f"FROM {rel})").fetchone()
+                # applies. JSON types come from FULL-file inference
+                # (sample_size=-1), so an all-int verdict means every
+                # row really is an int — mixed columns widen to
+                # JSON/VARCHAR and fall out of this branch.
                 return True
             if total > self.dedup_elision_probe_bytes:
                 return False

@@ -645,6 +645,7 @@ def cap_candidates_per_doc(
     log_context: str = "cap_candidates_per_doc",
     log_drops: bool = True,
     salt: int | None = None,
+    drop_sink: list | None = None,
 ) -> DataFrame:
     """Deterministic per-doc candidate cap over a (id_a, id_b, …) pair
     frame: each doc keeps at most ``cap`` pairs as the a-side and at
@@ -699,15 +700,21 @@ def cap_candidates_per_doc(
         .drop("__rb")
     )
     capped = capped.localCheckpoint(eager=True)
-    if log_drops:
+    if log_drops or drop_sink is not None:
         import logging
 
         n_before, n_after = pairs.count(), capped.count()
         dropped = n_before - n_after
-        logging.getLogger(__name__).log(
-            logging.WARNING if dropped else logging.INFO,
-            "%s: per-doc cap=%d kept %d of %d candidate pairs (%d dropped)",
-            log_context, cap, n_after, n_before, dropped)
+        if drop_sink is not None:
+            # callers that must know whether the cap BOUND (e.g. the
+            # streaming verify's oracle-parity assertion) read it here
+            drop_sink.append(dropped)
+        if log_drops:
+            logging.getLogger(__name__).log(
+                logging.WARNING if dropped else logging.INFO,
+                "%s: per-doc cap=%d kept %d of %d candidate pairs "
+                "(%d dropped)",
+                log_context, cap, n_after, n_before, dropped)
     return capped
 
 

@@ -530,6 +530,7 @@ def stream_minhash_verify(
     threshold: float = 0.5, min_shared_bands: int = 2,
     max_candidates_per_batch_doc: int | None = 1000,
     n_input_files: int = 8, work_dir: str | None = None,
+    expect_cap_nonbinding: bool = True,
 ) -> DataFrame:
     """Streaming BOUNDED near-dup pipeline (judge r8 stretch #7): LSH
     banding candidates → capped exact-Jaccard verify, incrementally in
@@ -563,6 +564,7 @@ def stream_minhash_verify(
     join is id-keyed on 8-byte fingerprints. Drained with availableNow
     for the oracle-checkable batch-parity twin.
     """
+    import hashlib
     import shutil
     import tempfile
 
@@ -571,21 +573,44 @@ def stream_minhash_verify(
                              minhash_signatures, shingle_fingerprints)
 
     tune_session(spark)
-    wd = work_dir or tempfile.mkdtemp(prefix="stream_mh_verify_")
+    # content-keyed reusable work dir (advisor r9: a mkdtemp per call
+    # leaked a full corpus copy + indexes into /tmp on every bench
+    # invocation) — repeated runs over the same corpus reuse ONE dir,
+    # and only the input staging survives between runs
+    if work_dir is None:
+        src = os.path.join(sf_dir, "documents.parquet")
+        try:
+            st = os.stat(src)
+            stamp = f"{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            stamp = "dir"
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}#{n_input_files}#{stamp}".encode()
+        ).hexdigest()[:10]
+        work_dir = os.path.join(tempfile.gettempdir(),
+                                "sdm_stream_mhv_" + key)
+    wd = work_dir
     in_dir = os.path.join(wd, "input")
     idx_bands = os.path.join(wd, "index_bands")
     idx_fp = os.path.join(wd, "index_fp")
     out_dir = os.path.join(wd, "pairs")
-    for d in (idx_bands, idx_fp, out_dir):
+    # per-run state (indexes, sink, stream checkpoint) must start empty;
+    # the checkpoint especially — availableNow would otherwise resume a
+    # finished run and process nothing
+    for d in (idx_bands, idx_fp, out_dir, os.path.join(wd, "ckpt")):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text"))
-    docs.repartition(n_input_files).write.mode("overwrite").parquet(in_dir)
+    done = os.path.join(in_dir, "_STAGED")
+    if not os.path.exists(done):
+        docs.repartition(n_input_files).write.mode("overwrite").parquet(in_dir)
+        open(done, "w").close()
     schema = spark.read.parquet(in_dir).schema
     sdf = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", 1).parquet(in_dir))
     par = spark.sparkContext.defaultParallelism
+    cap_drops: list[int] = []
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         # one file per trigger = one read task; spread the shingle work
@@ -624,7 +649,8 @@ def stream_minhash_verify(
         if max_candidates_per_batch_doc is not None:
             pairs = cap_candidates_per_doc(
                 pairs, max_candidates_per_batch_doc,
-                log_context="stream_minhash_verify")
+                log_context="stream_minhash_verify",
+                drop_sink=cap_drops)
         a = fp.select(F.col("doc_id").alias("id_a"),
                       F.col("__sh").alias("__sha"))
         bb = fp.select(F.col("doc_id").alias("id_b"),
@@ -643,6 +669,19 @@ def stream_minhash_verify(
          .option("checkpointLocation", os.path.join(wd, "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    dropped = sum(cap_drops)
+    if expect_cap_nonbinding and dropped:
+        # the registered oracle replays BATCH-global cap semantics,
+        # which equal the per-batch cap only while it never binds
+        # (advisor r9): fail LOUDLY here instead of letting a larger sf
+        # surface as a confusing oracle hash mismatch. Callers wanting
+        # production bounded-work semantics pass
+        # expect_cap_nonbinding=False.
+        raise RuntimeError(
+            f"stream_minhash_verify: per-batch candidate cap "
+            f"max_candidates_per_batch_doc={max_candidates_per_batch_doc} "
+            f"dropped {dropped} pairs — batch-oracle parity no longer "
+            f"holds; raise the cap or pass expect_cap_nonbinding=False")
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return spark.createDataFrame(
             [], "id_a long, id_b long, jaccard double")

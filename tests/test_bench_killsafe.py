@@ -53,7 +53,12 @@ def test_kill_during_isolation_keeps_sweep_artifact(tmp_path):
     try:
         deadline = time.time() + 600
         while not bench_json.exists():
-            assert proc.poll() is None, "bench.py exited before writing BENCH.json"
+            if proc.poll() is not None:
+                # bench.py may write BENCH.json and exit between the
+                # exists() check and poll() — re-check before failing
+                assert bench_json.exists(), \
+                    "bench.py exited before writing BENCH.json"
+                break
             assert time.time() < deadline, "BENCH.json never appeared"
             time.sleep(0.5)
         # artifact exists while the process is still alive (isolation

@@ -481,3 +481,49 @@ def test_narrow_dedup_splits_constant_decorations(spark, tmp_path):
                for r in got)
     assert any(r[2] == '"hi"@en' for r in got)
     assert any(r[2] == '"thing"' for r in got)
+
+
+def test_jsonl_mixed_type_column_refuses_injectivity(spark, tmp_path):
+    """A JSONL column that is int for the whole sniffing prefix but
+    string later must NOT be probed injective: DuckDB's SAMPLED
+    inference would type it BIGINT and silently cast " 3" → 3, falsely
+    proving int injectivity while Spark's merged StringType keeps the
+    raw tokens whose trimmed rendering collides. The probe relation
+    pins sample_size=-1 (full-file inference), widening the column out
+    of the int fast path."""
+    import json as _json
+
+    import glob as _glob
+
+    from sdm_rdfizer_spark.compiler.plan import MappingPlanner
+    from sdm_rdfizer_spark.ir import LogicalSource
+
+    p = tmp_path / "mixed.jsonl"
+    with p.open("w") as f:
+        for i in range(1, 50):
+            f.write(_json.dumps({"id": i, "name": f"n{i}"}) + "\n")
+        # trailing string token: trim-rendered identical to int row 3
+        f.write(_json.dumps({"id": " 3", "name": "n3"}) + "\n")
+    ls = LogicalSource(source=str(p), fmt="json", iterator="$[*]")
+    planner = MappingPlanner.__new__(MappingPlanner)
+    planner.dedup_elision_probe_bytes = 4 << 30
+    assert planner._run_injective_probe(ls, ["id"], _glob) is False
+    # all-int jsonl stays on the fast path (the fix must not over-refuse)
+    q = tmp_path / "clean.jsonl"
+    with q.open("w") as f:
+        for i in range(1, 50):
+            f.write(_json.dumps({"id": i, "name": f"n{i}"}) + "\n")
+    ls2 = LogicalSource(source=str(q), fmt="json", iterator="$[*]")
+    assert planner._run_injective_probe(ls2, ["id"], _glob) is True
+    # end-to-end: the mixed file keeps its dedup shuffle and the
+    # colliding subject's name triple collapses to one row
+    m = PFX + f"""
+<#M> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{p}"; rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$[*]" ];
+  rr:subjectMap [ rr:template "http://ex.org/i/{{id}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ] .
+"""
+    df = materialize(spark, m)
+    assert _shuffles(df) >= 1, _plan(df)
+    assert df.where(F.col("s") == "<http://ex.org/i/3>").count() == 1

@@ -197,4 +197,11 @@ def test_real_dialect_end_to_end(spark):
   rr:predicateObjectMap [ rr:predicate ex:kind; rr:objectMap [ rml:reference "kind" ] ] .
 """
     triples = materialize(spark, mapping)
-    assert triples.count() >= 0   # end-to-end scan + template + emit
+    n = triples.count()           # end-to-end scan + template + emit
+    expect = _os.environ.get("SDM_RDFIZER_TEST_JDBC_EXPECT_ROWS")
+    if expect is not None:
+        assert n == int(expect), f"expected {expect} triples, got {n}"
+    else:
+        # a configured live table must yield at least one triple —
+        # `>= 0` would only prove the absence of exceptions
+        assert n > 0

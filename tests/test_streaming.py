@@ -215,3 +215,45 @@ def test_stream_minhash_verify_batch_parity(spark):
     s = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b and len(s) > 0
+
+
+def test_stream_minhash_verify_binding_cap_fails_loudly(spark):
+    """When the per-batch candidate cap actually BINDS, oracle parity
+    with the batch pipeline no longer holds — the drain must raise a
+    clear error (advisor r9) instead of returning silently-truncated
+    pairs, unless the caller opts into bounded-work semantics."""
+    import pytest as _pytest
+
+    from sdm_rdfizer_spark.streaming import stream_minhash_verify
+
+    sf = "/root/testdata/sf0.001"
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
+              min_shared_bands=1, max_candidates_per_batch_doc=1,
+              n_input_files=4)
+    with _pytest.raises(RuntimeError, match="dropped .* pairs"):
+        stream_minhash_verify(spark, sf, **kw)
+    out = stream_minhash_verify(spark, sf, expect_cap_nonbinding=False,
+                                **kw)
+    assert out.count() >= 0  # bounded-work mode still drains
+
+
+def test_stream_minhash_verify_workdir_reused(spark):
+    """Repeated drains over the same corpus reuse ONE content-keyed
+    work dir (no per-call mkdtemp accumulation in /tmp) and restage
+    the input only once."""
+    import glob
+    import os
+    import tempfile
+
+    from sdm_rdfizer_spark.streaming import stream_minhash_verify
+
+    sf = "/root/testdata/sf0.001"
+    pat = os.path.join(tempfile.gettempdir(), "sdm_stream_mhv_*")
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
+              min_shared_bands=1, max_candidates_per_batch_doc=None,
+              n_input_files=4)
+    a = stream_minhash_verify(spark, sf, **kw).count()
+    n_dirs = len(glob.glob(pat))
+    b = stream_minhash_verify(spark, sf, **kw).count()
+    assert len(glob.glob(pat)) == n_dirs  # no new dir per call
+    assert a == b > 0
