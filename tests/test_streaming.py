@@ -204,10 +204,12 @@ def test_stream_minhash_verify_batch_parity(spark):
     from sdm_rdfizer_spark.streaming import stream_minhash_verify
 
     sf = "/root/testdata/sf0.001"
+    # compact_every_batches=2 forces two mid-stream index compactions
+    # (a pure rewrite) — parity must hold across them
     streamed = stream_minhash_verify(
         spark, sf, num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
         min_shared_bands=1, max_candidates_per_batch_doc=None,
-        n_input_files=4)
+        n_input_files=4, compact_every_batches=2)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     batch = jaccard_verify_pairs(
         docs, minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3),
@@ -257,3 +259,26 @@ def test_stream_minhash_verify_workdir_reused(spark):
     b = stream_minhash_verify(spark, sf, **kw).count()
     assert len(glob.glob(pat)) == n_dirs  # no new dir per call
     assert a == b > 0
+
+
+def test_stream_minhash_verify_compaction_bounds_files(spark):
+    """Compaction keeps the band/fingerprint index at a bounded file
+    count instead of accreting one parquet file set per trigger."""
+    import glob
+    import os
+    import tempfile
+
+    from sdm_rdfizer_spark.streaming import stream_minhash_verify
+
+    sf = "/root/testdata/sf0.001"
+    wd = os.path.join(tempfile.gettempdir(), "sdm_mhv_compact_test")
+    ts: list = []
+    stream_minhash_verify(
+        spark, sf, num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
+        min_shared_bands=1, max_candidates_per_batch_doc=None,
+        n_input_files=8, work_dir=wd, compact_every_batches=4,
+        trigger_seconds=ts)
+    n_files = len(glob.glob(os.path.join(wd, "index_bands", "*.parquet")))
+    par = spark.sparkContext.defaultParallelism
+    assert n_files <= max(par // 4, 1), n_files  # compacted on batch 8
+    assert len(ts) == 8 and all(t > 0 for t in ts)
