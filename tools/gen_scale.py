@@ -100,13 +100,21 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
+    # absent tables are skipped, so a PARTIAL source dir (e.g. only the
+    # tables one spot query needs) scales without materializing the rest
     for d in DIMS:
-        shutil.copyfile(os.path.join(args.src, f"{d}.parquet"),
-                        os.path.join(args.dst, f"{d}.parquet"))
+        src = os.path.join(args.src, f"{d}.parquet")
+        if not os.path.exists(src):
+            print(f"{d}: missing, skipped")
+            continue
+        shutil.copyfile(src, os.path.join(args.dst, f"{d}.parquet"))
         print(f"{d}: copied")
     stride = key_stride(args.src)
     print(f"key stride: {stride}")
     for f in FACTS:
+        if not os.path.exists(os.path.join(args.src, f"{f}.parquet")):
+            print(f"{f}: missing, skipped")
+            continue
         n = scale_table(f, args.src, args.dst, args.factor, stride)
         print(f"{f}: {n} rows")
 
