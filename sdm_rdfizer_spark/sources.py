@@ -379,7 +379,29 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 _JSON_SCHEMA_CACHE: dict = {}
 
 _JSON_SAMPLE_BYTES = 4 << 20      # total driver-side sample budget
-_JSON_SAMPLE_BLOCKS = 64          # spread blocks per file
+
+
+def _last_jsonl_line(f, size: int, max_line: int) -> str | None:
+    """The file's final non-empty line, found by backward block scan —
+    guaranteed tail coverage for the schema sample (a malformed or
+    drifted tail must be SEEN, not budgeted away)."""
+    if size == 0:
+        return None
+    buf = b""
+    pos = size
+    step = 64 << 10
+    while pos > 0 and len(buf) < max_line:
+        start = max(0, pos - step)
+        f.seek(start)
+        buf = f.read(pos - start) + buf
+        pos = start
+        trimmed = buf.rstrip(b"\n")
+        nl = trimmed.rfind(b"\n")
+        if nl >= 0:
+            return trimmed[nl + 1:].decode("utf-8", "ignore").strip() or None
+    if pos == 0:  # single-line file (the whole buffer IS the line)
+        return buf.rstrip(b"\n").decode("utf-8", "ignore").strip() or None
+    return None  # last line exceeds max_line — leave it unsampled
 
 
 def _sampled_jsonl_schema(spark: SparkSession, source: str):
@@ -390,18 +412,21 @@ def _sampled_jsonl_schema(spark: SparkSession, source: str):
     scale; it is linear but it is the single largest known waste in the
     hot path).
 
-    The sample reads up to ``_JSON_SAMPLE_BLOCKS`` byte blocks SPREAD
-    evenly through each file (head + interior + tail, ~4 MB total across
-    at most 16 files) and lets Spark's own JSON inference merge the
-    sampled lines — the same type-merge rules the full pass would apply,
+    The sample reads COMPLETE lines (seek + readline, zone offsets
+    spread head → interior → tail plus the explicit last line, ~4 MB
+    budget across at most 16 files) and lets Spark's own JSON inference
+    merge them — the same type-merge rules the full pass would apply,
     so an all-int column infers long, a mixed column seen mixed infers
-    string. A column that is typed long by the sample but carries
-    string tokens ONLY in unsampled stretches would PERMISSIVE-null
-    those values; sources with such mid-file type drift should export
-    ``SPARK_GRAFT_JSON_SCHEMA=full`` to fall back to full inference
-    (a referenced column entirely absent from the sample fails loudly
-    at compile, not silently). Returns None when sampling is not
-    worthwhile (small input) or not possible (globs without files)."""
+    string. Any corrupt line in the sample (malformed data, or a line
+    past the 64 MB readline cap) cancels sampling — full inference is
+    the safe answer. A column that is typed long by the sample but
+    carries string tokens ONLY in unsampled stretches would
+    PERMISSIVE-null those values; sources with such mid-file type
+    drift should export ``SPARK_GRAFT_JSON_SCHEMA=full`` to fall back
+    to full inference (a referenced column entirely absent from the
+    sample fails loudly at compile, not silently). Returns None when
+    sampling is not worthwhile (small input) or not possible (globs
+    without files)."""
     import glob as _glob
 
     paths = sorted(p for p in (_glob.glob(source) or [source])
@@ -422,31 +447,58 @@ def _sampled_jsonl_schema(spark: SparkSession, source: str):
         step = len(paths) / 16
         paths = [paths[int(i * step)] for i in range(16)]
     per_file = _JSON_SAMPLE_BYTES // len(paths)
-    block = max(per_file // _JSON_SAMPLE_BLOCKS, 4096)
+    max_line = 64 << 20
+    n_zones = 8
     lines: list[str] = []
     for p in paths:
         size = os.path.getsize(p)
-        n_blocks = max(min(_JSON_SAMPLE_BLOCKS, per_file // block), 1)
+        taken = 0
         with open(p, "rb") as f:
-            for i in range(n_blocks):
-                off = 0 if n_blocks == 1 else \
-                    int(i * max(size - block, 0) / max(n_blocks - 1, 1))
+            # zone sampling with seek + readline: COMPLETE lines only,
+            # whatever their length (a fixed byte block truncates any
+            # line longer than itself — at sf10 the nested track packs
+            # one customer per line, megabytes each, and a sample of
+            # truncated fragments infers only _corrupt_record). The
+            # head zone, one interior zone and the explicit last line
+            # are sampled even when a single line exceeds the whole
+            # byte budget; the remaining zones are skipped once the
+            # budget is spent.
+            for i in range(n_zones):
+                off = int(i * max(size - 1, 0) / n_zones)
+                if taken >= per_file and i not in (0, n_zones // 2):
+                    continue
                 f.seek(off)
-                chunk = f.read(block)
-                if off:  # drop the partial first line
-                    nl = chunk.find(b"\n")
-                    if nl < 0:
-                        continue
-                    chunk = chunk[nl + 1:]
-                if off + block < size:  # drop the partial last line
-                    chunk = chunk.rsplit(b"\n", 1)[0]
-                lines.extend(
-                    s for s in chunk.decode("utf-8", "ignore").splitlines()
-                    if s.strip())
+                if off:
+                    f.readline(max_line)  # skip the partial first line
+                zone_taken = 0
+                while True:
+                    ln = f.readline(max_line)
+                    if not ln:
+                        break
+                    end = f.tell()
+                    if not ln.endswith(b"\n") and end < size:
+                        break  # truncated by max_line — don't sample
+                    s = ln.decode("utf-8", "ignore").strip()
+                    if s:
+                        lines.append(s)
+                        zone_taken += len(ln)
+                        taken += len(ln)
+                    if end >= size or zone_taken >= per_file // n_zones:
+                        break
+            last = _last_jsonl_line(f, size, max_line)
+            if last:
+                lines.append(last)
     if not lines:
+        _JSON_SCHEMA_CACHE[key] = None
         return None
     schema = spark.read.json(
         spark.sparkContext.parallelize(lines, 16)).schema
+    names = set(schema.fieldNames())
+    if not names or names <= {"_corrupt_record"} \
+            or "_corrupt_record" in names:
+        # a sampled line failed to parse — either malformed data or a
+        # sampling blind spot; full inference is the safe answer
+        schema = None
     _JSON_SCHEMA_CACHE[key] = schema
     return schema
 

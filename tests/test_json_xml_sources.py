@@ -212,3 +212,35 @@ def test_jsonl_sampled_schema_single_read(spark, tmp_path, monkeypatch):
     q = tmp_path / "small.jsonl"
     q.write_text('{"x": 1}\n{"x": 2}\n')
     assert _sampled_jsonl_schema(spark, str(q)) is None
+
+
+def test_jsonl_sampled_schema_megabyte_lines(spark, tmp_path):
+    """Lines longer than any fixed sample block (the sf10 nested track
+    packs one customer per line — megabytes each) must still sample as
+    COMPLETE lines: a truncated JSON fragment never parses, so a
+    block-based sample inferred only _corrupt_record and the scan lost
+    its iterator root. seek+readline sampling is length-proof, and a
+    sample that still contains corrupt lines falls back to full
+    inference instead of passing a broken schema."""
+    import json as _json
+
+    from sdm_rdfizer_spark.sources import _sampled_jsonl_schema
+
+    p = tmp_path / "fat.jsonl"
+    with p.open("w") as f:
+        for i in range(12):
+            f.write(_json.dumps(
+                {"customers": [{"id": i, "pad": "x" * 600_000,
+                                "orders": [{"o": j} for j in range(5)]}]}
+            ) + "\n")
+    assert p.stat().st_size > 4 << 20
+    sampled = _sampled_jsonl_schema(spark, str(p))
+    full = spark.read.option("multiLine", False).json(str(p)).schema
+    assert sampled == full and "customers" in sampled.fieldNames()
+    # genuinely malformed tail line → corrupt in the sample → fall back
+    q = tmp_path / "bad.jsonl"
+    with q.open("w") as f:
+        for i in range(12):
+            f.write(_json.dumps({"k": i, "pad": "y" * 600_000}) + "\n")
+        f.write('{"k": 13, "pad": truncated-not-json\n')
+    assert _sampled_jsonl_schema(spark, str(q)) is None
