@@ -15,6 +15,7 @@ Value-render parity notes (both engines must produce identical strings):
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -450,6 +451,75 @@ SELECT '<http://example.com/region/' || r_regionkey || '>' AS s,
        '<http://example.com/name>' AS p,
        '"' || r_name || '"' AS o
 FROM region
+"""
+
+
+def _q_http_json_source(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON logical source over HTTP with an iterator (SURVEY #6 — was
+    unit-only): a local stdlib server serves the supplier table as one
+    application/json document, `_stage_remote` downloads it eagerly at
+    compile (reference fetches remote JSON the same way it fetches CSV,
+    semantify.py:6907-6908), and the ``$.suppliers[*]`` iterator
+    compiles to an explode over the staged file."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import duckdb
+
+    from sdm_rdfizer_spark import materialize
+
+    rows = duckdb.execute(
+        f"SELECT s_suppkey, s_name, s_nationkey FROM "
+        f"'{sf}/supplier.parquet' ORDER BY s_suppkey").fetchall()
+    body = json.dumps({"suppliers": [
+        {"s_suppkey": k, "s_name": n, "s_nationkey": nk}
+        for k, n, nk in rows]}).encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        mapping = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<#SupplierHttp> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "http://127.0.0.1:{port}/suppliers.json";
+     rml:referenceFormulation ql:JSONPath; rml:iterator "$.suppliers[*]" ];
+  rr:subjectMap [ rr:template "http://example.com/hsupplier/{{s_suppkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "s_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:nation; rr:objectMap [
+      rr:template "http://example.com/nation/{{s_nationkey}}"; rr:termType rr:IRI ] ] .
+"""
+        return materialize(spark, mapping).select("s", "p", "o")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+_HTTP_JSON_SOURCE_ORACLE = """
+SELECT s, p, o FROM (
+  SELECT '<http://example.com/hsupplier/' || s_suppkey || '>' AS s,
+         '<http://example.com/name>' AS p,
+         '"' || s_name || '"' AS o FROM supplier
+  UNION ALL
+  SELECT '<http://example.com/hsupplier/' || s_suppkey || '>',
+         '<http://example.com/nation>',
+         '<http://example.com/nation/' || s_nationkey || '>' FROM supplier
+)
 """
 
 
@@ -4231,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_rdf_source": _q_rdf_source,
         "rml_sparql_source": _q_sparql_source,
         "rml_http_csv_source": _q_http_csv_source,
+        "rml_http_json_source": _q_http_json_source,
         "rml_json_predicate": _q_json_predicate_source,
         "rml_function_condition": _q_function_condition,
         "rml_dedup_flags": _q_dedup_flags,
@@ -4294,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_rdf_source": _RDF_SOURCE_ORACLE,
         "rml_sparql_source": _SPARQL_SOURCE_ORACLE,
         "rml_http_csv_source": _HTTP_CSV_SOURCE_ORACLE,
+        "rml_http_json_source": _HTTP_JSON_SOURCE_ORACLE,
         "rml_json_predicate": _JSON_PREDICATE_ORACLE,
         "rml_function_condition": _FUNCTION_CONDITION_ORACLE,
         "rml_csv_infer": _CSV_INFER_ORACLE,

@@ -690,7 +690,12 @@ def stream_minhash_verify(
         new_bands.write.mode("append").parquet(idx_bands)
         new_fp.write.mode("append").parquet(idx_fp)
         if (compact_every_batches
-                and (_batch_id + 1) % compact_every_batches == 0):
+                and (_batch_id + 1) % compact_every_batches == 0
+                and (_batch_id + 1) < n_input_files):
+            # never compact after the LAST batch of this drain — the
+            # index is not read again before the query returns, so the
+            # rewrite would be pure wasted work (the staged input is
+            # exactly n_input_files files at one file per trigger)
             _compact(idx_bands)
             _compact(idx_fp)
         if trigger_seconds is not None:

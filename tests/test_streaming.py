@@ -263,7 +263,9 @@ def test_stream_minhash_verify_workdir_reused(spark):
 
 def test_stream_minhash_verify_compaction_bounds_files(spark):
     """Compaction keeps the band/fingerprint index at a bounded file
-    count instead of accreting one parquet file set per trigger."""
+    count instead of accreting one parquet file set per trigger; the
+    FINAL batch of a drain never compacts (the index is not read again
+    before the query returns, so that rewrite would be pure waste)."""
     import glob
     import os
     import tempfile
@@ -272,13 +274,20 @@ def test_stream_minhash_verify_compaction_bounds_files(spark):
 
     sf = "/root/testdata/sf0.001"
     wd = os.path.join(tempfile.gettempdir(), "sdm_mhv_compact_test")
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
+              min_shared_bands=1, max_candidates_per_batch_doc=None,
+              n_input_files=8, work_dir=wd)
+
+    def n_files():
+        return len(glob.glob(os.path.join(wd, "index_bands", "*.parquet")))
+
     ts: list = []
-    stream_minhash_verify(
-        spark, sf, num_hashes=16, bands=4, shingle_n=3, threshold=0.2,
-        min_shared_bands=1, max_candidates_per_batch_doc=None,
-        n_input_files=8, work_dir=wd, compact_every_batches=4,
-        trigger_seconds=ts)
-    n_files = len(glob.glob(os.path.join(wd, "index_bands", "*.parquet")))
-    par = spark.sparkContext.defaultParallelism
-    assert n_files <= max(par // 4, 1), n_files  # compacted on batch 8
+    stream_minhash_verify(spark, sf, compact_every_batches=0,
+                          trigger_seconds=ts, **kw)
+    uncompacted = n_files()
     assert len(ts) == 8 and all(t > 0 for t in ts)
+    stream_minhash_verify(spark, sf, compact_every_batches=4, **kw)
+    compacted = n_files()
+    # compaction fired at batch 4 (not at 8 — final-batch skip), so the
+    # index holds one compacted base + 4 appends vs 8 raw appends
+    assert compacted < uncompacted, (compacted, uncompacted)
