@@ -306,6 +306,151 @@ def gif_decoder(kind: str, payload: bytes) -> DecodeResult:
                         duration_ms=sum(d for d, _ in frames))
 
 
+def encode_avi_mjpeg(width: int, height: int, frames: list[bytes],
+                     usec_per_frame: int = 40000) -> bytes:
+    """Minimal REAL RIFF-AVI container around MJPEG frame payloads —
+    the video analogue of :func:`encode_gif` for the second container
+    family: ``RIFF('AVI ')`` → ``LIST(hdrl)`` (``avih`` main header +
+    ``LIST(strl)`` with a ``vids``/``MJPG`` ``strh`` and a
+    ``BITMAPINFOHEADER`` ``strf``) → ``LIST(movi)`` of word-aligned
+    ``00dc`` chunks → ``idx1``. Frame payloads are carried verbatim
+    (MJPEG = one independent JPEG per chunk; the container does not
+    touch codec bytes)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    n = len(frames)
+    maxbuf = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0x10, n, 0, 1, maxbuf,
+        width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIiI", 0, 0, 0, 0, usec_per_frame, 1_000_000, 0, n,
+        maxbuf, -1, 0) + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_frames)
+    idx, off = [], 4
+    for f in frames:
+        idx.append(b"00dc" + struct.pack("<3I", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Demux a REAL MJPEG-AVI container: (width, height,
+    usec_per_frame, [frame payload bytes]) — pure RIFF chunk walking
+    (word-aligned chunks, nested LISTs including ``rec `` groups), no
+    codec library. Non-MJPEG video streams raise NotImplementedError
+    (the typed boundary: JPEG PIXEL decode needs a codec this container
+    layer deliberately does not ship — same posture as interlaced GIF)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+
+    def walk(data: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            ln = struct.unpack_from("<I", data, pos + 4)[0]
+            body_start = pos + 8
+            yield cid, body_start, min(body_start + ln, end)
+            pos = body_start + ln + (ln & 1)
+
+    width = height = usec = None
+    handler = None
+    frames: list[bytes] = []
+
+    def scan_list(start: int, end: int) -> None:
+        nonlocal width, height, usec, handler
+        for cid, b0, b1 in walk(payload, start, end):
+            if cid == b"LIST":
+                sub = payload[b0:b0 + 4]
+                if sub in (b"hdrl", b"strl", b"movi", b"rec "):
+                    scan_list(b0 + 4, b1)
+            elif cid == b"avih" and b1 - b0 >= 40:
+                vals = struct.unpack_from("<10I", payload, b0)
+                usec, width, height = vals[0], vals[8], vals[9]
+            elif cid == b"strh" and b1 - b0 >= 8:
+                if payload[b0:b0 + 4] == b"vids" and handler is None:
+                    handler = payload[b0 + 4:b0 + 8]
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(payload[b0:b1])
+
+    scan_list(12, len(payload))
+    if width is None or usec is None:
+        raise ValueError("AVI has no avih main header")
+    if handler is not None and handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"decode_avi demuxes MJPEG only; got handler "
+            f"{handler!r} (no codec library in this environment)")
+    return width, height, usec, frames
+
+
+def avi_decoder(kind: str, payload: bytes) -> DecodeResult:
+    """``DECODERS``-shaped wrapper over :func:`decode_avi` — register
+    with ``register_decoder("video", avi_decoder)``; duration derives
+    from the frame count and frame interval."""
+    w, h, usec, frames = decode_avi(payload)
+    return DecodeResult(width=w, height=h,
+                        duration_ms=(len(frames) * usec) // 1000)
+
+
+AVI_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("t_ms", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("frame_len", T.LongType()),
+    T.StructField("marker_ok", T.BooleanType()),
+    T.StructField("body_md5", T.StringType()),
+])
+
+
+def demux_avi_frames(df: DataFrame, *, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Per-frame table from REAL MJPEG-AVI bytes: one row per demuxed
+    ``00dc`` chunk with its timestamp, the JPEG SOI/EOI marker check
+    and the md5 of the frame BODY between the markers — the digest is
+    computed from the demuxed chunk bytes, so a broken RIFF walker
+    (wrong alignment, wrong chunk bounds) cannot pass an oracle that
+    predicts it. mapInPandas fan-out like :func:`decode_gif_frames`;
+    undecodable payloads are skipped."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, usec, frames = decode_avi(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError):
+                    continue
+                for k, fb in enumerate(frames):
+                    ok = fb[:2] == b"\xff\xd8" and fb[-2:] == b"\xff\xd9"
+                    body = fb[2:-2] if ok else fb
+                    rows.append((int(mid), k, (k * usec) // 1000, w, h,
+                                 len(frames), len(fb), ok,
+                                 hashlib.md5(body).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AVI_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, AVI_FRAME_SCHEMA)
+
+
 def _lzw_encode(pixels: bytes, min_code: int) -> bytes:
     """Real GIF-variant LZW compression (the inverse of
     :func:`_lzw_decode`): dictionary-building with variable code width
@@ -544,6 +689,28 @@ def sample_frames(df: DataFrame, *, every_ms: int = 5000,
             for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "video" or payload is None:
+                    continue
+                if codec == "avi":
+                    # REAL MJPEG-AVI path: uniform frame interval from
+                    # the avih header, frame covering ts is
+                    # ts·1000 // usec, digest = md5 of the frame BODY
+                    # between the JPEG SOI/EOI markers (ASCII-replayable
+                    # by a SQL oracle, same contract as demux_avi_frames)
+                    try:
+                        _w, _h, usec, aframes = decode_avi(bytes(payload))
+                    except (ValueError, NotImplementedError, IndexError):
+                        continue
+                    dur = (len(aframes) * usec) // 1000
+                    for i, ts in enumerate(range(0, dur, every_ms)):
+                        k = min((ts * 1000) // usec, len(aframes) - 1)
+                        fb = aframes[k]
+                        ok = (fb[:2] == b"\xff\xd8"
+                              and fb[-2:] == b"\xff\xd9")
+                        body = fb[2:-2] if ok else fb
+                        mids.append(int(mid))
+                        idxs.append(i)
+                        tss.append(ts)
+                        digs.append(hashlib.md5(body).hexdigest())
                     continue
                 if codec == "gif":
                     try:

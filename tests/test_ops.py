@@ -1870,3 +1870,63 @@ def test_ngram_jaccard_prestage_quadratic_guard(spark):
     assert ngram_jaccard_pairs(
         df, threshold=0.9, exact_prestage=True, quadratic_cap=5,
         allow_quadratic=True).count() >= 3
+
+
+def test_avi_mjpeg_roundtrip():
+    """RIFF-AVI encode → demux roundtrip: header fields and every
+    frame's exact bytes survive, including odd-length frames (word
+    alignment) and an empty movi list."""
+    from sdm_rdfizer_spark.ops.multimodal import (avi_decoder, decode_avi,
+                                                  encode_avi_mjpeg)
+
+    frames = [b"\xff\xd8" + f"frame:{k}".encode() + b"x" * (k % 3)
+              + b"\xff\xd9" for k in range(4)]
+    avi = encode_avi_mjpeg(320, 240, frames, usec_per_frame=40000)
+    w, h, usec, out = decode_avi(avi)
+    assert (w, h, usec) == (320, 240, 40000)
+    assert out == frames
+    d = avi_decoder("video", avi)
+    assert (d.width, d.height, d.duration_ms) == (320, 240, 160)
+    assert decode_avi(encode_avi_mjpeg(1, 1, [], 1000))[3] == []
+
+
+def test_avi_non_mjpeg_typed_boundary():
+    """A vids stream with any other fourcc raises NotImplementedError —
+    the documented codec boundary (no codec library in this container);
+    a non-RIFF payload is a plain ValueError."""
+    import pytest
+
+    from sdm_rdfizer_spark.ops.multimodal import decode_avi, encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg(4, 4, [b"\xff\xd8ab\xff\xd9"], 1000)
+    with pytest.raises(NotImplementedError, match="MJPEG only"):
+        decode_avi(avi.replace(b"vidsMJPG", b"vidsH264"))
+    with pytest.raises(ValueError):
+        decode_avi(b"not a riff payload at all")
+
+
+def test_demux_avi_frames_distributed(spark):
+    """mapInPandas demux: per-frame rows carry the timestamp from the
+    avih interval, the SOI/EOI marker check and the body md5; payloads
+    that fail to demux are skipped, not errored."""
+    import hashlib
+
+    from sdm_rdfizer_spark.ops.multimodal import (demux_avi_frames,
+                                                  encode_avi_mjpeg)
+
+    bodies = [b"alpha", b"beta!"]
+    avi = encode_avi_mjpeg(
+        8, 6, [b"\xff\xd8" + b + b"\xff\xd9" for b in bodies],
+        usec_per_frame=50000)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"garbage"))],
+        "media_id long, payload binary")
+    rows = {(r.media_id, r.frame_idx): r
+            for r in demux_avi_frames(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}   # garbage row skipped
+    r0, r1 = rows[(1, 0)], rows[(1, 1)]
+    assert (r0.t_ms, r1.t_ms) == (0, 50)
+    assert r0.width == 8 and r0.height == 6 and r0.n_frames == 2
+    assert r0.marker_ok and r1.marker_ok
+    assert r0.body_md5 == hashlib.md5(b"alpha").hexdigest()
+    assert r1.body_md5 == hashlib.md5(b"beta!").hexdigest()
