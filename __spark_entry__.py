@@ -2951,6 +2951,40 @@ WHERE ({hex2int})::BIGINT % 1000
 """
 
 
+#: train/val/test carve of the md5 wheel — insertion order defines the
+#: bucket ranges: train [0,800), val [800,900), test [900,1000)
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split labels keyed on md5(doc_id) —
+    the same document lands in the same split across runs, engines, and
+    partitionings, so eval sets stay uncontaminated on re-processing.
+    Pure CASE-over-literals column: no shuffle, no join."""
+    from sdm_rdfizer_spark.ops.sampling import split_assign
+
+    return split_assign(_docs(spark, sf), _SPLIT_FRACTIONS).select(
+        "doc_id", "lang", "source", "split")
+
+
+def _sample_split_oracle() -> str:
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    names = list(_SPLIT_FRACTIONS.items())
+    cum, whens = 0.0, []
+    for name, frac in names[:-1]:
+        cum += frac
+        whens.append(f"WHEN bkt < {int(round(cum * 1000))} THEN '{name}'")
+    return f"""
+WITH h AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS h FROM documents),
+b AS (SELECT doc_id, lang, source, ({hex2int})::BIGINT % 1000 AS bkt FROM h)
+SELECT doc_id, lang, source,
+       CASE {' '.join(whens)} ELSE '{names[-1][0]}' END AS split
+FROM b
+"""
+
+
 def _stage_nation_region_csv(sf: str) -> str:
     """Stage nation + region as CSV files for the streaming RML query
     (file-stream sources need file paths, not parquet views)."""
@@ -4049,6 +4083,66 @@ FROM x GROUP BY label, pos
 """
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end Lloyd k-means (k=8, 2 distributed iterations) over the
+    embedding corpus: train centroids, assign every vector, attach
+    cluster sizes — the topic-bucketing primitive. The oracle replays
+    the exact iteration unrolled as CTEs; per-iteration means snap to a
+    1e-6 grid so the trained model is engine-portable (see
+    ``kmeans_clusters``'s determinism contract)."""
+    from sdm_rdfizer_spark.ops.similarity import kmeans_clusters
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    return kmeans_clusters(
+        read_parquet(spark, f"{sf}/embeddings.parquet"),
+        k=8, iters=2, round_grid=6)
+
+
+def _kmeans_clusters_oracle() -> str:
+    """Unrolled 2-iteration Lloyd in DuckDB: cent0 = first-8 seeds;
+    (assign, re-mean to the 1e-6 grid) twice with empty-cell fallback to
+    the previous centre; final assignment + window count. Assignment =
+    round(cosine, 9) argmax, lowest-seed-id tie-break — identical to
+    ``_assign_cells``."""
+    assign = """
+  SELECT vec_id, vec, cid AS cell FROM (
+    SELECT v.vec_id, v.vec, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.vec, c.cvec), 9) DESC,
+                      c.cid) AS rn
+    FROM v CROSS JOIN {cent} c) t WHERE rn = 1
+"""
+    mean = """
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cell, pos, round(avg(x), 6) AS m FROM (
+      SELECT cell, unnest(range(0, len(vec))) AS pos, unnest(vec) AS x
+      FROM {asg}) u
+    GROUP BY cell, pos) g GROUP BY cell
+"""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  WHERE embedding IS NOT NULL
+), cent0 AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 8
+), asg1 AS ({assign.format(cent="cent0")}
+), m1 AS ({mean.format(asg="asg1")}
+), cent1 AS (
+  SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec
+  FROM cent0 c LEFT JOIN m1 m ON m.cell = c.cid
+), asg2 AS ({assign.format(cent="cent1")}
+), m2 AS ({mean.format(asg="asg2")}
+), cent2 AS (
+  SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec
+  FROM cent1 c LEFT JOIN m2 m ON m.cell = c.cid
+), final AS ({assign.format(cent="cent2")}
+)
+SELECT vec_id, cell::BIGINT AS cluster_id,
+       (count(*) OVER (PARTITION BY cell))::BIGINT AS cluster_size
+FROM final
+"""
+
+
 def _q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: every purchase picks up the latest at-or-before view
     of the same user (union + running last() window — one shuffle on
@@ -4342,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # official record is freshest.
     static = {
         # --- absent from CORRECTNESS_r03.json: record these first ---
+        "sample_split": _q_sample_split,
+        "cluster_kmeans": _q_kmeans_clusters,
         "sample_stratified": _q_stratified_sample,
         "text_chunk_documents": _q_chunk_documents,
         "sample_token_budget": _q_token_budget_sample,
@@ -4504,6 +4600,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
         "similarity_pq": _pq_encode_oracle(),
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
+        "cluster_kmeans": _kmeans_clusters_oracle(),
         "similarity_quantize": _QUANTIZE_ORACLE,
         "text_length_percentiles": _LENGTH_PERCENTILES_ORACLE,
         "dedup_embedding_cosine": _EMBEDDING_NEARDUP_ORACLE,
@@ -4531,6 +4628,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAMINATE_ORACLE,
         "text_bloom_decontaminate": _BLOOM_DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
+        "sample_split": _sample_split_oracle(),
         "sample_token_budget": _TOKEN_BUDGET_ORACLE,
         "sample_sequence_pack": _sequence_pack_oracle(),
         "text_chunk_documents": _CHUNK_DOCUMENTS_ORACLE,

@@ -50,6 +50,46 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.where(_bucket(id_col) < thr)
 
 
+def split_assign(df: DataFrame, splits: dict[str, float],
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test split assignment: every row gains a
+    ``split`` column naming its partition, keyed on md5(id) so the same
+    document lands in the same split across runs, engines, cluster
+    sizes, and input orderings — the property that keeps eval sets
+    uncontaminated when the corpus is re-processed.
+
+    ``splits`` maps split name → fraction; fractions must sum to 1
+    (validated — a silent gap would drop rows into an unnamed limbo).
+    Splits carve consecutive bucket ranges of the 1/1000 wheel in the
+    dict's insertion order, so ``{"train": .8, "val": .1, "test": .1}``
+    gives train buckets [0,800), val [800,900), test [900,1000).
+    Residual buckets from fraction rounding fold into the LAST split.
+
+    Pure column expression (a CASE chain over literals): no shuffle, no
+    join, survives column pruning — adding a split label to 100 TB
+    costs one scan it was already paying.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split_assign: fractions must sum to 1.0, got {total!r} "
+            f"from {splits!r}")
+    if not splits:
+        raise ValueError("split_assign: at least one split required")
+    bucket = _bucket(id_col)
+    case = None
+    cum = 0.0
+    names = list(splits.items())
+    for name, frac in names[:-1]:
+        cum += frac
+        cond = bucket < int(round(cum * SAMPLE_BUCKETS))
+        case = (F.when(cond, F.lit(name)) if case is None
+                else case.when(cond, F.lit(name)))
+    last = F.lit(names[-1][0])
+    return df.withColumn(
+        "split", last if case is None else case.otherwise(last))
+
+
 def sequence_pack(
     df: DataFrame,
     seq_len: int,

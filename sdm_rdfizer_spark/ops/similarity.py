@@ -331,6 +331,7 @@ def train_kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 3,
+    round_grid: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd iterations for IVF centroids.
 
@@ -342,6 +343,15 @@ def train_kmeans_centroids(
     k×dim centroid matrix is ever collected — the model, not the data.
     At 100 TB each iteration is one scan; sample ``df`` first if three
     full scans are too dear (centroid quality degrades gracefully).
+
+    ``round_grid`` rounds every per-iteration mean to that many decimal
+    places. Floating-point summation order differs across engines and
+    partitionings, so raw means are only reproducible to ~1e-15 per
+    element; snapping them to a grid makes the whole trained model —
+    and therefore every downstream assignment — engine-portable, which
+    is what lets ``kmeans_clusters`` carry an exact SQL oracle. None
+    (the default) keeps full precision for callers that never compare
+    across engines (IVF, semantic dedup).
     """
     cent_rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
@@ -360,7 +370,8 @@ def train_kmeans_centroids(
             assigned.where(F.col("cell").isNotNull())
             .select("cell", F.posexplode("__v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.avg("x").alias("m") if round_grid is None
+                 else F.round(F.avg("x"), round_grid).alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cell", F.transform("dm", lambda s: s["m"]).alias("vec"))
@@ -370,6 +381,58 @@ def train_kmeans_centroids(
         # empty cells keep their previous centre
         centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
     return centroids
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_grid: int | None = 6,
+) -> DataFrame:
+    """End-to-end Lloyd k-means clustering: train ``k`` centroids with
+    ``iters`` distributed iterations, then emit every vector's final
+    cluster assignment plus its cluster's size — the topic-bucketing /
+    corpus-partitioning primitive a training-data pipeline uses to
+    stratify by domain, cap over-represented clusters, or route
+    documents to per-topic dedup.
+
+    Determinism contract (what makes an exact SQL oracle possible):
+    seeds are the first ``k`` vectors by id; every per-iteration
+    centroid mean is snapped to ``round_grid`` decimals (absorbing FP
+    summation-order differences across engines and partitionings);
+    assignments compare cosine similarity rounded to 9 decimals with
+    lowest-seed-id tie-break. Cells are labeled by their seed vector's
+    id, so cluster ids are stable corpus facts, not run artifacts.
+
+    Scale posture: training is ``iters`` full scans (see
+    ``train_kmeans_centroids`` — sample first if scans are too dear);
+    the final assignment is ONE more shuffle-free scan (the k×dim
+    centroid matrix rides the plan as broadcast literals); cluster
+    sizes are a map-side-combinable groupBy on k keys broadcast-joined
+    back. The full-grain rows never shuffle — a ``count over
+    (partition by cell)`` window would funnel the entire corpus into k
+    partitions, the classic low-cardinality-window scale cliff.
+    """
+    base = df.where(F.col(vec_col).isNotNull())
+    centroids = train_kmeans_centroids(
+        base, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        round_grid=round_grid)
+    assigned = _assign_cells(
+        base.select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("__v")),
+        "__v", centroids,
+    ).where(F.col("cell").isNotNull())
+    sizes = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return (
+        assigned.join(F.broadcast(sizes), "cell")
+        .select(F.col(id_col),
+                F.col("cell").cast("long").alias("cluster_id"),
+                "cluster_size")
+    )
 
 
 def _assign_cells(frame: DataFrame, vcol: str,

@@ -1930,3 +1930,29 @@ def test_demux_avi_frames_distributed(spark):
     assert r0.marker_ok and r1.marker_ok
     assert r0.body_md5 == hashlib.md5(b"alpha").hexdigest()
     assert r1.body_md5 == hashlib.md5(b"beta!").hexdigest()
+
+
+def test_split_assign_partitions_and_determinism(docs):
+    from collections import Counter
+
+    from sdm_rdfizer_spark.ops.sampling import hash_sample, split_assign
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(docs, splits).select("doc_id", "split").collect()
+    assert len(out) == docs.count()
+    got = {r["doc_id"]: r["split"] for r in out}
+    c = Counter(got.values())
+    assert set(c) <= set(splits)
+    assert 0.7 <= c["train"] / len(got) <= 0.9
+    # same doc -> same split regardless of partitioning
+    rep = {r["doc_id"]: r["split"]
+           for r in split_assign(docs.repartition(7), splits)
+           .select("doc_id", "split").collect()}
+    assert rep == got
+    # the wheel is shared with hash_sample: train = the first-80% cut,
+    # so a sampled subcorpus can never leak eval documents
+    kept = {r["doc_id"] for r in hash_sample(docs, 0.8).collect()}
+    assert kept == {d for d, s in got.items() if s == "train"}
+    # fractions must cover the wheel exactly
+    with pytest.raises(ValueError):
+        split_assign(docs, {"a": 0.5, "b": 0.4})

@@ -188,3 +188,53 @@ def test_model_rows_null_vector_raises(spark):
     with pytest.raises(ValueError, match="NULL vector or a NULL element"):
         semantic_dedup(df, id_col="vec_id", vec_col="embedding",
                        n_cells=2).collect()
+
+
+def test_kmeans_clusters_assignment_and_sizes(spark):
+    """kmeans_clusters on a hand-built two-blob corpus: every vector
+    lands with its blob's seed, sizes are per-cluster row counts, and
+    the result is invariant to input partitioning."""
+    from sdm_rdfizer_spark.ops.similarity import kmeans_clusters
+
+    rows = []
+    # blob A near (1, 0), blob B near (0, 1); ids interleave so the
+    # first-2 seeds are one from each blob (cluster ids = seed vec_ids)
+    for i in range(10):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.01 * i]))
+        else:
+            rows.append((i, [0.01 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in kmeans_clusters(df, k=2, iters=2).collect()}
+    assert len(out) == 10
+    for i, (cid, size) in out.items():
+        assert cid == (0 if i % 2 == 0 else 1)
+        assert size == 5
+    rep = {r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in kmeans_clusters(df.repartition(5), k=2, iters=2).collect()}
+    assert rep == out
+
+
+def test_kmeans_clusters_null_vectors_dropped(spark):
+    from sdm_rdfizer_spark.ops.similarity import kmeans_clusters
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, None), (3, [1.0, 0.1])],
+        "vec_id long, embedding array<double>")
+    out = kmeans_clusters(df, k=2, iters=1).collect()
+    assert {r["vec_id"] for r in out} == {0, 1, 3}
+
+
+def test_train_kmeans_round_grid_snaps_means(spark):
+    """round_grid=6 snaps every trained mean to the 1e-6 grid — the
+    engine-portability contract the cluster_kmeans oracle relies on."""
+    from sdm_rdfizer_spark.ops.similarity import train_kmeans_centroids
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_kmeans_centroids(emb, k=4, iters=1, round_grid=6)
+    assert len(cents) == 4
+    for _cid, vec in cents:
+        for x in vec:
+            assert abs(x * 1e6 - round(x * 1e6)) < 1e-6
