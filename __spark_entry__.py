@@ -1409,6 +1409,39 @@ GROUP BY 1, 2
 """
 
 
+def _q_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source near-dup overlap matrix: LSH candidate pairs rolled
+    up to (source_a, source_b) counts — the governance readout that
+    ranks source-level dedup priorities. Group labels join the banded
+    frame BEFORE the self-join, so the pair stream collapses to the
+    k²-row matrix inside one aggregation pipeline."""
+    from sdm_rdfizer_spark.ops.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _docs(spark, sf), num_hashes=16, bands=4, shingle_n=3,
+    ).select("group_a", "group_b", "n_pairs")
+
+
+def _source_matrix_oracle(num_hashes: int = 16, bands: int = 4,
+                          shingle_n: int = 3) -> str:
+    return f"""
+WITH {_minhash_sig_cte(num_hashes, shingle_n)}, bands AS (
+  {_band_cte(num_hashes, bands)}
+), p AS (
+  SELECT least(ga.source, gb.source) AS group_a,
+         greatest(ga.source, gb.source) AS group_b,
+         count(*) AS nsb
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+  JOIN documents ga ON ga.doc_id = l.doc_id
+  JOIN documents gb ON gb.doc_id = r.doc_id
+  GROUP BY l.doc_id, r.doc_id, 1, 2
+)
+SELECT group_a, group_b, count(*)::BIGINT AS n_pairs
+FROM p WHERE nsb >= 1 GROUP BY 1, 2
+"""
+
+
 def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/C4-style repetition quality stats — shuffle-free
     higher-order-function folds per document."""
@@ -4438,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- absent from CORRECTNESS_r03.json: record these first ---
         "sample_split": _q_sample_split,
         "cluster_kmeans": _q_kmeans_clusters,
+        "dedup_source_matrix": _q_source_matrix,
         "sample_stratified": _q_stratified_sample,
         "text_chunk_documents": _q_chunk_documents,
         "sample_token_budget": _q_token_budget_sample,
@@ -4586,6 +4620,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_jdbc_nation": _JDBC_NATION_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_source_matrix": _source_matrix_oracle(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_ngram_jaccard_maxdf": _NGRAM_JACCARD_MAXDF_ORACLE,
         "dedup_simhash": _simhash_oracle(),

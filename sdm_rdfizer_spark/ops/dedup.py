@@ -93,7 +93,8 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str,
-                 *, shingle_n: int = 3) -> DataFrame:
+                 *, shingle_n: int = 3,
+                 carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-position shingle stream ``(id_col, shingle)`` — duplicates
     KEPT (one row per window position, like the reference's shingle
     loop, semantify.py's duplicate-tolerant hash feed).
@@ -111,12 +112,13 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str,
     duplicates: empty docs yield one ``""`` shingle (join of an empty
     slice), NULL docs one NULL shingle — exactly the old edge shapes.
     """
-    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
+    carry = [F.col(c) for c in carry_cols]
+    staged = df.select(F.col(id_col), *carry, words(text_col).alias("__w"))
     pos = F.explode(
         F.sequence(F.lit(0), F.greatest(F.size("__w") - shingle_n, F.lit(0))))
     return (staged
-            .select(F.col(id_col), pos.alias("__i"), "__w")
-            .select(F.col(id_col),
+            .select(F.col(id_col), *carry, pos.alias("__i"), "__w")
+            .select(F.col(id_col), *carry,
                     F.array_join(F.slice("__w", F.col("__i") + 1, shingle_n),
                                  " ").alias("shingle")))
 
@@ -190,6 +192,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document MinHash signature: for seed i, min(md5(i || shingle)).
 
@@ -197,16 +200,22 @@ def minhash_signatures(
     partial (map-side) aggregation makes the shuffle k strings per doc.
     md5-as-minhash: lexicographic min over hex digests is a uniform
     min-hash over a 128-bit space.
+
+    ``carry_cols`` names per-document payload columns (functionally
+    dependent on the id, e.g. a source label) to thread through the
+    pipeline as extra groupBy keys — they ride the shuffle the signature
+    already pays instead of costing an id-keyed join afterwards.
     """
     # position-exploded codegen shingles, duplicates kept: min() over a
     # multiset equals min() over its set, so the distinct pass (and its
     # interpreted array_distinct cost) is dead weight here
-    exploded = shingle_rows(df, text_col, id_col, shingle_n=shingle_n)
+    exploded = shingle_rows(df, text_col, id_col, shingle_n=shingle_n,
+                            carry_cols=carry_cols)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return exploded.groupBy(id_col, *carry_cols).agg(*aggs)
 
 
 def _sig_groups(sig: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -228,10 +237,11 @@ def _sig_groups(sig: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
 
 
 def _banded(sig: DataFrame, id_col: str, num_hashes: int,
-            bands: int) -> DataFrame:
+            bands: int, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, band, bh) frame: the signature split into ``bands`` band
     hashes — the LSH bucket key both the self-join and the cross-corpus
-    similarity join shuffle on."""
+    similarity join shuffle on. ``carry_cols`` pass through per-doc
+    payload columns already present on ``sig``."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -239,8 +249,11 @@ def _banded(sig: DataFrame, id_col: str, num_hashes: int,
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
         )
-    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
-              .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    carry = [F.col(c) for c in carry_cols]
+    return sig.select(F.col(id_col), *carry,
+                      F.explode(F.array(*band_cols)).alias("b")) \
+              .select(id_col, *carry_cols,
+                      F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
 def _band_pair_join(
@@ -267,6 +280,63 @@ def _band_pair_join(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: for every unordered
+    pair of corpus sources (including a source with itself), the number
+    of MinHash-LSH candidate near-dup pairs bridging them — the corpus
+    governance readout ("which crawl re-serves which", "does the
+    benchmark-derived source leak into the training sources") that
+    decides source-level dedup priorities before any per-document work.
+
+    Group labels ride the pipeline's EXISTING shuffles: ``carry_cols``
+    threads ``group_col`` through the shingle explode, the signature
+    groupBy, and the band explode as a dependent key, so no id-keyed
+    join against the corpus is ever paid and the quadratic pair stream
+    is reduced to the k²-row matrix inside the same aggregation
+    pipeline. The final groupBy lands on at most |sources|² keys and is
+    fully map-side combinable.
+
+    ``min_shared_bands`` tightens candidates exactly like
+    ``jaccard_verify_pairs``'s pre-filter (>1 trades recall for
+    precision without touching document text).
+    """
+    staged = df.select(F.col(id_col), F.col(text_col),
+                       F.col(group_col).alias("__g"))
+    sig = minhash_signatures(staged, text_col, id_col,
+                             num_hashes=num_hashes, shingle_n=shingle_n,
+                             carry_cols=("__g",))
+    banded = _banded(sig, id_col, num_hashes, bands, carry_cols=("__g",))
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.least("l.__g", "r.__g").alias("group_a"),
+            F.greatest("l.__g", "r.__g").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__nsb"))
+        .where(F.col("__nsb") >= min_shared_bands)
+    )
+    return pairs.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
 
 def minhash_lsh_pairs(

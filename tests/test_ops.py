@@ -1956,3 +1956,23 @@ def test_split_assign_partitions_and_determinism(docs):
     # fractions must cover the wheel exactly
     with pytest.raises(ValueError):
         split_assign(docs, {"a": 0.5, "b": 0.4})
+
+
+def test_source_overlap_matrix_counts_and_tightening(spark):
+    from sdm_rdfizer_spark.ops.dedup import source_overlap_matrix
+
+    # two exact duplicates across crawlA/crawlB (share ALL 4 bands), one
+    # unrelated doc per source
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, t, "crawlA"), (2, t, "crawlB"),
+         (3, "completely different words in this document body", "crawlA"),
+         (4, "yet another unrelated text with its own shingles", "crawlB")],
+        "doc_id long, text string, source string")
+    m = {(r["group_a"], r["group_b"]): r["n_pairs"]
+         for r in source_overlap_matrix(df).collect()}
+    assert m[("crawlA", "crawlB")] == 1
+    # tightening to all-bands agreement keeps the exact-dup bridge
+    m4 = {(r["group_a"], r["group_b"]): r["n_pairs"]
+          for r in source_overlap_matrix(df, min_shared_bands=4).collect()}
+    assert m4[("crawlA", "crawlB")] == 1

@@ -295,3 +295,18 @@ def test_gtfs_files_matches_tabular_shape(spark, entry):
     assert plans["rml_gtfs_files"] == plans["rml_gtfs_tabular"], plans
     assert plans["rml_gtfs_files"][2] == 0
     assert plans["rml_gtfs_files"][0] <= 3
+
+
+def test_source_matrix_label_rides_existing_shuffles(spark, entry):
+    """dedup_source_matrix threads the source label through the
+    signature/band pipeline via carry_cols, so the ONLY join in the plan
+    is the band self-join — no id-keyed join back to the corpus to
+    recover group labels (the pre-carry shape paid one per side)."""
+    plan = _plan(entry.queries()["dedup_source_matrix"](spark, SF))
+    joins = (plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+             + plan.count("ShuffledHashJoin"))
+    assert joins == 1, plan
+    keyed = plan.count("Exchange hashpartitioning")
+    # 2 signature aggs (one per self-join side) + pair groupBy + matrix
+    # groupBy; anything above means a label join crept back in
+    assert keyed <= 4, plan
