@@ -2845,6 +2845,55 @@ FROM ns LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicated-run detection: 8-token windows
+    fingerprinted corpus-wide, positions whose fingerprint repeats
+    merged into maximal per-doc spans. Two keyed shuffles (fingerprint
+    window-count, doc-keyed islands)."""
+    from sdm_rdfizer_spark.ops.dedup import duplicated_substring_spans
+
+    return duplicated_substring_spans(_docs(spark, sf), window_tokens=8)
+
+
+def _exact_substr_oracle(k: int = 8) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+pf AS (
+  SELECT doc_id, u.p AS p, u.fp AS fp FROM (
+    SELECT doc_id,
+           unnest([{{'p': i,
+                     'fp': md5(array_to_string(words[i+1:i+{k}], ' '))}}
+                   FOR i IN range(0, len(words)-{k}+1)]) AS u
+    FROM w WHERE len(words) >= {k})
+),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS c FROM pf)
+  WHERE c >= 2
+),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+              > {k} THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM brk
+),
+sp AS (
+  SELECT doc_id, island, count(*) AS nw, min(p) AS s, max(p) AS e
+  FROM isl GROUP BY 1, 2
+)
+SELECT doc_id, sum(nw)::BIGINT AS n_dup_windows,
+       count(*)::BIGINT AS n_dup_spans,
+       sum(e - s + {k})::BIGINT AS dup_tokens,
+       max(e - s + {k})::BIGINT AS max_span_len
+FROM sp GROUP BY doc_id
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over the corpus: per-kind match counts + the
     scrubbed text, all inside whole-stage codegen."""
@@ -4512,6 +4561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_quantize": _q_quantize_embeddings,
         "text_vocabulary": _q_vocabulary,
         "dedup_spans": _q_dedup_spans,
+        "dedup_exact_substr": _q_exact_substr,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4652,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_avi_frames": _MULTIMODAL_AVI_FRAMES_ORACLE,
         "multimodal_avi_framesample": _MULTIMODAL_AVI_FRAMESAMPLE_ORACLE,
         "dedup_spans": _DEDUP_SPANS_ORACLE,
+        "dedup_exact_substr": _exact_substr_oracle(),
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,

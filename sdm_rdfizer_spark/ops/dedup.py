@@ -1310,6 +1310,80 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     )
 
 
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-run detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    ``window_tokens``-token window is duplicated when its fingerprint
+    occurs at least ``min_occurrences`` times ANYWHERE in the corpus
+    (across documents or repeated inside one); overlapping/touching
+    duplicated windows merge into maximal spans per document — the
+    windowed-fingerprint approximation of the paper's suffix-array scan
+    (every length-k window inside a duplicated run of >= k tokens is
+    itself duplicated, so merged windows recover the run's extent).
+
+    Distinct from :func:`dedup_spans` (C4 line dedup): that keeps the
+    first occurrence of fixed non-overlapping spans; this finds ANY
+    repeated run of >= ``window_tokens`` tokens at every alignment.
+
+    Returns one row per document that contains at least one duplicated
+    window: (id, n_dup_windows, n_dup_spans, dup_tokens, max_span_len),
+    where dup_tokens counts tokens covered by merged spans. Documents
+    shorter than ``window_tokens`` have no full window and never appear.
+
+    Scale posture: ONE scan; window-count over md5(window) — 32-byte
+    keys on the shuffle, never raw text, skew bounded by the most
+    frequent k-gram like dedup_spans; then one doc-keyed shuffle for the
+    islands window, whose partitioning the two rollup groupBys reuse
+    (doc_id is a prefix of both grouping keys — no further exchange).
+    No all-pairs comparison; everything is linear in corpus tokens.
+    """
+    from pyspark.sql.window import Window
+
+    k = window_tokens
+    staged = df.select(F.col(id_col), words(text_col).alias("__w")) \
+               .where(F.size("__w") >= k)
+    pos = F.explode(F.sequence(F.lit(0), F.size("__w") - k))
+    fingered = (
+        staged.select(F.col(id_col), pos.alias("p"), "__w")
+        .select(
+            F.col(id_col), F.col("p"),
+            F.md5(F.array_join(F.slice("__w", F.col("p") + 1, k),
+                               " ")).alias("fp"))
+    )
+    dup = (
+        fingered
+        .withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("__c") >= min_occurrences)
+        .select(id_col, "p")
+    )
+    # gaps-and-islands: windows cover [p, p+k-1]; a gap > k tokens
+    # between consecutive duplicated positions breaks the run (== k
+    # means the spans touch end-to-start and stay one contiguous run)
+    by_doc = Window.partitionBy(id_col).orderBy("p")
+    islands = dup.withColumn(
+        "__brk",
+        F.when(F.col("p") - F.lag("p").over(by_doc) > k, 1).otherwise(0)
+    ).withColumn("island", F.sum("__brk").over(by_doc))
+    spans = islands.groupBy(id_col, "island").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.min("p").alias("s"),
+        F.max("p").alias("e"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + k).cast("long").alias("max_span_len"),
+    )
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

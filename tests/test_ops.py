@@ -1976,3 +1976,30 @@ def test_source_overlap_matrix_counts_and_tightening(spark):
     m4 = {(r["group_a"], r["group_b"]): r["n_pairs"]
           for r in source_overlap_matrix(df, min_shared_bands=4).collect()}
     assert m4[("crawlA", "crawlB")] == 1
+
+
+def test_exact_substr_merges_runs_and_counts_within_doc(spark):
+    from sdm_rdfizer_spark.ops.dedup import duplicated_substring_spans
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame([
+        (1, "intro words here " + run + " tail one two"),
+        (2, "completely different opening sentence before " + run),
+        (3, "unique body with no shared runs at all in this text"),
+        (4, "short doc"),
+        # doc 5 repeats an 8-token phrase INSIDE itself (ExactSubstr
+        # counts within-doc repeats too)
+        (5, "p q r s t u v w filler filler filler filler filler "
+            "p q r s t u v w"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in duplicated_substring_spans(df, window_tokens=8).collect()}
+    # 10-token shared run -> 3 duplicated 8-windows, one merged span of 10
+    for d in (1, 2):
+        assert (rows[d]["n_dup_windows"], rows[d]["n_dup_spans"],
+                rows[d]["dup_tokens"], rows[d]["max_span_len"]) == (3, 1, 10, 10)
+    # clean doc and sub-window doc never appear
+    assert 3 not in rows and 4 not in rows
+    # within-doc repeat: two disjoint 8-token spans ("filler filler ..."
+    # windows are also repeated 5x within the doc, merging the middle)
+    assert 5 in rows and rows[5]["dup_tokens"] >= 16

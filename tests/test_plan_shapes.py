@@ -310,3 +310,13 @@ def test_source_matrix_label_rides_existing_shuffles(spark, entry):
     # 2 signature aggs (one per self-join side) + pair groupBy + matrix
     # groupBy; anything above means a label join crept back in
     assert keyed <= 4, plan
+
+
+def test_exact_substr_two_shuffles_no_join(spark, entry):
+    """dedup_exact_substr: window-count over md5(window) replaces a
+    count+join-back (one fp shuffle), then ONE doc-keyed shuffle that
+    the lag window, the islands sum window, and both rollup groupBys
+    all reuse (doc_id is a prefix of every later key)."""
+    plan = _plan(entry.queries()["dedup_exact_substr"](spark, SF))
+    assert plan.count("Join") == 0, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
