@@ -2845,6 +2845,56 @@ FROM ns LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights: score every document by the hashed
+    n-gram log-likelihood ratio of the English subset (target) vs the
+    whole corpus (raw). Log-ratio table is <= n_buckets rows and
+    broadcast; per-doc sums are exact decimals."""
+    from sdm_rdfizer_spark.ops.sampling import dsir_importance_weights
+
+    docs = _docs(spark, sf)
+    return dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=4096)
+
+
+def _dsir_oracle(n_buckets: int = 4096) -> str:
+    feats = f"""
+  SELECT doc_id,
+         ('0x' || substr(md5(f), 1, 8))::UBIGINT % {n_buckets} AS b
+  FROM (
+    SELECT doc_id,
+           unnest(words || [words[i] || ' ' || words[i+1]
+                            FOR i IN range(1, len(words))]) AS f
+    FROM w)"""
+    return f"""
+WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents),
+pd AS (
+  SELECT doc_id, b, count(*) AS c FROM ({feats}) GROUP BY 1, 2
+),
+raw AS (SELECT b, sum(c) AS cr FROM pd GROUP BY 1),
+tgt AS (
+  SELECT b, count(*) AS ct
+  FROM ({feats.replace("FROM w)", "FROM w WHERE lang = 'en')")})
+  GROUP BY 1
+),
+tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
+               (SELECT sum(ct) FROM tgt) AS tt),
+lr AS (
+  SELECT raw.b,
+         round(ln((coalesce(ct, 0) + 1) / (tt + {n_buckets}))
+               - ln((cr + 1) / (tr + {n_buckets})), 6)::DECIMAL(18,6) AS lp
+  FROM raw LEFT JOIN tgt USING (b), tot
+),
+sc AS (
+  SELECT pd.doc_id, sum(c)::BIGINT AS n_feats, sum(lp * c) AS s
+  FROM pd JOIN lr USING (b) GROUP BY 1
+)
+SELECT doc_id, n_feats, s::DECIMAL(28,6)::VARCHAR AS dsir_sum,
+       (s / n_feats)::DECIMAL(18,6)::VARCHAR AS dsir_avg
+FROM sc
+"""
+
+
 def _q_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     """ExactSubstr-style duplicated-run detection: 8-token windows
     fingerprinted corpus-wide, positions whose fingerprint repeats
@@ -4562,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": _q_vocabulary,
         "dedup_spans": _q_dedup_spans,
         "dedup_exact_substr": _q_exact_substr,
+        "sample_dsir_weights": _q_dsir_weights,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4703,6 +4754,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_avi_framesample": _MULTIMODAL_AVI_FRAMESAMPLE_ORACLE,
         "dedup_spans": _DEDUP_SPANS_ORACLE,
         "dedup_exact_substr": _exact_substr_oracle(),
+        "sample_dsir_weights": _dsir_oracle(),
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,

@@ -196,3 +196,97 @@ def token_budget_sample(
         tok.cast("long").alias("n_tokens"),
     ).withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
     return out.withColumn("kept", (F.col("cum_tokens") - F.col("n_tokens")) < b)
+
+
+def _hashed_ngram_stream(df: DataFrame, text_col: str, id_col: str,
+                         n_buckets: int) -> DataFrame:
+    """Per-occurrence hashed-feature stream (id, b): word unigrams +
+    bigrams hashed into ``n_buckets`` via the portable md5-prefix
+    integer (same trick as simhash — identical in any engine).
+    Documents with no tokens contribute no rows."""
+    from .text import words
+
+    w = F.col("__w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(F.slice(w, F.lit(1), F.size(w) - 1),
+                   F.slice(w, F.lit(2), F.size(w) - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), words(text_col).alias("__w"))
+        .select(F.col(id_col),
+                F.explode(F.concat(w, bigrams)).alias("f"))
+        .select(F.col(id_col),
+                (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10)
+                 .cast("long") % n_buckets).alias("b"))
+    )
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by the log-likelihood ratio of its hashed n-gram features
+    under the TARGET distribution vs the RAW distribution — the
+    standard recipe for skimming a web crawl for target-like documents
+    (resample/top-k on the weight downstream; pair with hash_sample
+    for Gumbel-free deterministic resampling).
+
+    Features are hashed word unigrams+bigrams in ``n_buckets`` buckets;
+    both distributions are add-one smoothed over the bucket space.
+    Returns one row per raw document with at least one token:
+    (id, n_feats, dsir_sum, dsir_avg) — dsir_avg is the length-
+    normalized weight (DSIR's importance estimate up to the constant
+    per-feature prior), decimal strings like lm_score.
+
+    Scale posture: the corpus is exploded ONCE into per-doc bucket
+    counts (combinable (id, b) aggregation, checkpointed) feeding both
+    the raw distribution and the scoring pass; the target pays its own
+    single explode. The log-ratio table is at most ``n_buckets`` rows —
+    broadcast by construction, never a shuffle on the corpus side — and
+    per-doc scoring is one map-side broadcast join plus one doc-keyed
+    decimal sum. Determinism: per-bucket log-ratios are rounded to a
+    1e-6 grid and carried as DECIMAL(18,6); the per-doc sum is exact
+    decimal arithmetic, independent of partitioning and fold order.
+    """
+    per_doc = (
+        _hashed_ngram_stream(corpus, text_col, id_col, n_buckets)
+        .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    raw = per_doc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (_hashed_ngram_stream(target, text_col, id_col, n_buckets)
+           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    totals = raw.crossJoin(tgt.agg(F.sum("ct").alias("__tt"))) \
+        .agg(F.sum("cr").alias("__tr"), F.first("__tt").alias("__tt"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                      / (F.col("__tt") + F.lit(n_buckets)))
+                - F.log((F.col("cr") + 1)
+                        / (F.col("__tr") + F.lit(n_buckets))), 6)
+            .cast("decimal(18,6)").alias("lp"))
+    )
+    scored = (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("long").alias("n_feats"),
+             F.sum(F.col("lp") * F.col("c")).alias("s"))
+    )
+    return scored.select(
+        F.col(id_col), "n_feats",
+        F.col("s").cast("decimal(28,6)").cast("string").alias("dsir_sum"),
+        (F.col("s") / F.col("n_feats")).cast("decimal(18,6)")
+        .cast("string").alias("dsir_avg"),
+    )

@@ -2003,3 +2003,21 @@ def test_exact_substr_merges_runs_and_counts_within_doc(spark):
     # within-doc repeat: two disjoint 8-token spans ("filler filler ..."
     # windows are also repeated 5x within the doc, merging the middle)
     assert 5 in rows and rows[5]["dup_tokens"] >= 16
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from sdm_rdfizer_spark.ops.sampling import dsir_importance_weights
+
+    corpus = spark.createDataFrame([
+        (1, "the cat sat on the mat and the dog barked loudly"),
+        (2, "le chat est sur le tapis et le chien aboie fort"),
+        (3, "the dog and the cat played on the mat together"),
+        (4, "der hund und die katze spielen auf der matte"),
+    ], "doc_id long, text string")
+    target = corpus.where("doc_id in (1, 3)")   # the English docs
+    rows = {r["doc_id"]: float(r["dsir_avg"])
+            for r in dsir_importance_weights(corpus, target,
+                                             n_buckets=512).collect()}
+    assert len(rows) == 4
+    # English docs must outrank both non-English docs
+    assert min(rows[1], rows[3]) > max(rows[2], rows[4])

@@ -320,3 +320,12 @@ def test_exact_substr_two_shuffles_no_join(spark, entry):
     plan = _plan(entry.queries()["dedup_exact_substr"](spark, SF))
     assert plan.count("Join") == 0, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dsir_log_ratio_side_broadcasts(spark, entry):
+    """sample_dsir_weights: the log-ratio table (<= n_buckets rows) must
+    reach the corpus via broadcast — never a corpus-sized shuffle join —
+    and nothing sort-merges."""
+    plan = _plan(entry.queries()["sample_dsir_weights"](spark, SF))
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
