@@ -2264,6 +2264,70 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _q_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality harness: recall@5 of the IVF index (n_probe=4 of 16
+    cells) against exact brute-force cosine over the same 10-query
+    evaluation set — the tune-before-deploy readout for index settings.
+    Both top-k frames are <= |queries|*k rows; the eval join broadcasts."""
+    from sdm_rdfizer_spark.ops.similarity import (
+        ann_recall, brute_force_topk, ivf_topk)
+    from sdm_rdfizer_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id"), F.col("neighbor_id"))
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).select(
+        F.col("query_id"), F.col("neighbor_id"))
+    return ann_recall(exact, approx, k=5)
+
+
+# composes the IVF oracle (cent/vsim/asg/probe pipeline) with an exact
+# brute-force top-5 over the same query set; recall = overlap / 5
+_RECALL_EVAL_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), vsim AS (
+  SELECT v.vec_id, v.embedding::DOUBLE[] AS vec, c.cid,
+         round(list_cosine_similarity(v.embedding::DOUBLE[], c.cvec), 9) AS csim
+  FROM embeddings v CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM vsim) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, vec AS qv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM vsim WHERE vec_id < 10) WHERE rn <= 4
+), iscored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM probe JOIN asg USING (cell)
+  WHERE query_id != neighbor_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM iscored) WHERE rank <= 5
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), bscored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, v.embedding::DOUBLE[]), 6) AS sim
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id != q.query_id
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM bscored) WHERE rank <= 5
+)
+SELECT b.query_id, count(i.neighbor_id)::BIGINT AS n_hits,
+       round(count(i.neighbor_id) / 5.0, 6) AS recall
+FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
+GROUP BY b.query_id
+"""
+
+
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing over real parquet: documents.text re-encoded as
     an opaque binary payload (stand-in for image/audio/video bytes), typed
@@ -2842,6 +2906,53 @@ ns AS (SELECT doc_id, CAST(ceil(len(toks)/10.0) AS INT) AS n_spans FROM w)
 SELECT ns.doc_id, ns.n_spans, coalesce(a.n_spans_kept, 0) AS n_spans_kept,
        coalesce(a.text_dedup, '') AS text_dedup
 FROM ns LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_bucketed_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed persisted-index join: documents metadata and the
+    per-doc fingerprint cardinality are both written as doc_id-bucketed
+    external tables, then joined WITHOUT any exchange (the bucket spec
+    pre-partitions both sides) and rolled up by source. The write is the
+    one-time index build; every later id-keyed join against it is
+    shuffle-free — the 100 TB pattern for repeatedly-joined artifacts."""
+    import hashlib
+
+    from sdm_rdfizer_spark.ops.dedup import shingle_fingerprints
+    from sdm_rdfizer_spark.sinks import bucketed_table, write_bucketed
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    base = f"/tmp/sdm_bucketed_{key}"
+    docs = _docs(spark, sf)
+    write_bucketed(docs.select("doc_id", "source"), f"docs_bkt_{key}",
+                   ["doc_id"], 8, path=f"{base}/docs")
+    write_bucketed(
+        shingle_fingerprints(docs).select(
+            "doc_id", F.size("__sh").cast("long").alias("n_fps")),
+        f"fps_bkt_{key}", ["doc_id"], 8, path=f"{base}/fps")
+    joined = bucketed_table(spark, f"docs_bkt_{key}").join(
+        bucketed_table(spark, f"fps_bkt_{key}"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_fps").cast("long").alias("n_fingerprints"))
+
+
+# fingerprints are DISTINCT xxhash64 values Spark-side; the oracle
+# counts DISTINCT shingle strings — equal unless 64-bit hashes collide
+# within one document (~300 shingles -> negligible; same assumption the
+# jaccard-verify oracle already rests on). Empty/NULL docs produce one
+# ""/NULL shingle on both sides.
+_BUCKETED_INDEX_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, {_WORDS_SQL} AS words FROM documents),
+fp AS (
+  SELECT doc_id, source,
+         len(list_distinct([array_to_string(words[i+1:i+3], ' ')
+                            FOR i IN range(0, greatest(len(words)-3, 0)+1)]))
+           AS n_fps
+  FROM w)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_fps)::BIGINT AS n_fingerprints
+FROM fp GROUP BY source
 """
 
 
@@ -4613,6 +4724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "dedup_exact_substr": _q_exact_substr,
         "sample_dsir_weights": _q_dsir_weights,
+        "dedup_bucketed_index": _q_bucketed_index,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4629,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "similarity_lsh_multi": _q_lsh_multi_topk,
         "similarity_ivf_topk": _q_ivf_topk,
+        "similarity_recall_eval": _q_recall_eval,
         "similarity_pq": _q_pq_encode,
         "dedup_components": _q_dedup_components,
         "dedup_jaccard_verify": _q_jaccard_verify,
@@ -4734,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "similarity_topk_cosine": _SIMILARITY_TOPK_ORACLE,
         "similarity_ivf_topk": _IVF_TOPK_ORACLE,
+        "similarity_recall_eval": _RECALL_EVAL_ORACLE,
         "similarity_pq": _pq_encode_oracle(),
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
         "cluster_kmeans": _kmeans_clusters_oracle(),
@@ -4755,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _DEDUP_SPANS_ORACLE,
         "dedup_exact_substr": _exact_substr_oracle(),
         "sample_dsir_weights": _dsir_oracle(),
+        "dedup_bucketed_index": _BUCKETED_INDEX_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,

@@ -812,3 +812,39 @@ def _pq_assign_arrow(codebook: list[tuple[int, list[float]]], m: int):
         return pd.DataFrame({"codes": codes, "ds": ds})
 
     return assign
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact result — the quality
+    readout that justifies an index's n_probe/bands/n_planes setting
+    before trusting it over a 100 TB corpus (run on a sampled query set,
+    tune, then deploy the index everywhere).
+
+    Both inputs are (query, neighbor) top-k frames (e.g. brute_force_topk
+    vs ivf_topk over the same queries). Returns one row per query in
+    ``exact``: (query_col, n_hits, recall) with recall = n_hits / k;
+    queries the ANN missed entirely still appear with recall 0.
+
+    Scale posture: both sides are at most |queries| * k rows — the join
+    is on the composite (query, neighbor) key and is trivially
+    broadcastable for any sane evaluation set; nothing touches the
+    corpus again.
+    """
+    marked = approx.select(
+        F.col(query_col), F.col(neighbor_col), F.lit(1).alias("__hit"))
+    return (
+        exact.select(query_col, neighbor_col)
+        .join(F.broadcast(marked), [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .cast("long").alias("n_hits"))
+        .select(F.col(query_col), "n_hits",
+                F.round(F.col("n_hits") / F.lit(k), 6).alias("recall"))
+    )

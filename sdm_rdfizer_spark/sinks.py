@@ -440,3 +440,34 @@ def write_target(triples: DataFrame, target, prefixes: dict[str, str] | None = N
             tar.add(plain, arcname=os.path.basename(path))
         os.remove(plain)
     return path
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   n_buckets: int, *, path: str,
+                   sort: bool = True, mode: str = "overwrite") -> None:
+    """Persist ``df`` as a hash-bucketed (and optionally per-bucket
+    sorted) external table — the co-located-join substrate: any later
+    equi-join or aggregation on ``keys`` between tables bucketed the
+    same way reads pre-partitioned data and pays NO exchange, which is
+    the difference between one corpus shuffle per query and zero for
+    every repeatedly-joined id-keyed artifact (fingerprint indexes,
+    parent-subject tables, signature frames) at 100 TB.
+
+    Spark-only physical layout (the parquet files are plain parquet —
+    any engine can still read them; only Spark exploits the bucket
+    metadata). Uses the session catalog; ``path`` makes the table
+    external so the data outlives the in-memory catalog.
+    """
+    writer = df.write.format("parquet").mode(mode) \
+        .bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.option("path", path).saveAsTable(table)
+
+
+def bucketed_table(spark, table: str) -> DataFrame:
+    """Read a table written by :func:`write_bucketed` with its bucket
+    spec intact (``spark.read.parquet(path)`` would read the same rows
+    but DROP the bucketing metadata — and with it the no-exchange join
+    guarantee)."""
+    return spark.table(table)

@@ -329,3 +329,11 @@ def test_dsir_log_ratio_side_broadcasts(spark, entry):
     plan = _plan(entry.queries()["sample_dsir_weights"](spark, SF))
     assert plan.count("SortMergeJoin") == 0, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_bucketed_index_join_pays_no_corpus_shuffle(spark, entry):
+    """dedup_bucketed_index: the doc_id join between the two bucketed
+    tables must read pre-partitioned buckets — the only keyed exchange
+    in the whole plan is the tiny per-source rollup."""
+    plan = _plan(entry.queries()["dedup_bucketed_index"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

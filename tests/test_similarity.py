@@ -238,3 +238,20 @@ def test_train_kmeans_round_grid_snaps_means(spark):
     for _cid, vec in cents:
         for x in vec:
             assert abs(x * 1e6 - round(x * 1e6)) < 1e-6
+
+
+def test_ann_recall_counts_overlap_and_keeps_missed_queries(spark):
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)],            # hits one of q1's two, none of q2's
+        "query_id long, neighbor_id long")
+    rows = {r["query_id"]: r for r in ann_recall(exact, approx, k=2).collect()}
+    assert rows[1]["n_hits"] == 1 and abs(rows[1]["recall"] - 0.5) < 1e-9
+    # a query the ANN missed entirely still appears with recall 0
+    assert rows[2]["n_hits"] == 0 and rows[2]["recall"] == 0.0

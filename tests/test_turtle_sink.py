@@ -115,3 +115,39 @@ def test_write_ntriples_partitioned_by_predicate(spark, tmp_path):
         '<http://x/s1> <http://x/age> "3" .',
         '<http://x/s2> <http://x/name> "b" .',
     }
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must sort-merge
+    with ZERO exchange — the co-located-join guarantee write_bucketed
+    exists for (spark.read.parquet on the same files would re-shuffle
+    both sides)."""
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.sinks import bucketed_table, write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    write_bucketed(a, "t_bkt_a", ["k"], 4, path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bkt_b", ["k"], 4, path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_table(spark, "t_bkt_a").join(
+            bucketed_table(spark, "t_bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+        # the same files read WITHOUT the bucket spec DO pay exchanges —
+        # the metadata, not the layout, carries the guarantee
+        p2 = (spark.read.parquet(str(tmp_path / "a"))
+              .join(spark.read.parquet(str(tmp_path / "b")), "k")
+              ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" in p2, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
