@@ -4579,6 +4579,18 @@ GROUP BY c.doc_id, c.n_shingles
 """
 
 
+def _q_streaming_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming contamination firewall: Bloom bitset built once from
+    the src0 benchmark, corpus micro-batches probed through the SAME
+    bloom_probe definition as the batch op (stateless, zero shuffles,
+    zero state) — availableNow drain equals text_bloom_decontaminate,
+    so it shares that oracle."""
+    from sdm_rdfizer_spark.streaming import stream_bloom_decontaminate
+
+    return stream_bloom_decontaminate(spark, sf, shingle_n=8,
+                                      m_bits=1 << 20, k_hashes=4)
+
+
 def _q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Join-free approximate decontamination: the src0 benchmark
     compresses into a 2^20-bit Bloom filter (128 KB model, broadcast)
@@ -4696,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_tfidf_topk,
         "text_decontaminate": _q_decontaminate,
         "text_bloom_decontaminate": _q_bloom_decontaminate,
+        "streaming_bloom_decontaminate": _q_streaming_bloom,
         "events_sliding_window": _q_events_sliding_window,
         "events_sessionize": _q_sessionize,
         "streaming_dedup": _q_streaming_dedup,
@@ -4880,6 +4893,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _CORPUS_DATACARD_ORACLE,
         "text_decontaminate": _DECONTAMINATE_ORACLE,
         "text_bloom_decontaminate": _BLOOM_DECONTAMINATE_ORACLE,
+        "streaming_bloom_decontaminate": _BLOOM_DECONTAMINATE_ORACLE,
         "sample_stratified": _stratified_sample_oracle(),
         "sample_split": _sample_split_oracle(),
         "sample_token_budget": _TOKEN_BUDGET_ORACLE,

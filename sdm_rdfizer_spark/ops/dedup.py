@@ -1733,6 +1733,20 @@ def bloom_decontaminate(
     Returns (id_col, n_shingles, n_maybe_contaminated, contamination,
     maybe_contaminated) — superset semantics of ``ngram_decontaminate``.
     """
+    bits = bloom_build(benchmark, text_col, shingle_n=shingle_n,
+                       m_bits=m_bits, k_hashes=k_hashes)
+    return bloom_probe(corpus, bits, text_col, id_col,
+                       shingle_n=shingle_n, m_bits=m_bits,
+                       k_hashes=k_hashes)
+
+
+def bloom_build(benchmark: DataFrame, text_col: str = "text", *,
+                shingle_n: int = 3, m_bits: int = 1 << 20,
+                k_hashes: int = 4):
+    """The Bloom model build half of :func:`bloom_decontaminate`:
+    benchmark shingles → k md5 bit positions → 64-bit words, entirely
+    in the JVM; only the m/64-long word table reaches the driver.
+    Returns the numpy uint64 bitset (the 128 KB model)."""
     import numpy as np
 
     sh = shingles(F.col("__w"), shingle_n)
@@ -1761,6 +1775,19 @@ def bloom_decontaminate(
     bits = np.zeros((int(m_bits) + 63) // 64, dtype=np.uint64)
     for r in word_rows:
         bits[int(r["__w"])] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bits
+
+
+def bloom_probe(corpus: DataFrame, bits, text_col: str = "text",
+                id_col: str = "doc_id", *, shingle_n: int = 3,
+                m_bits: int = 1 << 20, k_hashes: int = 4) -> DataFrame:
+    """The probe half of :func:`bloom_decontaminate`: test every corpus
+    shingle against the broadcast bitset locally — no shuffle, no
+    stateful operator, so the same pipeline is STREAMING-SAFE and an
+    availableNow drain equals the batch result exactly (the streaming
+    wrapper reuses this definition; batch/stream parity is structural).
+    """
+    sh = shingles(F.col("__w"), shingle_n)
     bc = corpus.sparkSession.sparkContext.broadcast(bits)
     m = int(m_bits)
     k = int(k_hashes)

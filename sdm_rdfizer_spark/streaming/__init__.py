@@ -722,3 +722,47 @@ def stream_minhash_verify(
         return spark.createDataFrame(
             [], "id_a long, id_b long, jaccard double")
     return spark.read.parquet(out_dir)
+
+
+def stream_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str, *, shingle_n: int = 8,
+    m_bits: int = 1 << 20, k_hashes: int = 4,
+    benchmark_source: str = "src0",
+) -> DataFrame:
+    """Streaming benchmark decontamination: the Bloom bitset is built
+    ONCE from the (batch-read) benchmark subset, then the corpus
+    streams through the SAME ``bloom_probe`` definition the batch op
+    uses — stateless per-document, so no watermark, no state store, and
+    an availableNow drain equals ``bloom_decontaminate`` exactly
+    (parity is structural, not coincidental, like the minhash-verify
+    pipeline's shared fingerprints).
+
+    The production shape this rehearses: a 128 KB model broadcast to
+    every executor, screening an unbounded document feed with zero
+    shuffles and zero state — the cheapest possible contamination
+    firewall in front of a training-data ingest at 100 TB/day.
+    """
+    from ..engine import tune_session
+    from ..ops.dedup import bloom_build, bloom_probe
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(path)
+    bits = bloom_build(batch.where(F.col("source") == benchmark_source),
+                       shingle_n=shingle_n, m_bits=m_bits,
+                       k_hashes=k_hashes)
+    raw_schema = batch.schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            "{documents.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    if os.path.isfile(path):
+        # one task per FILE in the file stream source (see
+        # stream_minhash_dedup) — spread a single-file corpus
+        sdf = sdf.repartition(spark.sparkContext.defaultParallelism)
+    probed = bloom_probe(
+        sdf.where(F.col("source") != benchmark_source), bits,
+        shingle_n=shingle_n, m_bits=m_bits, k_hashes=k_hashes)
+    name = "stream_bloom_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(probed, name=name, output_mode="append")

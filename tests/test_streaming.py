@@ -291,3 +291,22 @@ def test_stream_minhash_verify_compaction_bounds_files(spark):
     # compaction fired at batch 4 (not at 8 — final-batch skip), so the
     # index holds one compacted base + 4 appends vs 8 raw appends
     assert compacted < uncompacted, (compacted, uncompacted)
+
+
+def test_stream_bloom_decontaminate_batch_parity(spark):
+    """The streaming Bloom screen must equal the batch op row-for-row —
+    both run the ONE bloom_probe definition against the same bitset, so
+    any divergence means the stream dropped or re-screened a batch."""
+    from sdm_rdfizer_spark.ops.dedup import bloom_decontaminate
+    from sdm_rdfizer_spark.streaming import stream_bloom_decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_bloom_decontaminate(
+        spark, sf, shingle_n=8, m_bits=1 << 16, k_hashes=4)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = bloom_decontaminate(
+        docs.where("source != 'src0'"), docs.where("source = 'src0'"),
+        shingle_n=8, m_bits=1 << 16, k_hashes=4)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
