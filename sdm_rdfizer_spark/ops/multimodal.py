@@ -238,8 +238,6 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
         pos += 9
         if iflags & 0x80:                  # local color table
             pos += 3 * (2 << (iflags & 0x07))
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF frames unsupported")
         min_code = payload[pos]
         pos += 1
         data = bytearray()
@@ -248,10 +246,28 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
             data += payload[pos + 1:pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        frames.append((delay_ms, _lzw_decode(bytes(data), min_code,
-                                             fw * fh)))
+        px = _lzw_decode(bytes(data), min_code, fw * fh)
+        if iflags & 0x40:                  # interlaced: 4-pass row order
+            px = _deinterlace(px, fw, fh)
+        frames.append((delay_ms, px))
         delay_ms = 0
     return width, height, frames
+
+
+def _interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace row order: rows 0,8,16… then 4,12…, 2,6,10…,
+    1,3,5… — the storage sequence of an interlaced image."""
+    return [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)]
+
+
+def _deinterlace(px: bytes, w: int, h: int) -> bytes:
+    """Undo GIF 4-pass interlacing: a pure row reorder, no codec work —
+    storage row i belongs at display row _interlace_order(h)[i]."""
+    out = bytearray(len(px))
+    for i, y in enumerate(_interlace_order(h)):
+        out[y * w:(y + 1) * w] = px[i * w:(i + 1) * w]
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
@@ -354,7 +370,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     (word-aligned chunks, nested LISTs including ``rec `` groups), no
     codec library. Non-MJPEG video streams raise NotImplementedError
     (the typed boundary: JPEG PIXEL decode needs a codec this container
-    layer deliberately does not ship — same posture as interlaced GIF)."""
+    layer deliberately does not ship — same posture as interlaced PNG)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -507,13 +523,16 @@ def _lzw_encode(pixels: bytes, min_code: int) -> bytes:
 
 def encode_gif(width: int, height: int,
                frames: list[tuple[int, bytes]], *,
-               palette_bits: int = 2, compress: bool = True) -> bytes:
+               palette_bits: int = 2, compress: bool = True,
+               interlace: bool = False) -> bytes:
     """Deterministic GIF89a writer: ``frames`` is a list of
     (delay_ms, pixel_index_bytes). With ``compress=True`` the image data
     is REAL dictionary-building LZW (:func:`_lzw_encode`); with False it
     emits a clear code before every literal — maximally dumb but
     spec-valid, kept because the decoder must handle degenerate streams
-    too. Grey-ramp global palette; delays are GIF-native 10 ms units."""
+    too. Grey-ramp global palette; delays are GIF-native 10 ms units.
+    ``interlace=True`` stores rows in the GIF 4-pass order and sets the
+    descriptor bit (the decoder reorders them back)."""
     import struct
 
     ncolors = 1 << palette_bits
@@ -528,8 +547,13 @@ def encode_gif(width: int, height: int,
     for delay_ms, pixels in frames:
         out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delay_ms // 10, 0)
         out += b"\x00"                     # GCE sub-block terminator
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                           0x40 if interlace else 0)
         out += bytes([min_code])
+        if interlace:
+            pixels = b"".join(
+                pixels[y * width:(y + 1) * width]
+                for y in _interlace_order(height))
         if compress:
             stream = bytearray(_lzw_encode(pixels, min_code))
         else:

@@ -2021,3 +2021,23 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert len(rows) == 4
     # English docs must outrank both non-English docs
     assert min(rows[1], rows[3]) > max(rows[2], rows[4])
+
+
+def test_gif_interlaced_round_trip():
+    """Interlaced GIF frames (4-pass row order + descriptor bit) decode
+    to the same pixels as progressive storage — closes the last
+    pure-Python gap in the GIF surface (no codec library involved;
+    deinterlacing is a row reorder)."""
+    from sdm_rdfizer_spark.ops.multimodal import decode_gif, encode_gif
+
+    w, h = 5, 11    # odd height exercises all four passes unevenly
+    frames = [
+        (20, bytes([(x + y) % 4 for y in range(h) for x in range(w)])),
+        (30, bytes([(x * y) % 4 for y in range(h) for x in range(w)])),
+    ]
+    assert decode_gif(encode_gif(w, h, frames, interlace=True)) \
+        == decode_gif(encode_gif(w, h, frames)) == (w, h, frames)
+    # the degenerate clear-before-every-literal stream must survive too
+    assert decode_gif(
+        encode_gif(w, h, frames, interlace=True, compress=False)) \
+        == (w, h, frames)
