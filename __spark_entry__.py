@@ -3055,6 +3055,49 @@ FROM sp GROUP BY doc_id
 """
 
 
+def _q_exact_substr_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr removal policy: delete every occurrence of a
+    duplicated >=8-token run and reassemble the survivors. Same span
+    pipeline as dedup_exact_substr plus one id-keyed join back; token
+    filtering is an in-row higher-order probe of the doc's span list."""
+    from sdm_rdfizer_spark.ops.dedup import remove_duplicated_substrings
+
+    return remove_duplicated_substrings(_docs(spark, sf), window_tokens=8)
+
+
+def _exact_substr_clean_oracle(k: int = 8) -> str:
+    base = _exact_substr_oracle(k)
+    cte_part = base[base.index("WITH "):base.index("\nSELECT doc_id, sum(nw)")]
+    return f"""
+{cte_part},
+tok AS (
+  SELECT doc_id, u.i AS i, u.t AS t FROM (
+    SELECT doc_id, unnest([{{'i': i, 't': words[i+1]}}
+                           FOR i IN range(0, len(words))]) AS u
+    FROM w)
+),
+cov AS (
+  SELECT DISTINCT tok.doc_id, tok.i
+  FROM tok JOIN sp ON tok.doc_id = sp.doc_id
+        AND tok.i BETWEEN sp.s AND sp.e + {k} - 1
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.t
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+  WHERE c.i IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(t, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, len(w.words)::BIGINT AS n_tokens,
+       (len(w.words) - coalesce(a.n_kept, 0))::BIGINT AS n_dup_tokens,
+       coalesce(a.txt, '') AS text_cleaned
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over the corpus: per-kind match counts + the
     scrubbed text, all inside whole-stage codegen."""
@@ -4738,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substr": _q_exact_substr,
         "sample_dsir_weights": _q_dsir_weights,
         "dedup_bucketed_index": _q_bucketed_index,
+        "dedup_exact_substr_clean": _q_exact_substr_clean,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4883,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_substr": _exact_substr_oracle(),
         "sample_dsir_weights": _dsir_oracle(),
         "dedup_bucketed_index": _BUCKETED_INDEX_ORACLE,
+        "dedup_exact_substr_clean": _exact_substr_clean_oracle(),
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,

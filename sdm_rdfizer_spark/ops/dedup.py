@@ -1310,6 +1310,48 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     )
 
 
+def _dup_substring_islands(df: DataFrame, text_col: str, id_col: str,
+                           window_tokens: int, min_occurrences: int):
+    """Shared span pipeline for the ExactSubstr family: (spans frame
+    with (id, island, nw, s, e) — merged maximal duplicated runs — and
+    the window size). One md5(window) window-count shuffle + one
+    doc-keyed islands shuffle; see duplicated_substring_spans for the
+    full semantics."""
+    from pyspark.sql.window import Window
+
+    k = window_tokens
+    staged = df.select(F.col(id_col), words(text_col).alias("__w")) \
+               .where(F.size("__w") >= k)
+    pos = F.explode(F.sequence(F.lit(0), F.size("__w") - k))
+    fingered = (
+        staged.select(F.col(id_col), pos.alias("p"), "__w")
+        .select(
+            F.col(id_col), F.col("p"),
+            F.md5(F.array_join(F.slice("__w", F.col("p") + 1, k),
+                               " ")).alias("fp"))
+    )
+    dup = (
+        fingered
+        .withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("__c") >= min_occurrences)
+        .select(id_col, "p")
+    )
+    # gaps-and-islands: windows cover [p, p+k-1]; a gap > k tokens
+    # between consecutive duplicated positions breaks the run (== k
+    # means the spans touch end-to-start and stay one contiguous run)
+    by_doc = Window.partitionBy(id_col).orderBy("p")
+    islands = dup.withColumn(
+        "__brk",
+        F.when(F.col("p") - F.lag("p").over(by_doc) > k, 1).otherwise(0)
+    ).withColumn("island", F.sum("__brk").over(by_doc))
+    spans = islands.groupBy(id_col, "island").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.min("p").alias("s"),
+        F.max("p").alias("e"),
+    )
+    return spans, k
+
+
 def duplicated_substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1344,43 +1386,62 @@ def duplicated_substring_spans(
     (doc_id is a prefix of both grouping keys — no further exchange).
     No all-pairs comparison; everything is linear in corpus tokens.
     """
-    from pyspark.sql.window import Window
-
-    k = window_tokens
-    staged = df.select(F.col(id_col), words(text_col).alias("__w")) \
-               .where(F.size("__w") >= k)
-    pos = F.explode(F.sequence(F.lit(0), F.size("__w") - k))
-    fingered = (
-        staged.select(F.col(id_col), pos.alias("p"), "__w")
-        .select(
-            F.col(id_col), F.col("p"),
-            F.md5(F.array_join(F.slice("__w", F.col("p") + 1, k),
-                               " ")).alias("fp"))
-    )
-    dup = (
-        fingered
-        .withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .where(F.col("__c") >= min_occurrences)
-        .select(id_col, "p")
-    )
-    # gaps-and-islands: windows cover [p, p+k-1]; a gap > k tokens
-    # between consecutive duplicated positions breaks the run (== k
-    # means the spans touch end-to-start and stay one contiguous run)
-    by_doc = Window.partitionBy(id_col).orderBy("p")
-    islands = dup.withColumn(
-        "__brk",
-        F.when(F.col("p") - F.lag("p").over(by_doc) > k, 1).otherwise(0)
-    ).withColumn("island", F.sum("__brk").over(by_doc))
-    spans = islands.groupBy(id_col, "island").agg(
-        F.count(F.lit(1)).alias("nw"),
-        F.min("p").alias("s"),
-        F.max("p").alias("e"),
-    )
+    spans, k = _dup_substring_islands(df, text_col, id_col,
+                                      window_tokens, min_occurrences)
     return spans.groupBy(id_col).agg(
         F.sum("nw").cast("long").alias("n_dup_windows"),
         F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_tokens"),
         F.max(F.col("e") - F.col("s") + k).cast("long").alias("max_span_len"),
+    )
+
+
+def remove_duplicated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The removal policy of ExactSubstr dedup (Lee et al.): delete
+    EVERY occurrence of a duplicated run of >= ``window_tokens`` tokens
+    (the paper deletes all copies, not all-but-one) and reassemble the
+    surviving tokens. Returns every document:
+    (id, n_tokens, n_dup_tokens, text_cleaned) — clean documents come
+    back unchanged, fully-duplicated ones with an empty string.
+
+    Scale posture: the span pipeline's two shuffles
+    (:func:`_dup_substring_islands`), one doc-keyed groupBy that RIDES
+    the islands partitioning to collect each doc's span list (at most
+    tokens/k entries), and one id-keyed join back to the corpus. Token
+    filtering is an in-row higher-order filter against the collected
+    span array — the corpus-sized position/span range join a naive
+    formulation would pay never materializes.
+    """
+    spans, k = _dup_substring_islands(df, text_col, id_col,
+                                      window_tokens, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("__spans"))
+    staged = df.select(F.col(id_col), words(text_col).alias("__w"))
+    joined = staged.join(per_doc, id_col, "left").select(
+        F.col(id_col), "__w",
+        F.coalesce(
+            "__spans",
+            F.array().cast("array<struct<s:int,e:int>>")).alias("__spans"))
+    # a token at index i survives unless some merged span [s, e+k-1]
+    # covers it; __spans is a staged column, so the exists() probe costs
+    # |spans| comparisons per token with no re-evaluation of the pipeline
+    kept = F.filter(
+        "__w",
+        lambda _t, i: ~F.exists(
+            "__spans",
+            lambda sp: (i >= sp["s"]) & (i <= sp["e"] + F.lit(k - 1))))
+    return joined.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_dup_tokens"),
+        F.array_join(kept, " ").alias("text_cleaned"),
     )
 
 

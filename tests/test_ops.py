@@ -2041,3 +2041,23 @@ def test_gif_interlaced_round_trip():
     assert decode_gif(
         encode_gif(w, h, frames, interlace=True, compress=False)) \
         == (w, h, frames)
+
+
+def test_remove_duplicated_substrings_deletes_all_copies(spark):
+    from sdm_rdfizer_spark.ops.dedup import remove_duplicated_substrings
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame([
+        (1, "intro words here " + run + " tail one two"),
+        (2, "completely different opening sentence before " + run),
+        (3, "unique body with no shared runs at all in this text"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in remove_duplicated_substrings(df, window_tokens=8).collect()}
+    # EVERY copy of the run is deleted (Lee et al. policy), both docs
+    assert rows[1]["text_cleaned"] == "intro words here tail one two"
+    assert rows[2]["text_cleaned"] == "completely different opening sentence before"
+    assert rows[1]["n_dup_tokens"] == rows[2]["n_dup_tokens"] == 10
+    # clean docs come back untouched with zero removed
+    assert rows[3]["n_dup_tokens"] == 0
+    assert rows[3]["text_cleaned"] == df.where("doc_id=3").first()["text"]
