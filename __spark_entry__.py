@@ -3006,6 +3006,16 @@ FROM sc
 """
 
 
+def _q_streaming_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming DSIR: log-ratio model trained once from the batch
+    snapshot, document feed scored row-wise (map-literal model, in-row
+    decimal fold — no aggregation, no shuffle, no state). availableNow
+    drain equals the batch query exactly, so it shares that oracle."""
+    from sdm_rdfizer_spark.streaming import stream_dsir_weights
+
+    return stream_dsir_weights(spark, sf, n_buckets=4096)
+
+
 def _q_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     """ExactSubstr-style duplicated-run detection: 8-token windows
     fingerprinted corpus-wide, positions whose fingerprint repeats
@@ -4782,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_weights": _q_dsir_weights,
         "dedup_bucketed_index": _q_bucketed_index,
         "dedup_exact_substr_clean": _q_exact_substr_clean,
+        "streaming_dsir_weights": _q_streaming_dsir,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4928,6 +4939,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_dsir_weights": _dsir_oracle(),
         "dedup_bucketed_index": _BUCKETED_INDEX_ORACLE,
         "dedup_exact_substr_clean": _exact_substr_clean_oracle(),
+        "streaming_dsir_weights": _dsir_oracle(),
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,

@@ -290,3 +290,108 @@ def dsir_importance_weights(
         (F.col("s") / F.col("n_feats")).cast("decimal(18,6)")
         .cast("string").alias("dsir_avg"),
     )
+
+
+def dsir_model(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 4096,
+) -> tuple[list[tuple[int, object]], object]:
+    """The train half of DSIR factored out for online application:
+    returns ([(bucket, log_ratio_decimal)...], floor_decimal) — at most
+    ``n_buckets`` rows collected (the model, not the data; same bounded-
+    collect contract as IVF centroids / PQ codebooks). ``floor`` is the
+    smoothed log-ratio of a bucket unseen in BOTH distributions, for
+    scoring feeds that stray outside the training corpus."""
+    from decimal import Decimal
+
+    per_occ = _hashed_ngram_stream(corpus, text_col, id_col, n_buckets)
+    raw = per_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (_hashed_ngram_stream(target, text_col, id_col, n_buckets)
+           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    totals = raw.crossJoin(tgt.agg(F.sum("ct").alias("__tt"))) \
+        .agg(F.sum("cr").alias("__tr"), F.first("__tt").alias("__tt"))
+    lr_rows = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                      / (F.col("__tt") + F.lit(n_buckets)))
+                - F.log((F.col("cr") + 1)
+                        / (F.col("__tr") + F.lit(n_buckets))), 6)
+            .cast("decimal(18,6)").alias("lp"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("__tt") + F.lit(n_buckets)))
+                - F.log(F.lit(1.0) / (F.col("__tr") + F.lit(n_buckets))), 6)
+            .cast("decimal(18,6)").alias("floor"))
+        .collect()
+    )
+    floor = lr_rows[0]["floor"] if lr_rows else Decimal("0.000000")
+    return [(int(r["b"]), r["lp"]) for r in lr_rows], floor
+
+
+def dsir_apply(
+    df: DataFrame,
+    model: list[tuple[int, object]],
+    floor,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The apply half of DSIR: score documents ROW-WISE against a fixed
+    log-ratio model — the model rides the plan as a map literal and the
+    per-doc sum is an in-row decimal fold over the feature array, so the
+    pipeline has NO aggregation, NO shuffle, NO state, and is therefore
+    STREAMING-SAFE (train the filter offline on the corpus snapshot,
+    screen the ingest feed online). Exactly equals
+    :func:`dsir_importance_weights` on the same input: both sum the
+    same multiset of 1e-6-grid decimals, and decimal addition is
+    order-independent."""
+    from .text import words
+
+    # DENSE array literal indexed by bucket, floor-filled: element_at on
+    # a map literal is a LINEAR scan of ArrayBasedMapData per lookup
+    # (measured 5x+ slower end-to-end at 4096 buckets); GetArrayItem is
+    # O(1)
+    dense = [floor] * n_buckets
+    for b, lp in model:
+        dense[b] = lp
+    lp_arr = F.array(*[F.lit(v).cast("decimal(18,6)") for v in dense])
+    w = F.col("__w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(F.slice(w, F.lit(1), F.size(w) - 1),
+                   F.slice(w, F.lit(2), F.size(w) - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(w, bigrams)
+
+    def _bucket(f):
+        return (F.conv(F.substring(F.md5(f), 1, 8), 16, 10)
+                .cast("long") % n_buckets)
+
+    s = F.aggregate(
+        "__f",
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, f: (acc + F.element_at(lp_arr, (_bucket(f) + 1)
+                                           .cast("int")))
+        .cast("decimal(28,6)"))
+    staged = (df.select(F.col(id_col), words(text_col).alias("__w"))
+                .where(F.size("__w") >= 1)
+                .select(F.col(id_col), feats.alias("__f")))
+    return staged.select(
+        F.col(id_col),
+        F.size("__f").cast("long").alias("n_feats"),
+        s.alias("__s"),
+    ).select(
+        F.col(id_col), "n_feats",
+        F.col("__s").cast("decimal(28,6)").cast("string").alias("dsir_sum"),
+        (F.col("__s") / F.col("n_feats")).cast("decimal(18,6)")
+        .cast("string").alias("dsir_avg"),
+    )

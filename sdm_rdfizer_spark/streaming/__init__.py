@@ -766,3 +766,42 @@ def stream_bloom_decontaminate(
         shingle_n=shingle_n, m_bits=m_bits, k_hashes=k_hashes)
     name = "stream_bloom_" + str(abs(hash(sf_dir)) % 10**8)
     return run_available_now(probed, name=name, output_mode="append")
+
+
+def stream_dsir_weights(
+    spark: SparkSession, sf_dir: str, *, n_buckets: int = 4096,
+    target_lang: str = "en",
+) -> DataFrame:
+    """Streaming DSIR screen: the hashed-ngram log-ratio model is
+    trained ONCE from the batch-read corpus snapshot (dsir_model —
+    bounded collect, <= n_buckets rows), then the document feed streams
+    through dsir_apply's ROW-WISE decimal fold — the model rides the
+    plan as a map literal, so the probe has no aggregation, no shuffle,
+    no state. availableNow drain equals dsir_importance_weights exactly
+    (same 1e-6-grid decimal multiset per doc; decimal addition is
+    order-independent), so the batch oracle applies verbatim.
+
+    The production shape: train the target-likeness filter offline on
+    yesterday's corpus, score today's ingest online, resample on the
+    weight downstream.
+    """
+    from ..engine import tune_session
+    from ..ops.sampling import dsir_apply, dsir_model
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(path)
+    model, floor = dsir_model(
+        batch, batch.where(F.col("lang") == target_lang),
+        n_buckets=n_buckets)
+    raw_schema = batch.schema
+    glob = path
+    if os.path.isfile(path):
+        glob = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            "{documents.parquet}")
+    sdf = spark.readStream.schema(raw_schema).parquet(glob)
+    if os.path.isfile(path):
+        sdf = sdf.repartition(spark.sparkContext.defaultParallelism)
+    scored = dsir_apply(sdf, model, floor, n_buckets=n_buckets)
+    name = "stream_dsir_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now(scored, name=name, output_mode="append")

@@ -310,3 +310,20 @@ def test_stream_bloom_decontaminate_batch_parity(spark):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_dsir_batch_parity(spark):
+    """Row-wise online DSIR scoring must equal the batch aggregation
+    exactly — both sum the same multiset of 1e-6-grid decimals, and
+    decimal addition is order-independent."""
+    from sdm_rdfizer_spark.ops.sampling import dsir_importance_weights
+    from sdm_rdfizer_spark.streaming import stream_dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_dsir_weights(spark, sf, n_buckets=512)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = dsir_importance_weights(
+        docs, docs.where("lang = 'en'"), n_buckets=512)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
