@@ -9,6 +9,7 @@ runs, engines (md5 is portable), cluster sizes, and input orderings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -345,24 +346,62 @@ def dsir_apply(
     n_buckets: int = 4096,
 ) -> DataFrame:
     """The apply half of DSIR: score documents ROW-WISE against a fixed
-    log-ratio model — the model rides the plan as a map literal and the
-    per-doc sum is an in-row decimal fold over the feature array, so the
-    pipeline has NO aggregation, NO shuffle, NO state, and is therefore
-    STREAMING-SAFE (train the filter offline on the corpus snapshot,
-    screen the ingest feed online). Exactly equals
+    log-ratio model, so the pipeline has NO aggregation, NO shuffle, NO
+    state, and is therefore STREAMING-SAFE (train the filter offline on
+    the corpus snapshot, screen the ingest feed online). Exactly equals
     :func:`dsir_importance_weights` on the same input: both sum the
-    same multiset of 1e-6-grid decimals, and decimal addition is
-    order-independent."""
+    same multiset of 1e-6-grid values, and integer/decimal addition is
+    order-independent.
+
+    The per-doc sum runs in an Arrow-batched pandas UDF against the
+    broadcast dense micro-unit table (int64 per bucket — exact), with
+    the membership hash memoized per distinct feature like
+    ``bloom_probe``; the exact sum is formatted as a 1e-6-scale decimal
+    string and parsed back to DECIMAL(28,6) Spark-side so the final
+    sum/avg columns go through the IDENTICAL decimal casts as the batch
+    op. (A pure-JVM higher-order fold was tried first: interpreted
+    per-element md5 + array probes measured ~7x slower than the batch
+    pipeline at sf1; Arrow + memoization is the same trade
+    ``bloom_probe`` makes.)"""
+    from decimal import Decimal
+
+    import numpy as np
+
     from .text import words
 
-    # DENSE array literal indexed by bucket, floor-filled: element_at on
-    # a map literal is a LINEAR scan of ArrayBasedMapData per lookup
-    # (measured 5x+ slower end-to-end at 4096 buckets); GetArrayItem is
-    # O(1)
-    dense = [floor] * n_buckets
+    def _micros(d) -> int:
+        return int(Decimal(d).scaleb(6))   # exact: scale-6 decimals
+
+    # DENSE int64 micro-units indexed by bucket, floor-filled — decimals
+    # on a 1e-6 grid are exact integers scaled by 10^6
+    dense = np.full(n_buckets, _micros(floor), dtype=np.int64)
     for b, lp in model:
-        dense[b] = lp
-    lp_arr = F.array(*[F.lit(v).cast("decimal(18,6)") for v in dense])
+        dense[b] = _micros(lp)
+    bc = df.sparkSession.sparkContext.broadcast(dense)
+    nb = int(n_buckets)
+
+    @F.pandas_udf("string")
+    def sum_micros(col: pd.Series) -> pd.Series:
+        import hashlib
+
+        lut = bc.value
+        memo: dict = {}
+        out = []
+        for feats_arr in col.tolist():
+            s = 0
+            for f in feats_arr:
+                v = memo.get(f)
+                if v is None:
+                    bkt = int(hashlib.md5(
+                        f.encode()).hexdigest()[:8], 16) % nb
+                    v = int(lut[bkt])
+                    memo[f] = v
+                s += v
+            a = abs(s)
+            out.append(f"{'-' if s < 0 else ''}{a // 1_000_000}"
+                       f".{a % 1_000_000:06d}")
+        return pd.Series(out)
+
     w = F.col("__w")
     bigrams = F.when(
         F.size(w) >= 2,
@@ -371,24 +410,13 @@ def dsir_apply(
                    lambda a, b: F.concat_ws(" ", a, b)),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(w, bigrams)
-
-    def _bucket(f):
-        return (F.conv(F.substring(F.md5(f), 1, 8), 16, 10)
-                .cast("long") % n_buckets)
-
-    s = F.aggregate(
-        "__f",
-        F.lit(0).cast("decimal(28,6)"),
-        lambda acc, f: (acc + F.element_at(lp_arr, (_bucket(f) + 1)
-                                           .cast("int")))
-        .cast("decimal(28,6)"))
     staged = (df.select(F.col(id_col), words(text_col).alias("__w"))
                 .where(F.size("__w") >= 1)
                 .select(F.col(id_col), feats.alias("__f")))
     return staged.select(
         F.col(id_col),
         F.size("__f").cast("long").alias("n_feats"),
-        s.alias("__s"),
+        sum_micros(F.col("__f")).cast("decimal(28,6)").alias("__s"),
     ).select(
         F.col(id_col), "n_feats",
         F.col("__s").cast("decimal(28,6)").cast("string").alias("dsir_sum"),
