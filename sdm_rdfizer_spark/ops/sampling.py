@@ -385,18 +385,28 @@ def dsir_apply(
         import hashlib
 
         lut = bc.value
-        memo: dict = {}
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        # flatten the whole Arrow batch, factorize (C-level hash table),
+        # hash each DISTINCT feature exactly once, then vectorized
+        # gather + segmented sum — a per-occurrence Python loop measured
+        # ~10 µs/feature (dict memo included); this shape is ~5 µs per
+        # DISTINCT feature plus numpy time
+        lens = np.fromiter((len(a) for a in col), dtype=np.int64,
+                           count=len(col))
+        flat = np.concatenate([np.asarray(a, dtype=object) for a in col])
+        codes, uniques = pd.factorize(flat, sort=False)
+        um = np.empty(len(uniques), dtype=np.int64)
+        for i, u in enumerate(uniques):
+            um[i] = lut[int(hashlib.md5(
+                u.encode()).hexdigest()[:8], 16) % nb]
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        # every row has >= 1 feature (caller filters empty docs), so
+        # reduceat's equal-offset quirk cannot trigger
+        sums = np.add.reduceat(um[codes], offsets)
         out = []
-        for feats_arr in col.tolist():
-            s = 0
-            for f in feats_arr:
-                v = memo.get(f)
-                if v is None:
-                    bkt = int(hashlib.md5(
-                        f.encode()).hexdigest()[:8], 16) % nb
-                    v = int(lut[bkt])
-                    memo[f] = v
-                s += v
+        for s in sums.tolist():
             a = abs(s)
             out.append(f"{'-' if s < 0 else ''}{a // 1_000_000}"
                        f".{a % 1_000_000:06d}")
