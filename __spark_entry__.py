@@ -3006,6 +3006,47 @@ FROM sc
 """
 
 
+def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: per-window rightmost-min k-gram
+    hash selection, entirely in-row — one scan, zero shuffles."""
+    from sdm_rdfizer_spark.ops.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf), kgram=4, window=4)
+
+
+def _winnowing_oracle(k: int = 4, w: int = 4) -> str:
+    return f"""
+WITH wo AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+h AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(array_to_string(words[i+1:i+{k}], ' ')),
+                          1, 8))::UBIGINT::BIGINT
+          FOR i IN range(0, len(words)-{k}+1)] AS hs
+  FROM wo WHERE len(words) >= {k}
+),
+sel AS (
+  SELECT doc_id, hs,
+         list_distinct([
+           j + len(hs[j+1:j+{w}])
+             - list_position(list_reverse(hs[j+1:j+{w}]),
+                             list_min(hs[j+1:j+{w}]))
+           FOR j IN range(0, greatest(len(hs)-{w}, 0)+1)]) AS sels
+  FROM h
+),
+pk AS (
+  SELECT doc_id, len(hs)::BIGINT AS n_kgrams,
+         len(sels)::BIGINT AS n_fingerprints,
+         [hs[p+1] FOR p IN sels] AS picked
+  FROM sel
+)
+SELECT doc_id, n_kgrams, n_fingerprints,
+       list_min(picked)::BIGINT AS fp_min,
+       list_reduce(list_prepend(0::BIGINT, picked),
+                   (a, x) -> xor(a, x))::BIGINT AS fp_xor
+FROM pk
+"""
+
+
 def _q_streaming_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming DSIR: log-ratio model trained once from the batch
     snapshot, document feed scored row-wise (map-literal model, in-row
@@ -4793,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bucketed_index": _q_bucketed_index,
         "dedup_exact_substr_clean": _q_exact_substr_clean,
         "streaming_dsir_weights": _q_streaming_dsir,
+        "text_winnowing": _q_winnowing,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4940,6 +4982,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bucketed_index": _BUCKETED_INDEX_ORACLE,
         "dedup_exact_substr_clean": _exact_substr_clean_oracle(),
         "streaming_dsir_weights": _dsir_oracle(),
+        "text_winnowing": _winnowing_oracle(),
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,

@@ -608,3 +608,65 @@ def corpus_datacard(df: DataFrame, text_col: str = "text",
         base.join(F.broadcast(vocab), source_col)
         .join(F.broadcast(lang_counts), source_col)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    kgram: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every ``kgram``-token window, then in each sliding
+    window of ``window`` consecutive hashes select the minimum (rightmost
+    on ties); the distinct selected positions are the fingerprint set.
+    Winnowing guarantees at least one fingerprint per ``window + kgram - 1``
+    tokens, so any sufficiently long shared run between two documents
+    shares a fingerprint — the local-sampling property plain modulo
+    selection lacks.
+
+    Returns one row per document with >= 1 k-gram:
+    (id, n_kgrams, n_fingerprints, fp_min, fp_xor) — fp_xor is the
+    XOR-fold of the distinct selected hashes (order-independent, so it
+    is a stable per-doc digest for equality joins), fp_min the smallest.
+    Documents shorter than ``kgram`` tokens never appear.
+
+    Scale posture: ENTIRELY in-row (one scan, zero shuffles, zero
+    joins) — hashes, window minima, tie-breaks, and the XOR digest are
+    array expressions over the staged token array; cost per doc is
+    O(tokens * window) with window a small constant. The portable
+    md5-prefix integer hash keeps any engine bit-identical.
+    """
+    k, w = int(kgram), int(window)
+    staged = df.select(F.col(id_col), words(text_col).alias("__w")) \
+               .where(F.size("__w") >= k)
+    n_kg = F.size("__w") - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_kg - 1),
+        lambda i: F.conv(F.substring(
+            F.md5(F.array_join(F.slice("__w", i + 1, k), " ")),
+            1, 8), 16, 10).cast("long"))
+    staged = staged.select(F.col(id_col), hashes.alias("__h"))
+    n = F.size("__h")
+    # per window j: the RIGHTMOST position of the window minimum
+    # (position = j + (len - position of min in the reversed slice))
+    sel = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+        lambda j: j + F.size(F.slice("__h", j + 1, w))
+        - F.array_position(
+            F.reverse(F.slice("__h", j + 1, w)),
+            F.array_min(F.slice("__h", j + 1, w))).cast("int"))
+    staged = staged.select(
+        F.col(id_col), "__h",
+        F.array_distinct(sel).alias("__sel"))
+    picked = F.transform("__sel", lambda p: F.element_at("__h", p + 1))
+    return staged.select(
+        F.col(id_col),
+        F.size("__h").cast("long").alias("n_kgrams"),
+        F.size("__sel").cast("long").alias("n_fingerprints"),
+        F.array_min(picked).cast("long").alias("fp_min"),
+        F.aggregate(picked, F.lit(0).cast("long"),
+                    lambda acc, x: acc.bitwiseXOR(x)).alias("fp_xor"),
+    )

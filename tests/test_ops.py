@@ -2061,3 +2061,25 @@ def test_remove_duplicated_substrings_deletes_all_copies(spark):
     # clean docs come back untouched with zero removed
     assert rows[3]["n_dup_tokens"] == 0
     assert rows[3]["text_cleaned"] == df.where("doc_id=3").first()["text"]
+
+
+def test_winnowing_density_and_shared_run_property(spark):
+    from sdm_rdfizer_spark.ops.text import winnowing_fingerprints
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame([
+        (1, "one two three " + run + " tail words here now"),
+        (2, run + " completely different suffix tokens follow"),
+        (3, "short"),
+    ], "doc_id long, text string")
+    out = winnowing_fingerprints(df, kgram=4, window=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 3 not in rows                      # < kgram tokens
+    for d in (1, 2):
+        r = rows[d]
+        # winnowing guarantee: >= 1 fingerprint per window+kgram-1 tokens
+        assert r["n_fingerprints"] >= r["n_kgrams"] // (4 + 4 - 1)
+        assert 1 <= r["n_fingerprints"] <= r["n_kgrams"]
+    # plan: entirely in-row — no shuffle of any kind
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
