@@ -1755,6 +1755,82 @@ FROM j WHERE round(n_inter / greatest(n_union, 1)::DOUBLE, 6) >= 0.5
 """
 
 
+def _q_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-pipeline quality harness: recall of the LSH->exact-verify
+    pipeline against the exact n-gram Jaccard baseline at the SAME
+    threshold, on a deterministic md5-sampled evaluation set (full
+    corpus when small, ~2000 docs at any scale — the measure-don't-
+    guess counterpart of similarity_recall_eval for the dedup family).
+    Verify prunes candidates with the exact measure, so precision is 1
+    by construction; what banding loses is recall, and this query puts
+    a number on it before anyone trusts bands=4 on 100 TB."""
+    import math
+
+    from sdm_rdfizer_spark.ops.dedup import (
+        jaccard_verify_pairs, minhash_lsh_pairs, ngram_jaccard_pairs)
+    from sdm_rdfizer_spark.ops.sampling import _bucket
+
+    n = _parquet_count(sf, "documents")
+    k = max(1, min(1000, int(math.floor(2_000_000 / n))))
+    docs = _docs(spark, sf).where(_bucket("doc_id") < k)
+    exact = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5,
+                                allow_quadratic=True) \
+        .select("id_a", "id_b")
+    pipe = jaccard_verify_pairs(
+        docs, minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3),
+        shingle_n=3, threshold=0.5, min_shared_bands=1,
+    ).select("id_a", "id_b", F.lit(1).alias("__m"))
+    joined = exact.join(pipe, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("__m", F.lit(0))).cast("long").alias("n_hit"),
+    ).crossJoin(pipe.agg(F.count(F.lit(1)).cast("long").alias("n_pipeline"))) \
+     .select(
+        "n_exact", "n_pipeline", "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6)
+        .alias("recall"))
+
+
+def _lsh_recall_oracle() -> str:
+    import re
+
+    # rebind the inner oracles' `documents` references to the sampled
+    # CTE (a CTE literally named `documents` would be a circular
+    # reference — DuckDB CTE scope covers the whole WITH clause)
+    exact = re.sub(r"\bdocuments\b", "__docs_s", _NGRAM_JACCARD_ORACLE)
+    verify = re.sub(r"\bdocuments\b", "__docs_s",
+                    _jaccard_verify_oracle(min_shared_bands=1,
+                                           cap=1_000_000_000))
+    return f"""
+WITH __docs_base AS (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            % 1000 AS __bkt
+  FROM documents
+), __kv AS (
+  SELECT greatest(1, least(1000,
+         CAST(floor(2000000.0 / count(*)) AS BIGINT))) AS k
+  FROM __docs_base
+), __docs_s AS (
+  SELECT __docs_base.* EXCLUDE (__bkt) FROM __docs_base, __kv
+  WHERE __bkt < __kv.k
+), e AS (
+  SELECT id_a, id_b FROM ({exact})
+  WHERE jaccard >= 0.5
+), p AS (
+  SELECT id_a, id_b FROM ({verify})
+), hit AS (
+  SELECT e.id_a, CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS m
+  FROM e LEFT JOIN p USING (id_a, id_b)
+)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_exact,
+       (SELECT count(*) FROM p)::BIGINT AS n_pipeline,
+       coalesce(sum(m), 0)::BIGINT AS n_hit,
+       round(coalesce(sum(m), 0)
+             / greatest((SELECT count(*) FROM e), 1)::DOUBLE, 6) AS recall
+FROM hit
+"""
+
+
 def _q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus similarity join (entity resolution / "is this
     candidate already in the curated set"): the documents table split by
@@ -4835,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substr_clean": _q_exact_substr_clean,
         "streaming_dsir_weights": _q_streaming_dsir,
         "text_winnowing": _q_winnowing,
+        "dedup_lsh_recall": _q_lsh_recall,
         "text_repetition": _q_text_repetition,
         "text_language_id": _q_language_id,
         "similarity_topk_cosine": _q_similarity_topk,
@@ -4983,6 +5060,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_substr_clean": _exact_substr_clean_oracle(),
         "streaming_dsir_weights": _dsir_oracle(),
         "text_winnowing": _winnowing_oracle(),
+        "dedup_lsh_recall": _lsh_recall_oracle(),
         "text_pii_scrub": _pii_scrub_oracle(),
         "text_quality_filter": _quality_filter_oracle(),
         "text_vocabulary": _VOCABULARY_ORACLE,
