@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -324,6 +325,15 @@ class MappingPlanner:
         self._parent_broadcast: dict[tuple, bool] = {}
         self._parent_plain: dict[tuple, DataFrame] = {}
         self._fuse_counter = 0
+        # compile_all compiles TriplesMaps from a small thread pool (the
+        # compile phase is dominated by py4j round-trip LATENCY — one
+        # socket round trip per Column operation — so independent TMs
+        # overlap almost perfectly; a 10-TM GTFS mapping measured ~4 s
+        # serial vs ~1 s pooled). This RLock serializes every touch of
+        # the shared caches above so concurrent TMs can't build the same
+        # scan/parent subplan twice (the shared-subplan design is what
+        # the plan census and the persist() reuse depend on).
+        self._compile_lock = threading.RLock()
         self._count_parent_refs()
 
     # ------------------------------------------------------------------
@@ -363,6 +373,10 @@ class MappingPlanner:
         return sorted({r for r in refs if r and r.startswith("..")})
 
     def scan(self, tm: TriplesMap) -> DataFrame:
+        with self._compile_lock:
+            return self._scan_locked(tm)
+
+    def _scan_locked(self, tm: TriplesMap) -> DataFrame:
         key = tm.source.cache_key()
         if key not in self._scan_cache:
             ls = tm.source
@@ -527,10 +541,25 @@ class MappingPlanner:
         (semantify.py:212-265) are unnecessary because the shuffle spills.
         """
         asserted = [tm for tm in self.tms if tm.kind != "NonAssertedTriplesMap"]
+        if len(asserted) > 1:
+            # Compile TMs from a thread pool: building Column trees is
+            # one py4j socket round trip PER OPERATION, so a multi-TM
+            # compile is ~75% driver-side socket wait (profiled: 14k
+            # round trips, 3 s, for a 10-TM mapping). Independent TMs
+            # overlap that latency; the planner's shared caches are
+            # serialized behind _compile_lock, so every shared subplan
+            # (scans, parent pairs/groups, probes) is still built
+            # exactly once and the emitted plan is the same as the
+            # serial compile's. Order is preserved by pool.map.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(asserted))) as pool:
+                compiled = list(pool.map(self.compile_tm, asserted))
+        else:
+            compiled = [self.compile_tm(tm) for tm in asserted]
         parts_by_tm = [
-            (tm, part)
-            for tm in asserted
-            for part in [self.compile_tm(tm)]
+            (tm, part) for tm, part in zip(asserted, compiled)
             if part is not None
         ]
         parts = [p for _, p in parts_by_tm]
@@ -1400,6 +1429,11 @@ class MappingPlanner:
         items — ONE collect_set shuffle with map-side partial aggregation,
         instead of dropDuplicates + groupBy (two shuffles back to back,
         plan-audit r2). Cached per (parentTM, keys) like _parent_pairs."""
+        with self._compile_lock:
+            return self._parent_groups_locked(parent_tm, parent_keys)
+
+    def _parent_groups_locked(self, parent_tm: TriplesMap,
+                              parent_keys: tuple) -> DataFrame:
         cache_key = ("groups", parent_tm.tm_id, parent_keys)
         if cache_key in self._parent_cache:
             return self._parent_cache[cache_key]
@@ -1464,8 +1498,9 @@ class MappingPlanner:
             # Row multiplicity is preserved, so other POMs are unaffected;
             # an unmatched or NULL-ish child key just yields a NULL parent
             # subject, which the per-entry validity drops.
-            self._fuse_counter += 1
-            tag = self._fuse_counter
+            with self._compile_lock:
+                self._fuse_counter += 1
+                tag = self._fuse_counter
 
             def fuse(base_df: DataFrame):
                 renamed = pairs.select(
@@ -1667,6 +1702,10 @@ class MappingPlanner:
         preserves row multiplicity under any join strategy, so a unique
         parent above the hint threshold still fuses and AQE picks
         broadcast vs shuffle from runtime sizes."""
+        with self._compile_lock:
+            return self._parent_key_unique_locked(parent_tm, parent_keys)
+
+    def _parent_key_unique_locked(self, parent_tm, parent_keys) -> bool:
         cache_key = (parent_tm.tm_id, parent_keys)
         if cache_key not in self._parent_unique:
             self._parent_pairs(parent_tm, cache_key[1])
@@ -1844,6 +1883,11 @@ class MappingPlanner:
         analogue of the reference's ``hash_maker`` join table
         (semantify.py:523-931), cached per (parentTM, keys) and persisted
         when probed by more than one join."""
+        with self._compile_lock:
+            return self._parent_pairs_locked(parent_tm, parent_keys)
+
+    def _parent_pairs_locked(self, parent_tm: TriplesMap,
+                             parent_keys: tuple) -> DataFrame:
         cache_key = (parent_tm.tm_id, parent_keys)
         if cache_key in self._parent_cache:
             return self._parent_cache[cache_key]

@@ -105,17 +105,19 @@ class StreamingMappingPlanner(MappingPlanner):
 
     def scan(self, tm: TriplesMap) -> DataFrame:
         key = ("stream",) + tm.source.cache_key()
-        if key not in self._scan_cache:
-            self._scan_cache[key] = stream_scan(self.spark, tm.source)
-        return self._scan_cache[key]
+        with self._compile_lock:   # compile_all's TM thread pool
+            if key not in self._scan_cache:
+                self._scan_cache[key] = stream_scan(self.spark, tm.source)
+            return self._scan_cache[key]
 
     def parent_scan(self, tm: TriplesMap) -> DataFrame:
         # build sides stay batch: stream-static join, no state on the
         # parent, and the planner's broadcast/persist logic still applies
         key = tm.source.cache_key()
-        if key not in self._scan_cache:
-            self._scan_cache[key] = read_source(self.spark, tm.source)
-        return self._scan_cache[key]
+        with self._compile_lock:
+            if key not in self._scan_cache:
+                self._scan_cache[key] = read_source(self.spark, tm.source)
+            return self._scan_cache[key]
 
 
 def materialize_stream(
