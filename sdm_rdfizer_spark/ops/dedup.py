@@ -185,6 +185,76 @@ def shingle_fingerprints(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), sh_arr.alias("__sh")))
 
 
+def minhash_doc_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-pass per-document LSH index row ``(id, __sh, __bands)``:
+    the xxhash64 shingle fingerprints (``shingle_fingerprints``) plus
+    the banded MinHash hashes (``minhash_signatures`` + ``_banded``),
+    computed ENTIRELY IN-ROW — no explode, no aggregation shuffle.
+
+    Provably equal to the explode+groupBy composition:
+
+    * the shingle string multiset is the same per-position
+      ``array_join(slice(__w, i+1, n))`` stream ``shingle_rows``
+      explodes (empty doc → one ``""`` shingle, NULL doc → one NULL
+      shingle — identical edges);
+    * per seed, ``array_min`` over ``md5(seed| · )`` of that multiset
+      equals the groupBy ``min()`` over its exploded rows (same strings,
+      same binary UTF8 ordering, min is multiset-insensitive);
+    * band hashes combine the same ``mh{i}`` values in the same order
+      as ``_banded`` (``md5(concat_ws('|', …))``; an all-NULL signature
+      — NULL text — yields ``md5('')`` bands in both paths because
+      ``min(NULL)=NULL`` and ``concat_ws`` skips NULLs);
+    * ``__sh`` is ``array_distinct`` of ``xxhash64`` over the same
+      multiset — exactly ``shingle_fingerprints``.
+
+    The streaming LSH→verify pipeline uses this as its per-micro-batch
+    index build: one row-wise projection replaces three separate
+    passes (signature groupBy, band explode, fingerprint projection),
+    which at one-trigger granularity is the difference between one
+    materialization job and three. The batch corpus-scale pipelines
+    keep the codegen explode path (HOF lambdas are interpreted — see
+    ``shingles``); at micro-batch sizes latency is job-count-bound, not
+    CPU-bound, so in-row wins. ``__bands`` is ``array<struct<band,bh>>``
+    — ``explode`` yields exactly the ``_banded`` frame."""
+    rows_per_band = num_hashes // bands
+    staged = (df.select(F.col(id_col), words(text_col).alias("__w"))
+              .select(
+                  F.col(id_col),
+                  F.transform(
+                      F.sequence(F.lit(0),
+                                 F.greatest(F.size("__w") - shingle_n,
+                                            F.lit(0))),
+                      lambda i: F.array_join(
+                          F.slice("__w", i + 1, shingle_n), " "),
+                  ).alias("__shs")))
+    def _mh(seed: int):
+        # one-arg lambda on purpose: a two-arg transform lambda receives
+        # (element, array-index) and the index would shadow the seed
+        return F.array_min(F.transform(
+            "__shs", lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))))
+
+    mh = [_mh(i) for i in range(num_hashes)]
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "|", *mh[b * rows_per_band:(b + 1) * rows_per_band]))
+            .alias("bh"))
+        for b in range(bands)
+    ])
+    fp = F.array_distinct(F.transform("__shs", lambda s: F.xxhash64(s)))
+    return staged.select(F.col(id_col), fp.alias("__sh"),
+                         band_arr.alias("__bands"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -773,7 +843,16 @@ def cap_candidates_per_doc(
     if log_drops or drop_sink is not None:
         import logging
 
-        n_before, n_after = pairs.count(), capped.count()
+        # one action for both counts (both frames are checkpointed, so
+        # this union-aggregate scans two in-memory block sets): the
+        # streaming verify calls this once per trigger, where every
+        # extra driver action is a fixed latency tax
+        row = (pairs.select(F.lit(1).alias("__w"))
+               .unionAll(capped.select(F.lit(2).alias("__w")))
+               .agg(F.count(F.when(F.col("__w") == 1, 1)).alias("nb"),
+                    F.count(F.when(F.col("__w") == 2, 1)).alias("na"))
+               .first())
+        n_before, n_after = row["nb"], row["na"]
         dropped = n_before - n_after
         if drop_sink is not None:
             # callers that must know whether the cap BOUND (e.g. the

@@ -542,10 +542,12 @@ def stream_minhash_verify(
     micro-batch mode — the batch ``minhash_lsh_pairs`` →
     ``jaccard_verify_pairs`` contract end-to-end over a document stream.
 
-    foreachBatch keeps an append-only on-disk index: (doc_id, band, bh)
-    band rows plus the per-doc xxhash64 shingle-fingerprint arrays
-    (``shingle_fingerprints`` — the SAME definition the batch verify
-    uses, so both paths intersect identical arrays). Per micro-batch:
+    foreachBatch keeps ONE append-only on-disk doc-grain index
+    ``(doc_id, __sh, __bands)`` built by ``minhash_doc_index`` — whose
+    fingerprints and band hashes are PROVABLY equal to the batch
+    ``shingle_fingerprints`` / ``minhash_signatures``+``_banded``
+    definitions (see its docstring), so both paths intersect identical
+    arrays and join identical band keys. Per micro-batch:
 
     * candidates = new×index (ids disjoint by construction: a doc is
       indexed only after its arrival batch) ∪ new×new (id_a < id_b),
@@ -584,8 +586,7 @@ def stream_minhash_verify(
     import tempfile
 
     from ..engine import tune_session
-    from ..ops.dedup import (_banded, cap_candidates_per_doc,
-                             minhash_signatures, shingle_fingerprints)
+    from ..ops.dedup import cap_candidates_per_doc, minhash_doc_index
 
     tune_session(spark)
     # content-keyed reusable work dir (advisor r9: a mkdtemp per call
@@ -606,13 +607,14 @@ def stream_minhash_verify(
                                 "sdm_stream_mhv_" + key)
     wd = work_dir
     in_dir = os.path.join(wd, "input")
-    idx_bands = os.path.join(wd, "index_bands")
-    idx_fp = os.path.join(wd, "index_fp")
+    idx_dir = os.path.join(wd, "index")
     out_dir = os.path.join(wd, "pairs")
-    # per-run state (indexes, sink, stream checkpoint) must start empty;
+    # per-run state (index, sink, stream checkpoint) must start empty;
     # the checkpoint especially — availableNow would otherwise resume a
-    # finished run and process nothing
-    for d in (idx_bands, idx_fp, out_dir, os.path.join(wd, "ckpt")):
+    # finished run and process nothing (index_bands/index_fp are the
+    # pre-r10 split-index dirs, cleared for hygiene on reused work dirs)
+    for d in (idx_dir, out_dir, os.path.join(wd, "ckpt"),
+              os.path.join(wd, "index_bands"), os.path.join(wd, "index_fp")):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -638,18 +640,32 @@ def stream_minhash_verify(
         shutil.rmtree(path)
         os.rename(tmp, path)
 
+    def _bands_view(doc_idx: DataFrame) -> DataFrame:
+        """(doc_id, band, bh) view of a doc-grain index frame — explode
+        of the stored band array, exactly the ``_banded`` frame (the
+        ``minhash_doc_index`` equality proof)."""
+        return doc_idx.select(
+            "doc_id", F.explode("__bands").alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"),
+            F.col("b.bh").alias("bh"))
+
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         t0 = time.time()
-        # one file per trigger = one read task; spread the shingle work
-        b = batch_df.repartition(par).localCheckpoint(eager=True)
-        sig = minhash_signatures(b, "text", "doc_id",
-                                 num_hashes=num_hashes, shingle_n=shingle_n)
-        new_bands = (_banded(sig, "doc_id", num_hashes, bands)
-                     .localCheckpoint(eager=True))
-        new_fp = (shingle_fingerprints(b, "text", "doc_id",
-                                       shingle_n=shingle_n)
+        # ONE row-wise projection builds fingerprints + band hashes for
+        # the batch (minhash_doc_index — provably equal to the batch
+        # signature-groupBy + band-explode + fingerprint passes), and
+        # ONE eager checkpoint materializes it: micro-batch latency here
+        # is JOB-COUNT-bound, not CPU-bound, and this replaces the three
+        # checkpoints (batch, bands, fingerprints) the r9 pipeline paid
+        # per trigger. The repartition spreads the one-file trigger read
+        # across cores before the hash work.
+        staged = (minhash_doc_index(batch_df.repartition(par),
+                                    "text", "doc_id",
+                                    num_hashes=num_hashes, bands=bands,
+                                    shingle_n=shingle_n)
                   .localCheckpoint(eager=True))
-        have_index = os.path.exists(os.path.join(idx_bands, "_SUCCESS"))
+        have_index = os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
+        new_bands = _bands_view(staged)
         left = new_bands.alias("l")
         r_new = new_bands.alias("r")
         cand = (left.join(
@@ -659,16 +675,22 @@ def stream_minhash_verify(
             & (F.col("l.doc_id") < F.col("r.doc_id")))
             .select(F.col("l.doc_id").alias("id_a"),
                     F.col("r.doc_id").alias("id_b")))
-        fp = new_fp
+        fp = staged.select("doc_id", "__sh")
         if have_index:
-            r_old = spark.read.parquet(idx_bands).alias("r")
+            # ONE doc-grain index table serves both the band join and
+            # the fingerprint attach (the r9 pipeline kept two parallel
+            # index tables = two appends + two reads per trigger);
+            # parquet column pruning keeps each view's read to its own
+            # columns
+            idx = spark.read.parquet(idx_dir)
+            r_old = _bands_view(idx).alias("r")
             cand = cand.unionByName(
                 left.join(r_old,
                           (F.col("l.band") == F.col("r.band"))
                           & (F.col("l.bh") == F.col("r.bh")))
                 .select(F.least("l.doc_id", "r.doc_id").alias("id_a"),
                         F.greatest("l.doc_id", "r.doc_id").alias("id_b")))
-            fp = fp.unionByName(spark.read.parquet(idx_fp))
+            fp = fp.unionByName(idx.select("doc_id", "__sh"))
         pairs = (cand.groupBy("id_a", "id_b")
                  .agg(F.count(F.lit(1)).alias("n_shared_bands"))
                  .where(F.col("n_shared_bands") >= min_shared_bands)
@@ -689,8 +711,7 @@ def stream_minhash_verify(
         (joined.select("id_a", "id_b", jac.alias("jaccard"))
          .where(F.col("jaccard") >= threshold)
          .write.mode("append").parquet(out_dir))
-        new_bands.write.mode("append").parquet(idx_bands)
-        new_fp.write.mode("append").parquet(idx_fp)
+        staged.write.mode("append").parquet(idx_dir)
         if (compact_every_batches
                 and (_batch_id + 1) % compact_every_batches == 0
                 and (_batch_id + 1) < n_input_files):
@@ -698,8 +719,7 @@ def stream_minhash_verify(
             # index is not read again before the query returns, so the
             # rewrite would be pure wasted work (the staged input is
             # exactly n_input_files files at one file per trigger)
-            _compact(idx_bands)
-            _compact(idx_fp)
+            _compact(idx_dir)
         if trigger_seconds is not None:
             trigger_seconds.append(round(time.time() - t0, 3))
 

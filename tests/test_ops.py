@@ -2083,3 +2083,36 @@ def test_winnowing_density_and_shared_run_property(spark):
     # plan: entirely in-row — no shuffle of any kind
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_doc_index_equals_batch_composition(spark):
+    """The row-wise per-doc LSH index (r10 streaming-verify optimization)
+    must equal the explode+groupBy composition EXACTLY — band rows vs
+    minhash_signatures+_banded, fingerprints vs shingle_fingerprints —
+    including the NULL/empty/whitespace document edges (NULL text yields
+    md5('') bands and the xxhash64 seed fingerprint in both paths)."""
+    from sdm_rdfizer_spark.ops.dedup import (
+        _banded, minhash_doc_index, minhash_signatures,
+        shingle_fingerprints)
+
+    df = spark.createDataFrame([
+        (1, None), (2, ""), (3, "   "),
+        (4, "one two"), (5, "a b c d e f"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "the quick brown fox jumps over the lazy dog"),
+    ], "doc_id long, text string")
+    idx = minhash_doc_index(df, num_hashes=16, bands=4, shingle_n=3)
+    new_bands = idx.select("doc_id", F.explode("__bands").alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    old_bands = _banded(minhash_signatures(df, num_hashes=16, shingle_n=3),
+                        "doc_id", 16, 4)
+    assert new_bands.exceptAll(old_bands).count() == 0
+    assert old_bands.exceptAll(new_bands).count() == 0
+    a = idx.select("doc_id", F.array_sort("__sh").alias("s"))
+    b = shingle_fingerprints(df).select(
+        "doc_id", F.array_sort("__sh").alias("s"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # in-row by construction: no Exchange anywhere in the plan
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
