@@ -3040,8 +3040,11 @@ def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     from sdm_rdfizer_spark.ops.sampling import dsir_importance_weights
 
     docs = _docs(spark, sf)
+    # target_cond (r10): the en-target counts ride the single corpus
+    # explode instead of paying their own pass — identical counts
     return dsir_importance_weights(
-        docs, docs.where(F.col("lang") == "en"), n_buckets=4096)
+        docs, docs, n_buckets=4096,
+        target_cond=F.col("lang") == "en")
 
 
 def _dsir_oracle(n_buckets: int = 4096) -> str:

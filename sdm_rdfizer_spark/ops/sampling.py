@@ -200,13 +200,17 @@ def token_budget_sample(
 
 
 def _hashed_ngram_stream(df: DataFrame, text_col: str, id_col: str,
-                         n_buckets: int) -> DataFrame:
+                         n_buckets: int,
+                         carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-occurrence hashed-feature stream (id, b): word unigrams +
     bigrams hashed into ``n_buckets`` via the portable md5-prefix
     integer (same trick as simhash — identical in any engine).
-    Documents with no tokens contribute no rows."""
+    Documents with no tokens contribute no rows. ``carry_cols`` thread
+    per-document payload columns (functionally dependent on the id)
+    through the explode."""
     from .text import words
 
+    carry = [F.col(c) for c in carry_cols]
     w = F.col("__w")
     bigrams = F.when(
         F.size(w) >= 2,
@@ -215,10 +219,10 @@ def _hashed_ngram_stream(df: DataFrame, text_col: str, id_col: str,
                    lambda a, b: F.concat_ws(" ", a, b)),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), words(text_col).alias("__w"))
-        .select(F.col(id_col),
+        df.select(F.col(id_col), *carry, words(text_col).alias("__w"))
+        .select(F.col(id_col), *carry,
                 F.explode(F.concat(w, bigrams)).alias("f"))
-        .select(F.col(id_col),
+        .select(F.col(id_col), *carry,
                 (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10)
                  .cast("long") % n_buckets).alias("b"))
     )
@@ -231,6 +235,7 @@ def dsir_importance_weights(
     id_col: str = "doc_id",
     *,
     n_buckets: int = 4096,
+    target_cond: Column | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw-corpus
@@ -256,15 +261,39 @@ def dsir_importance_weights(
     decimal sum. Determinism: per-bucket log-ratios are rounded to a
     1e-6 grid and carried as DECIMAL(18,6); the per-doc sum is exact
     decimal arithmetic, independent of partitioning and fold order.
+
+    ``target_cond``: when the target is a row FILTER of the corpus
+    (the standard "target-language subset" recipe), pass the predicate
+    here instead of a separate ``target`` frame — the target bucket
+    counts then ride the per-doc aggregation the raw distribution
+    already pays (one boolean carried through the single explode),
+    removing the target's own explode+shuffle pass entirely. At 100 TB
+    that is a full corpus-subset scan saved per model build; the
+    counts are identical by construction (same occurrence multiset,
+    summed under the same predicate). ``target`` is ignored when
+    ``target_cond`` is given.
     """
-    per_doc = (
-        _hashed_ngram_stream(corpus, text_col, id_col, n_buckets)
-        .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+    if target_cond is not None:
+        per_doc = (
+            _hashed_ngram_stream(
+                corpus.withColumn("__tgt", target_cond.cast("boolean")),
+                text_col, id_col, n_buckets, carry_cols=("__tgt",))
+            .groupBy(id_col, "__tgt", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        tgt = (per_doc.where(F.col("__tgt"))
+               .groupBy("b").agg(F.sum("c").alias("ct")))
+        per_doc = per_doc.drop("__tgt")
+    else:
+        per_doc = (
+            _hashed_ngram_stream(corpus, text_col, id_col, n_buckets)
+            .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        tgt = (_hashed_ngram_stream(target, text_col, id_col, n_buckets)
+               .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
     raw = per_doc.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgt = (_hashed_ngram_stream(target, text_col, id_col, n_buckets)
-           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
     totals = raw.crossJoin(tgt.agg(F.sum("ct").alias("__tt"))) \
         .agg(F.sum("cr").alias("__tr"), F.first("__tt").alias("__tt"))
     lr = (
@@ -300,19 +329,44 @@ def dsir_model(
     id_col: str = "doc_id",
     *,
     n_buckets: int = 4096,
+    target_cond: Column | None = None,
 ) -> tuple[list[tuple[int, object]], object]:
     """The train half of DSIR factored out for online application:
     returns ([(bucket, log_ratio_decimal)...], floor_decimal) — at most
     ``n_buckets`` rows collected (the model, not the data; same bounded-
     collect contract as IVF centroids / PQ codebooks). ``floor`` is the
     smoothed log-ratio of a bucket unseen in BOTH distributions, for
-    scoring feeds that stray outside the training corpus."""
+    scoring feeds that stray outside the training corpus.
+
+    ``target_cond`` (see ``dsir_importance_weights``): a corpus row
+    predicate that replaces the separate ``target`` frame — ONE
+    explode+aggregation computes both distributions (target counts =
+    conditional sums on the same occurrence stream), halving the
+    training passes."""
     from decimal import Decimal
 
-    per_occ = _hashed_ngram_stream(corpus, text_col, id_col, n_buckets)
-    raw = per_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (_hashed_ngram_stream(target, text_col, id_col, n_buckets)
-           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    if target_cond is not None:
+        # checkpoint the (<= n_buckets row) aggregate: raw, tgt AND the
+        # totals cross-join all read it, and Catalyst does not share
+        # common subplans across join branches — without the barrier
+        # the corpus explode would run once per reference
+        both = (_hashed_ngram_stream(
+                    corpus.withColumn("__tgt", target_cond.cast("boolean")),
+                    text_col, id_col, n_buckets, carry_cols=("__tgt",))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("cr"),
+                     F.count(F.when(F.col("__tgt"), 1)).alias("ct0"))
+                .localCheckpoint())
+        raw = both.select("b", "cr")
+        # NULL when the bucket never occurs in the target — matches the
+        # left join's absent-row coalesce below
+        tgt = (both.where(F.col("ct0") > 0)
+               .select("b", F.col("ct0").alias("ct")))
+    else:
+        per_occ = _hashed_ngram_stream(corpus, text_col, id_col, n_buckets)
+        raw = per_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+        tgt = (_hashed_ngram_stream(target, text_col, id_col, n_buckets)
+               .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
     totals = raw.crossJoin(tgt.agg(F.sum("ct").alias("__tt"))) \
         .agg(F.sum("cr").alias("__tr"), F.first("__tt").alias("__tt"))
     lr_rows = (

@@ -813,9 +813,11 @@ def stream_dsir_weights(
     tune_session(spark)
     path = os.path.join(sf_dir, "documents.parquet")
     batch = spark.read.parquet(path)
+    # target_cond: one explode computes both distributions (the target
+    # counts are conditional sums on the same occurrence stream)
     model, floor = dsir_model(
-        batch, batch.where(F.col("lang") == target_lang),
-        n_buckets=n_buckets)
+        batch, batch, n_buckets=n_buckets,
+        target_cond=F.col("lang") == target_lang)
     raw_schema = batch.schema
     glob = path
     if os.path.isfile(path):

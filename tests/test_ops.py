@@ -2116,3 +2116,28 @@ def test_minhash_doc_index_equals_batch_composition(spark):
     # in-row by construction: no Exchange anywhere in the plan
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dsir_target_cond_equals_two_frame_path(spark):
+    """The one-pass target_cond recipe (r10: target counts ride the
+    corpus explode) must equal the two-frame path exactly — weights,
+    model rows and floor — since both count the same occurrence
+    multiset under the same predicate."""
+    from sdm_rdfizer_spark.ops.sampling import (dsir_importance_weights,
+                                                dsir_model)
+
+    df = spark.createDataFrame([
+        (1, "the quick brown fox", "en"),
+        (2, "le renard brun rapide", "fr"),
+        (3, "the lazy dog sleeps", "en"),
+        (4, "der schnelle braune fuchs", "de"),
+        (5, "", "en"),
+    ], "doc_id long, text string, lang string")
+    cond = F.col("lang") == "en"
+    two = dsir_importance_weights(df, df.where(cond), n_buckets=64)
+    one = dsir_importance_weights(df, df, n_buckets=64, target_cond=cond)
+    assert one.exceptAll(two).count() == 0
+    assert two.exceptAll(one).count() == 0
+    m2, f2 = dsir_model(df, df.where(cond), n_buckets=64)
+    m1, f1 = dsir_model(df, df, n_buckets=64, target_cond=cond)
+    assert sorted(m1) == sorted(m2) and f1 == f2
