@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._exprs import lit_array
+
 from .text import words
 
 
@@ -1024,7 +1026,7 @@ def embedding_neardup_pairs(
         dim = len(df.select(vec_col).first()[0])
         planes = random_hyperplanes(dim, n_planes, seed)
         projs = [
-            _dot(F.col("__v"), F.array(*[F.lit(x) for x in p]))
+            _dot(F.col("__v"), lit_array(p))
             for p in planes
         ]
         if center:
@@ -1895,7 +1897,7 @@ def bloom_build(benchmark: DataFrame, text_col: str = "text", *,
         .select(F.explode(sh).alias("shingle"))
         .dropDuplicates()
     )
-    seeds = F.array(*[F.lit(j) for j in range(k_hashes)])
+    seeds = lit_array(range(k_hashes), "INT")
     pos = (
         F.conv(F.substring(
             F.md5(F.concat(F.col("__j").cast("string"), F.lit("|"),

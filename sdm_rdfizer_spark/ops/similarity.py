@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ._exprs import lit_array
 from pyspark.sql.window import Window
 
 
@@ -276,7 +278,7 @@ def lsh_bucket_topk(
         # _centroid_dots instead.
         bits = []
         for p in planes:
-            plane = F.array(*[F.lit(x) for x in p])
+            plane = lit_array(p)
             bits.append(F.when(_dot(vec, plane) >= 0,
                                F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
@@ -739,7 +741,7 @@ def pq_encode(
         for cid, cvec in codebook:
             cw = cvec[j * d_sub:(j + 1) * d_sub]
             dist = F.aggregate(
-                F.zip_with(sub, F.array(*[F.lit(x) for x in cw]),
+                F.zip_with(sub, lit_array(cw),
                            lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0), lambda acc, v: acc + v)
             cands.append(F.struct(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._exprs import lit_array
+
 # A small, fixed stopword inventory per language — enough for a
 # ratio-feature and an n-gram-free language-ID heuristic.
 STOPWORDS = {
@@ -59,7 +61,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(w)
     n_chars = F.length(F.col(text_col))
     n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
-    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw = lit_array(STOPWORDS["en"], "STRING")
     n_stop = F.size(F.filter(F.transform(w, F.lower), lambda x: F.array_contains(sw, x)))
     avg_word_len = F.when(n_words > 0, F.round((n_chars - n_words + 1) / n_words, 4)).otherwise(F.lit(0.0))
     return df.select(
@@ -82,7 +84,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     w = F.transform(words(text_col), F.lower)
 
     def _hits(lang: str):
-        sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        sw = lit_array(STOPWORDS[lang], "STRING")
         # NB: the lambda must be unary — PySpark binds a second parameter
         # to the element index.
         return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
@@ -252,7 +254,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     punct_ratio = F.round(
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
         / F.greatest(n_chars, F.lit(1)), 6)
-    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw = lit_array(STOPWORDS["en"], "STRING")
     stop_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
     dup_word_frac = F.when(
         n > 0, F.round(1 - F.size(F.array_distinct(w)) / n, 6)).otherwise(0.0)
