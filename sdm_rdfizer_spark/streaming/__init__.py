@@ -167,7 +167,26 @@ def run_available_now(
     batch plan's output — used by tests and the driver contract. For a
     real deployment use ``sdf.writeStream.format("parquet")`` (or a
     Kafka/Delta sink) with a durable checkpoint location instead.
+
+    State partitioning: stateful streaming operators ignore AQE — the
+    state store is physically partitioned by ``spark.sql.shuffle.
+    partitions`` AT QUERY START, forever. The batch-oriented session
+    default (2×cores, sized so AQE has room to coalesce) is wrong
+    here: every state partition is a task per trigger carrying its own
+    state-store instance (and, for applyInPandasWithState, a Python
+    worker), so 2×cores schedules two full task waves of fixed
+    overhead per trigger (A/B at sf0.1: sessionize drain 5.9–9.8 s at
+    64 partitions vs 3.9 s at 32 on 32 cores). The drain therefore
+    pins shuffle partitions to ``defaultParallelism`` (one state
+    partition per core — scale-adaptive, no constant) for the
+    query's lifetime and restores the session value afterwards.
+    ``SDM_STREAM_STATE_PARTITIONS`` overrides for production jobs
+    whose key volume wants more state shards than cores.
     """
+    spark = sdf.sparkSession
+    state_parts = os.environ.get("SDM_STREAM_STATE_PARTITIONS") or str(
+        spark.sparkContext.defaultParallelism)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -176,9 +195,14 @@ def run_available_now(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def windowed_event_stats(
