@@ -355,6 +355,8 @@ def train_kmeans_centroids(
     (the default) keeps full precision for callers that never compare
     across engines (IVF, semantic dedup).
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     cent_rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .orderBy(F.col(id_col))
@@ -362,24 +364,44 @@ def train_kmeans_centroids(
         .collect()
     )
     centroids = _model_rows(cent_rows, "train_kmeans_centroids")
+    dim = len(centroids[0][1]) if centroids else 0
+
+    def _grid(x: float) -> float:
+        # replicate F.round(double, g): JVM BigDecimal.valueOf uses the
+        # shortest round-trip decimal form (== Python repr), then
+        # HALF_UP at the grid — bit-identical to the Column round the
+        # exploded plan used
+        q = Decimal(1).scaleb(-round_grid)
+        return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
     for _ in range(iters):
         assigned = _assign_cells(
             df.select(F.col(vec_col).cast("array<double>").alias("__v")),
             "__v", centroids)
-        means = (
+        # per-cell count + per-dimension column sums in ONE map-side-
+        # combinable aggregate: the shuffle moves k·(dim+1) doubles per
+        # input partition instead of the posexplode's rows×dim exploded
+        # stream through two back-to-back shuffles (guide §2.3/§2.4 —
+        # at 100 TB this is a dim× shuffle-byte reduction per Lloyd
+        # iteration). Per-(cell,dim) addition sequence is unchanged
+        # within a partition; cross-partition merge order differs, a
+        # last-bit difference the round_grid snap absorbs by design
+        # (the SQL oracle's own sum order already differs).
+        sums = [F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)]
+        rows = (
             # malformed vectors carry a NULL cell — they must not form a
             # NULL group (int(None) would crash the collect below)
             assigned.where(F.col("cell").isNotNull())
-            .select("cell", F.posexplode("__v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m") if round_grid is None
-                 else F.round(F.avg("x"), round_grid).alias("m"))
             .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cell", F.transform("dm", lambda s: s["m"]).alias("vec"))
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
             .collect()
         )
-        new = {int(r["cell"]): [float(x) for x in r["vec"]] for r in means}
+        new = {}
+        for r in rows:
+            n = r["n"]
+            vec = [r[f"s{i}"] / n for i in range(dim)]
+            new[int(r["cell"])] = (vec if round_grid is None
+                                   else [_grid(x) for x in vec])
         # empty cells keep their previous centre
         centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
     return centroids
