@@ -560,6 +560,7 @@ def stream_minhash_verify(
     expect_cap_nonbinding: bool = True,
     compact_every_batches: int = 8,
     trigger_seconds: list | None = None,
+    aqe_in_batch: bool = False,
 ) -> DataFrame:
     """Streaming BOUNDED near-dup pipeline (judge r8 stretch #7): LSH
     banding candidates → capped exact-Jaccard verify, incrementally in
@@ -652,17 +653,25 @@ def stream_minhash_verify(
            .option("maxFilesPerTrigger", 1).parquet(in_dir))
     par = spark.sparkContext.defaultParallelism
     cap_drops: list[int] = []
+    # live index segments: one parquet dir per processed batch, replaced
+    # by a single compacted dir every compact_every_batches triggers.
+    # foreachBatch calls are serialized, so the list needs no lock.
+    index_paths: list[str] = []
 
-    def _compact(path: str) -> None:
-        """Rewrite an append-accreted parquet index to ≤ par files.
-        foreachBatch calls are serialized, so the swap (write tmp →
-        drop old → rename) cannot race a concurrent reader."""
-        df = spark.read.parquet(path)
-        tmp = path + ".compact"
+    def _compact() -> None:
+        """Rewrite the accreted index segments into ONE ≤ par/4-file
+        dir. foreachBatch calls are serialized, so the swap cannot race
+        a concurrent reader."""
+        df = spark.read.parquet(*index_paths)
+        tmp = os.path.join(idx_dir, "compact.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         df.coalesce(max(par // 4, 1)).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        for p in list(index_paths):
+            shutil.rmtree(p, ignore_errors=True)
+        base = os.path.join(idx_dir, "compacted")
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+        index_paths[:] = [base]
 
     def _bands_view(doc_idx: DataFrame) -> DataFrame:
         """(doc_id, band, bh) view of a doc-grain index frame — explode
@@ -678,17 +687,20 @@ def stream_minhash_verify(
         # ONE row-wise projection builds fingerprints + band hashes for
         # the batch (minhash_doc_index — provably equal to the batch
         # signature-groupBy + band-explode + fingerprint passes), and
-        # ONE eager checkpoint materializes it: micro-batch latency here
-        # is JOB-COUNT-bound, not CPU-bound, and this replaces the three
-        # checkpoints (batch, bands, fingerprints) the r9 pipeline paid
-        # per trigger. The repartition spreads the one-file trigger read
-        # across cores before the hash work.
-        staged = (minhash_doc_index(batch_df.repartition(par),
-                                    "text", "doc_id",
-                                    num_hashes=num_hashes, bands=bands,
-                                    shingle_n=shingle_n)
-                  .localCheckpoint(eager=True))
-        have_index = os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
+        # ONE action materializes it: the batch's index segment is
+        # written straight to its parquet dir and read back, so the
+        # write that the r9 pipeline paid ON TOP of an eager checkpoint
+        # (plus two more checkpoints for bands/fingerprints) IS the
+        # materialization barrier. Micro-batch latency here is
+        # JOB-COUNT-bound, not CPU-bound. The repartition spreads the
+        # one-file trigger read across cores before the hash work.
+        seg = os.path.join(idx_dir, f"batch-{_batch_id}")
+        (minhash_doc_index(batch_df.repartition(par), "text", "doc_id",
+                           num_hashes=num_hashes, bands=bands,
+                           shingle_n=shingle_n)
+         .write.mode("overwrite").parquet(seg))
+        staged = spark.read.parquet(seg)
+        have_index = bool(index_paths)
         new_bands = _bands_view(staged)
         left = new_bands.alias("l")
         r_new = new_bands.alias("r")
@@ -706,7 +718,7 @@ def stream_minhash_verify(
             # index tables = two appends + two reads per trigger);
             # parquet column pruning keeps each view's read to its own
             # columns
-            idx = spark.read.parquet(idx_dir)
+            idx = spark.read.parquet(*index_paths)
             r_old = _bands_view(idx).alias("r")
             cand = cand.unionByName(
                 left.join(r_old,
@@ -717,13 +729,19 @@ def stream_minhash_verify(
             fp = fp.unionByName(idx.select("doc_id", "__sh"))
         pairs = (cand.groupBy("id_a", "id_b")
                  .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-                 .where(F.col("n_shared_bands") >= min_shared_bands)
-                 .localCheckpoint(eager=True))
+                 .where(F.col("n_shared_bands") >= min_shared_bands))
         if max_candidates_per_batch_doc is not None:
+            # no separate checkpoint for the raw pair frame: the cap's
+            # own post-window checkpoint is the barrier (its drop
+            # accounting recomputes the candidate join once inside the
+            # single count action — cheaper than a dedicated
+            # materialization job at micro-batch sizes)
             pairs = cap_candidates_per_doc(
                 pairs, max_candidates_per_batch_doc,
                 log_context="stream_minhash_verify",
                 drop_sink=cap_drops)
+        else:
+            pairs = pairs.localCheckpoint(eager=True)
         a = fp.select(F.col("doc_id").alias("id_a"),
                       F.col("__sh").alias("__sha"))
         bb = fp.select(F.col("doc_id").alias("id_b"),
@@ -735,7 +753,7 @@ def stream_minhash_verify(
         (joined.select("id_a", "id_b", jac.alias("jaccard"))
          .where(F.col("jaccard") >= threshold)
          .write.mode("append").parquet(out_dir))
-        staged.write.mode("append").parquet(idx_dir)
+        index_paths.append(seg)   # segment becomes visible to the NEXT batch
         if (compact_every_batches
                 and (_batch_id + 1) % compact_every_batches == 0
                 and (_batch_id + 1) < n_input_files):
@@ -743,14 +761,34 @@ def stream_minhash_verify(
             # index is not read again before the query returns, so the
             # rewrite would be pure wasted work (the staged input is
             # exactly n_input_files files at one file per trigger)
-            _compact(idx_dir)
+            _compact()
         if trigger_seconds is not None:
             trigger_seconds.append(round(time.time() - t0, 3))
 
-    q = (sdf.writeStream.foreachBatch(_process)
-         .option("checkpointLocation", os.path.join(wd, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    # Micro-batch conf, restored after the drain: AQE materializes
+    # EVERY exchange of a batch plan as its own job with a driver
+    # re-optimization in between — profiled at ~10 extra jobs / ~1 s of
+    # driver gaps per trigger on micro-batch-sized frames, where there
+    # is nothing for AQE to adapt to; static shuffles run each action
+    # as one job, sized to the core count (same scale-adaptive choice
+    # run_available_now makes for state partitions). aqe_in_batch=True
+    # restores adaptive planning for deployments whose triggers carry
+    # enough data for skew/coalesce decisions to matter.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        if not aqe_in_batch:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(par))
+        q = (sdf.writeStream.foreachBatch(_process)
+             .option("checkpointLocation", os.path.join(wd, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     dropped = sum(cap_drops)
     if expect_cap_nonbinding and dropped:
         # the registered oracle replays BATCH-global cap semantics,

@@ -279,8 +279,9 @@ def test_stream_minhash_verify_compaction_bounds_files(spark):
               n_input_files=8, work_dir=wd)
 
     def n_files():
-        # r10: one doc-grain index dir (was index_bands + index_fp)
-        return len(glob.glob(os.path.join(wd, "index", "*.parquet")))
+        # r10: one doc-grain index of per-batch segment dirs (plus a
+        # `compacted` base once compaction fires)
+        return len(glob.glob(os.path.join(wd, "index", "*", "*.parquet")))
 
     ts: list = []
     stream_minhash_verify(spark, sf, compact_every_batches=0,
