@@ -584,12 +584,31 @@ class MappingPlanner:
             # the other side: its duplicate-rate track speeds UP as
             # duplicates rise because dedup prunes work — here dedup of
             # provably-distinct output is pure overhead.)
-            deduped = []
-            for tm, part in parts_by_tm:
+            # the per-TM proof = a driver-side DuckDB probe of the
+            # source (uniqueness + value hazards); independent TMs
+            # probe from the same pool the compile used — the probes
+            # are each their own DuckDB connection and the shared
+            # probe cache is a GIL-safe dict (a racing duplicate probe
+            # writes the same verdict)
+            def _decide(tm):
                 if self._tm_dup_free(tm):
+                    return ("free", None)
+                return ("narrow", self._tm_narrow_ok(tm))
+
+            if len(parts_by_tm) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=min(8, len(parts_by_tm))) as pool:
+                    decisions = list(pool.map(
+                        lambda t: _decide(t[0]), parts_by_tm))
+            else:
+                decisions = [_decide(tm) for tm, _ in parts_by_tm]
+            deduped = []
+            for (tm, part), (kind, nrefs) in zip(parts_by_tm, decisions):
+                if kind == "free":
                     deduped.append(part)
                     continue
-                nrefs = self._tm_narrow_ok(tm)
                 if nrefs is not None:
                     # dedup below rendering: recompile this TM with the
                     # distinct keyed on (raw subject refs, entry index,
