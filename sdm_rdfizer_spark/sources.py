@@ -522,7 +522,28 @@ def _read_json(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         schema = _sampled_jsonl_schema(spark, str(ls.source))
         if schema is not None:
             reader = reader.schema(schema)
-    df = reader.json(ls.source)
+        df = reader.json(ls.source)
+    elif not jsonl and os.environ.get("SPARK_GRAFT_JSON_SCHEMA") != "full":
+        # multiLine documents cannot be schema-sampled (one root value —
+        # the whole file must parse), but the INFERRED schema is a pure
+        # function of the file bytes: memoize it on (path, mtime, size)
+        # like the JSONL sample cache, so every re-scan of an unchanged
+        # source (each TM sharing it, each materialize() call) pays the
+        # inference parse once per process instead of once per compile
+        try:
+            st = os.stat(ls.source)
+            key = ("ml", str(ls.source), st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        schema = _JSON_SCHEMA_CACHE.get(key) if key is not None else None
+        if schema is not None:
+            df = reader.schema(schema).json(ls.source)
+        else:
+            df = reader.json(ls.source)
+            if key is not None:
+                _JSON_SCHEMA_CACHE[key] = df.schema
+    else:
+        df = reader.json(ls.source)
     return apply_json_iterator(df, ls.iterator)
 
 
