@@ -1536,14 +1536,20 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 def _q_dedup_filter(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end near-dup USER story: the filtered corpus itself —
     only component-canonical documents survive (clique-collapse pipeline
-    throughout, so boilerplate floods never materialize pairs)."""
-    from sdm_rdfizer_spark.ops.dedup import neardup_canonical_exact_first
+    throughout, so boilerplate floods never materialize pairs). r10: the
+    corpus is ANTI-joined against the small non-canonical override set
+    (`_neardup_overrides`) instead of inner-joined against the
+    corpus-sized canonical-id list — a doc is canonical iff it has no
+    override row (override labels are provably < own id), so the result
+    is identical while the join's right side shrinks from |corpus| to
+    |dups| (broadcastable at any sane dup rate; was a corpus⋈corpus
+    shuffle join at scale)."""
+    from sdm_rdfizer_spark.ops.dedup import _neardup_overrides
 
     docs = _docs(spark, sf)
-    canon = neardup_canonical_exact_first(docs)
+    drop_ids = _neardup_overrides(docs).select("doc_id")
     return (
-        docs.join(canon.where(F.col("is_canonical")).select("doc_id"),
-                  "doc_id")
+        docs.join(drop_ids, "doc_id", "left_anti")
         .select("doc_id", "source", "lang")
     )
 
@@ -1773,19 +1779,45 @@ def _q_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     n = _parquet_count(sf, "documents")
     k = max(1, min(1000, int(math.floor(2_000_000 / n))))
     docs = _docs(spark, sf).where(_bucket("doc_id") < k)
-    exact = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5,
-                                allow_quadratic=True) \
-        .select("id_a", "id_b")
-    pipe = jaccard_verify_pairs(
-        docs, minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3),
-        shingle_n=3, threshold=0.5, min_shared_bands=1,
-    ).select("id_a", "id_b", F.lit(1).alias("__m"))
-    joined = exact.join(pipe, ["id_a", "id_b"], "left")
+    # r10: the exact baseline and the LSH->verify pipeline are
+    # INDEPENDENT until the final comparison, but each build runs eager
+    # checkpoints (lineage cuts) — built sequentially, the cluster idles
+    # through every driver gap. Submit both builds from a 2-thread pool
+    # (guide: overlap independent jobs) so their checkpoint jobs
+    # backfill each other; per-branch plans are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_exact() -> DataFrame:
+        return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5,
+                                   allow_quadratic=True) \
+            .select("id_a", "id_b")
+
+    def _build_pipe() -> DataFrame:
+        return jaccard_verify_pairs(
+            docs, minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    shingle_n=3),
+            shingle_n=3, threshold=0.5, min_shared_bands=1,
+        ).select("id_a", "id_b")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(_build_exact)
+        f_pipe = pool.submit(_build_pipe)
+        exact, pipe = f_exact.result(), f_pipe.result()
+    # r10: one full-outer join computes all three counts in a single
+    # pass. The old shape (left join + agg, then crossJoin(pipe.agg))
+    # referenced `pipe` twice, and only the candidate frame inside
+    # jaccard_verify_pairs is checkpointed — the per-pair fingerprint
+    # attach + array_intersect verify ran TWICE. Both pair frames are
+    # key-unique (each ends in a groupBy/one-row-per-pair join), so
+    # n_exact/n_pipeline/n_hit are exactly the old values.
+    joined = exact.withColumn("__e", F.lit(1)).join(
+        pipe.withColumn("__m", F.lit(1)), ["id_a", "id_b"], "full_outer")
     return joined.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.sum(F.coalesce("__m", F.lit(0))).cast("long").alias("n_hit"),
-    ).crossJoin(pipe.agg(F.count(F.lit(1)).cast("long").alias("n_pipeline"))) \
-     .select(
+        F.count("__e").cast("long").alias("n_exact"),
+        F.count("__m").cast("long").alias("n_pipeline"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__m").isNotNull(),
+                       F.lit(1))).cast("long").alias("n_hit"),
+    ).select(
         "n_exact", "n_pipeline", "n_hit",
         F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6)
         .alias("recall"))

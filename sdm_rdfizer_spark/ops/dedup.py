@@ -519,6 +519,61 @@ def neardup_canonical_exact_first(
     signature (NULL text → no shingles) never pair in either pipeline
     and stay singleton components.
     """
+    overrides = _neardup_overrides(df, text_col, id_col,
+                                   num_hashes=num_hashes, bands=bands,
+                                   shingle_n=shingle_n, max_iters=max_iters)
+    return (
+        df.select(F.col(id_col))
+        .join(overrides, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
+
+
+def _neardup_overrides(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id_col, component) for EXACTLY the docs whose near-dup component
+    label differs from their own id — the duplicate set. Every other doc
+    is its own singleton component, so the full labeling is a LEFT join
+    of the corpus against this frame plus ``coalesce(component, id)``,
+    and the deduped corpus is an ANTI join against its ids.
+
+    This is the 100 TB shape of ``neardup_canonical_exact_first``: the
+    old formulation joined the corpus against the corpus-sized member
+    map (``_sig_groups`` emits one row per doc) — a corpus⋈corpus
+    shuffle join — and ``dedup_filter`` then inner-joined the corpus
+    against the (corpus-sized) canonical-id list, a second one. Both
+    joins only ever needed the NON-canonical rows, a small fraction at
+    any sane dup rate, so the join's right side shrinks from |corpus|
+    to |dups| and the planner can broadcast it.
+
+    Output-preservation argument (vs the old three-way coalesce
+    ``coalesce(comp.component, __cid, id)``), case by case:
+    - doc not in ``mem`` (NULL text → no signature): no override row;
+      both formulations label it with its own id.
+    - doc in ``mem`` with ``id != __cid`` (non-canonical group member):
+      override = ``coalesce(comp[__cid], __cid)`` — exactly the old
+      value; always < id because ``__cid`` is the group min and the
+      component label is the cluster min, so the row is a genuine
+      override (no filter needed).
+    - doc in ``mem`` with ``id == __cid`` (group canonical): the old
+      value is ``coalesce(comp[id], id)``; it differs from id exactly
+      when ``comp`` relabels it, which is the ``comp.component != id``
+      slice emitted below. The two override branches are disjoint
+      (``comp`` ids are canonical ids, the member branch requires
+      ``id != __cid``), so the left join stays 1:1.
+    """
     sig = minhash_signatures(df, text_col, id_col,
                              num_hashes=num_hashes,
                              shingle_n=shingle_n).localCheckpoint(eager=True)
@@ -527,16 +582,17 @@ def neardup_canonical_exact_first(
     canon_pairs = _band_pair_join(sig.join(canon_ids, id_col),
                                   id_col, num_hashes, bands)
     comp = neardup_components(canon_pairs, max_iters=max_iters)
-    return (
-        df.select(F.col(id_col))
-        .join(mem, id_col, "left")
-        .join(comp, F.col("__cid") == comp["id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("component", "__cid", F.col(id_col)).alias("component"),
-        )
-        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    dup_members = mem.where(F.col(id_col) != F.col("__cid"))
+    over_members = (
+        dup_members.join(comp, dup_members["__cid"] == comp["id"], "left")
+        .select(F.col(id_col),
+                F.coalesce("component", "__cid").alias("component"))
     )
+    over_canon = (
+        comp.where(F.col("component") != F.col("id"))
+        .select(F.col("id").alias(id_col), F.col("component"))
+    )
+    return over_members.unionByName(over_canon)
 
 
 def ngram_jaccard_pairs(
