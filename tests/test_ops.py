@@ -439,6 +439,55 @@ def test_simhash_64bit_uses_upper_bits(spark):
     assert all(0 <= fp < (1 << 32) for fp in fps32)
 
 
+def test_simhash_packed_votes_equal_unpacked(spark):
+    """The packed-counter vote aggregation (r10: 2 bit-counters per
+    long, v_b > 0 replayed as 2·s_b > n) must produce bit-identical
+    fingerprints to the original per-bit ±1 vote sums — including
+    majority TIES (even token count, exactly half the tokens setting a
+    bit → vote 0 → bit 0)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sdm_rdfizer_spark.ops.dedup import simhash
+    from sdm_rdfizer_spark.ops.text import words
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(rng.choice("aa bb cc dd ee ff gg hh".split())
+                         for _ in range(rng.randrange(1, 30))))
+            for i in range(60)]
+    # tie bait: two-token docs whose token hashes differ per bit
+    rows += [(100, "aa bb"), (101, "cc dd"), (102, ""), (103, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for bits in (32, 64):
+        def tok_hash(t):
+            lo = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            if bits <= 32:
+                return lo
+            hi = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+            return lo.bitwiseOR(F.shiftleft(hi, 32))
+
+        exploded = (df.select("doc_id", F.explode(words("text")).alias("__t"))
+                    .select("doc_id", F.lower("__t").alias("tok"))
+                    .withColumn("h", tok_hash(F.col("tok"))))
+        votes = [F.sum(F.when(F.shiftright(F.col("h"), b)
+                              .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+                 .alias(f"v{b}") for b in range(bits)]
+        per_doc = exploded.groupBy("doc_id").agg(*votes)
+        fp = None
+        for b in range(bits):
+            bit = F.when(F.col(f"v{b}") > 0,
+                         F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                             F.lit(0).cast("long"))
+            fp = bit if fp is None else fp.bitwiseOR(bit)
+        ref = {r["doc_id"]: r["s"] for r in
+               per_doc.select("doc_id", fp.alias("s")).collect()}
+        got = {r["doc_id"]: r["simhash"] for r in
+               simhash(df, bits=bits).collect()}
+        assert got == ref
+
+
 def test_embedding_lsh_centering_balances_buckets(spark):
     """Centered hashing: a corpus clustered on one side of the origin
     still splits across buckets (bias = mean projection)."""
