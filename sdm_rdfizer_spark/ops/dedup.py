@@ -581,7 +581,11 @@ def _neardup_overrides(
     canon_ids = mem.where(F.col(id_col) == F.col("__cid")).select(id_col)
     canon_pairs = _band_pair_join(sig.join(canon_ids, id_col),
                                   id_col, num_hashes, bands)
-    comp = neardup_components(canon_pairs, max_iters=max_iters)
+    # canon_pairs ends in the banding groupBy(id_a, id_b) — one row per
+    # pair by construction, so the edge-list distinct would be a wasted
+    # shuffle (see neardup_components.dedupe_edges)
+    comp = neardup_components(canon_pairs, max_iters=max_iters,
+                              dedupe_edges=False)
     dup_members = mem.where(F.col(id_col) != F.col("__cid"))
     over_members = (
         dup_members.join(comp, dup_members["__cid"] == comp["id"], "left")
@@ -1338,6 +1342,7 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (id, component) where component = min doc id in the cluster.
@@ -1350,6 +1355,14 @@ def neardup_components(
     rounds closes even web-scale graphs. The frame is one row per PAIRED
     doc — a small fraction of the corpus at sane dup rates.
 
+    ``dedupe_edges=False`` (r10, guide §2.4 "a distinct on data that is
+    already unique") skips the edge-list distinct — one full shuffle of
+    the edge set. Duplicate edges never change the RESULT (min over a
+    neighbour multiset equals min over its set); the distinct is purely
+    a size guard, so callers whose pair frame is already one row per
+    pair (every pipeline ending in a ``groupBy(id_a, id_b)``) should
+    pass False. The two union branches never overlap (id_a < id_b).
+
     Beyond the reference surface (no clustering there); this is the step
     between candidate pairs and "keep one canonical doc per cluster" in a
     training-data dedup pipeline.
@@ -1357,9 +1370,10 @@ def neardup_components(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    if dedupe_edges:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("comp", F.col("id"))
     for _ in range(max_iters):
