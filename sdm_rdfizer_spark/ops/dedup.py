@@ -913,8 +913,15 @@ def cap_candidates_per_doc(
         .where(F.col("__rb") <= cap)
         .drop("__rb")
     )
-    capped = capped.localCheckpoint(eager=True)
-    if log_drops or drop_sink is not None:
+    # lazy when drop accounting follows: the union-aggregate below scans
+    # `capped` in full, so it materializes the checkpoint blocks itself —
+    # one driver action instead of checkpoint-job + count-job (r10).
+    # Without the accounting pass the checkpoint must stay eager: the
+    # two downstream consumers (id semi-join, verify join) would race to
+    # compute the window subtree.
+    count_follows = log_drops or drop_sink is not None
+    capped = capped.localCheckpoint(eager=not count_follows)
+    if count_follows:
         import logging
 
         # one action for both counts (both frames are checkpointed, so
@@ -1349,11 +1356,22 @@ def neardup_components(
 
     Iterative min-label propagation: each round every node takes the
     smallest label among itself and its neighbours — one shuffle join +
-    aggregate per round, lineage cut with an eager localCheckpoint so the
-    plan stays flat. Converges in O(component diameter) rounds; dup
-    clusters are shallow (pairs come from LSH banding), so a handful of
-    rounds closes even web-scale graphs. The frame is one row per PAIRED
-    doc — a small fraction of the corpus at sane dup rates.
+    aggregate per round, lineage cut with a localCheckpoint so the plan
+    stays flat. Converges in O(component diameter) rounds; dup clusters
+    are shallow (pairs come from LSH banding), so a handful of rounds
+    closes even web-scale graphs. The frame is one row per PAIRED doc —
+    a small fraction of the corpus at sane dup rates.
+
+    Each round is ONE driver action (r10): the round's checkpoint is
+    LAZY and the convergence probe — a full-scan ``max(__chg)``
+    aggregate — is what materializes it, so checkpoint-job +
+    changed-count-job collapse into a single job per round (at a
+    25-round web-scale graph: 25 fewer job launches, each a driver
+    scheduling gap). The full-scan agg deliberately replaces a
+    ``limit(1).count()`` probe: limit's escalating partial scans would
+    leave the lazy checkpoint partially materialized and fire extra
+    mini-jobs, while the one-row max rides the scan the checkpoint
+    needs anyway.
 
     ``dedupe_edges=False`` (r10, guide §2.4 "a distinct on data that is
     already unique") skips the edge-list distinct — one full shuffle of
@@ -1389,10 +1407,12 @@ def neardup_components(
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
                 (F.coalesce("nmin", "comp") < F.col("comp")).alias("__chg"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where("__chg").limit(1).count()
+        ).localCheckpoint(eager=False)
+        changed = new_labels.agg(F.max("__chg")).first()[0]
         labels = new_labels.drop("__chg")
-        if changed == 0:
+        if not changed:
+            # max over an empty frame is NULL — falsy, same exit as the
+            # old count()==0 probe
             break
     else:
         # labels are still moving after max_iters rounds (component
