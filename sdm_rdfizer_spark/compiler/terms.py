@@ -40,6 +40,34 @@ _NULLISH = ("nan", "N/A", "None", "NULL")
 
 _TEMPLATE_REF_RE = re.compile(r"(?<!\\)\{(.+?)(?<!\\)\}")
 
+# ---------------------------------------------------------------------------
+# Expression-tree memo (r10, guide §1.2 step 2: every Column operation is one
+# py4j round trip; a 10-TriplesMap compile builds ~7,600 of them = ~2 s of
+# driver latency). Columns are immutable name-bound expression trees, so any
+# builder whose OUTPUT depends only on hashable scalars (a column-name
+# string, a literal value, flags) can hand out one shared tree for the
+# process lifetime — the same reuse contract as ops.dedup._doc_index_exprs
+# and ops._exprs.lit_array. Keys fully describe the tree, so a racing
+# duplicate build under the compile thread pool writes an identical value;
+# trees referencing LAYER names (__x0_1 …) are memoized by that name alone
+# on purpose: two TriplesMaps may bind the same layer name to different
+# inputs, but the returned tree is the same unresolved-attribute tree either
+# way — resolution happens per-plan, not at construction.
+_TREE_MEMO: dict = {}
+
+
+def _memo_tree(key: tuple, build) -> Column:
+    col = _TREE_MEMO.get(key)
+    if col is None:
+        col = _TREE_MEMO[key] = build()
+    return col
+
+
+def _lit(v) -> Column:
+    """Memoized ``F.lit`` for plan-constant scalars (a multi-TM compile
+    was measured issuing ~1,000 lit() round trips)."""
+    return _memo_tree(("lit", type(v).__name__, v), lambda: F.lit(v))
+
 
 def template_references(template: str) -> list[str]:
     """Column references inside a ``{...}`` template."""
@@ -102,7 +130,14 @@ def canonical_string(df: DataFrame, ref: str) -> Column:
         return F.when(floatish, canon).otherwise(inline)
 
     dtype = dict(df.dtypes).get(ref)
-    if ref in df.columns:
+    # the remaining tree depends only on (ref, dtype, exact-column?) —
+    # share one tree per combination across TMs/queries (_TREE_MEMO note)
+    return _memo_tree(("canon", ref, dtype, ref in df.columns),
+                      lambda: _canonical_core(ref, dtype, ref in df.columns))
+
+
+def _canonical_core(ref: str, dtype: str | None, exact: bool) -> Column:
+    if exact:
         # exact column: backtick-quote so names with dots (XML parent-axis
         # refs like "../@id") aren't parsed as struct field access
         col = F.col("`" + ref.replace("`", "``") + "`")
@@ -226,6 +261,11 @@ class ExprLayers:
         self._memo[memo_key] = name
         return F.col(name)
 
+    def name_of(self, level: int, key) -> str | None:
+        """Registered layer-column name for a key (the _TREE_MEMO key
+        component for trees built on top of this layer reference)."""
+        return self._memo.get((level, key))
+
     def apply(self, df: DataFrame) -> DataFrame:
         for layer in self.layers:
             if layer:
@@ -251,31 +291,54 @@ def compile_template(
     "http" and the value itself doesn't.
     """
     parts: list[Column] = []
-    valid = F.lit(True)
+    valid = _lit(True)
     pos = 0
     seen_http = False
     for m in _TEMPLATE_REF_RE.finditer(template):
         lit = template[pos : m.start()].replace(r"\{", "{").replace(r"\}", "}")
         if lit:
-            parts.append(F.lit(lit))
+            parts.append(_lit(lit))
         seen_http = seen_http or ("http" in template[: m.start()])
         ref = m.group(1).split("[")[0] if "[" not in m.group(1) else m.group(1)
         raw = _canon(df, ref, layers)
-        valid = valid & valid_value(raw)
+        rkey = _layer_key(layers, 0, ("canon", ref))
         do_encode = encode and seen_http
-        v = F.trim(raw)
-        if do_encode:
-            v = F.when(v.contains("http"), v).otherwise(encode_iri_component(v))
+        if rkey is not None:
+            # valid/value chains over a layer reference depend only on
+            # that name + flags — share one tree (_TREE_MEMO note)
+            valid = valid & _memo_tree(("valid", rkey),
+                                       lambda: valid_value(raw))
+            v = _memo_tree(("tv", rkey, do_encode),
+                           lambda: _template_value(raw, do_encode))
+        else:
+            valid = valid & valid_value(raw)
+            v = _template_value(raw, do_encode)
         if layers is not None:
             v = layers.add(1, ("tv", ref, do_encode), v)
         parts.append(v)
         pos = m.end()
     tail = template[pos:].replace(r"\{", "{").replace(r"\}", "}")
     if tail:
-        parts.append(F.lit(tail))
+        parts.append(_lit(tail))
     if not parts:
-        parts = [F.lit("")]
+        parts = [_lit("")]
     return CompiledValue(expr=F.concat(*parts), valid=valid)
+
+
+def _template_value(raw: Column, do_encode: bool) -> Column:
+    v = F.trim(raw)
+    if do_encode:
+        v = F.when(v.contains("http"), v).otherwise(encode_iri_component(v))
+    return v
+
+
+def _layer_key(layers: ExprLayers | None, level: int, key) -> str | None:
+    """_TREE_MEMO key component for a layer-registered reference: the
+    registered name (trees over ``F.col(name)`` depend only on it), or
+    None when unlayered — callers then build fresh, unmemoized trees."""
+    if layers is None:
+        return None
+    return layers.name_of(level, key)
 
 
 def compile_reference(
@@ -283,13 +346,24 @@ def compile_reference(
     layers: ExprLayers | None = None,
 ) -> CompiledValue:
     raw = _canon(df, ref, layers)
-    valid = valid_value(raw)
-    v = F.trim(raw)
-    if for_literal:
-        v = F.replace(v, F.lit('"'), F.lit("'"))   # functions.py:1950
+    rkey = _layer_key(layers, 0, ("canon", ref))
+    if rkey is not None:
+        valid = _memo_tree(("valid", rkey), lambda: valid_value(raw))
+        v = _memo_tree(("rv", rkey, for_literal),
+                       lambda: _reference_value(raw, for_literal))
+    else:
+        valid = valid_value(raw)
+        v = _reference_value(raw, for_literal)
     if layers is not None:
         v = layers.add(1, ("rv", ref, for_literal), v)
     return CompiledValue(expr=v, valid=valid)
+
+
+def _reference_value(raw: Column, for_literal: bool) -> Column:
+    v = F.trim(raw)
+    if for_literal:
+        v = F.replace(v, F.lit('"'), F.lit("'"))   # functions.py:1950
+    return v
 
 
 def _nt_escape_literal(col: Column) -> Column:
@@ -434,20 +508,34 @@ def compile_term_map(
         else:
             tt = TT_LITERAL if tm.kind in (REFERENCE, "function") else TT_IRI
 
+    ckey = None
     if layers is not None:
         # name the lexical value so the term wrappers below (whose branches
         # repeat it, e.g. wrap_iri's 3 uses) reference one computed column
-        expr = layers.add(
-            2, ("cv", tm.kind, tm.value, _is_literal_position(tm, position)), cv.expr
-        )
+        lk = ("cv", tm.kind, tm.value, _is_literal_position(tm, position))
+        expr = layers.add(2, lk, cv.expr)
         cv = CompiledValue(expr, cv.valid)
+        ckey = _layer_key(layers, 2, lk)
+
+    def _wrap(tag: tuple, build) -> Column:
+        # term wrappers over the layer reference depend only on its name
+        # + plan constants — share one tree (_TREE_MEMO note)
+        if ckey is None:
+            return build()
+        return _memo_tree((*tag, ckey), build)
 
     if tt == TT_BLANKNODE:
-        return CompiledValue(wrap_blank(cv.expr), cv.valid)
+        return CompiledValue(_wrap(("blank",), lambda: wrap_blank(cv.expr)),
+                             cv.valid)
     if tt == TT_UNSAFE_IRI:
-        return CompiledValue(F.concat(F.lit("<"), F.url_decode(cv.expr), F.lit(">")), cv.valid)
+        return CompiledValue(
+            _wrap(("unsafe",), lambda: F.concat(
+                F.lit("<"), F.url_decode(cv.expr), F.lit(">"))),
+            cv.valid)
     if tt == TT_IRI:
-        return CompiledValue(wrap_iri(cv.expr, base=base), cv.valid)
+        return CompiledValue(
+            _wrap(("iri", base), lambda: wrap_iri(cv.expr, base=base)),
+            cv.valid)
 
     # Literal: resolve datatype / language (constant or map-valued)
     dt_col = lang_col = None
@@ -457,7 +545,7 @@ def compile_term_map(
     # shuffle ("" = undecorated; None = per-row decoration, can't split)
     const_suffix: str | None = ""
     if tm.language is not None:
-        lang_col = F.lit(tm.language)
+        lang_col = _lit(tm.language)
         const_suffix = f"@{tm.language}"
     elif tm.language_map is not None:
         lcv = compile_term_map(df, tm.language_map, "language", base=base,
@@ -465,7 +553,7 @@ def compile_term_map(
         lang_col, valid = lcv.expr, valid & lcv.valid
         const_suffix = None
     elif tm.datatype is not None:
-        dt_col = F.lit(tm.datatype)
+        dt_col = _lit(tm.datatype)
         const_suffix = f"^^<{tm.datatype}>"
     elif tm.datatype_map is not None:
         dcv = compile_term_map(df, tm.datatype_map, "datatype", base=base,
@@ -475,20 +563,27 @@ def compile_term_map(
     elif infer_datatypes and tm.kind == REFERENCE:
         nd = natural_datatype(df, tm.value)
         if nd:
-            dt_col = F.lit(nd)
+            dt_col = _lit(nd)
             const_suffix = f"^^<{nd}>"
         elif dict(df.dtypes).get(tm.value) == "string":
             # string source (CSV/XML/JSON text): per-row value sniffing
             # (reference functions.py:16-65)
-            sval, sdt = sniff_datatype(cv.expr)
             return CompiledValue(
-                wrap_literal(sval, sdt, None, datatype_nullable=True), valid)
-    full = wrap_literal(cv.expr, dt_col, lang_col)
-    if const_suffix is None:
-        return CompiledValue(full, valid)
-    return CompiledValue(full, valid,
-                         core=wrap_literal(cv.expr, None, None),
-                         suffix=const_suffix)
+                _wrap(("snifflit",), lambda: wrap_literal(
+                    *sniff_datatype(cv.expr)[:2], None,
+                    datatype_nullable=True)),
+                valid)
+    bare = _wrap(("lit0",), lambda: wrap_literal(cv.expr, None, None))
+    if const_suffix == "":
+        # undecorated literal: full == bare — one shared tree
+        return CompiledValue(bare, valid, core=bare, suffix="")
+    if const_suffix is not None:
+        # constant decoration: full = bare + suffix, memoizable
+        full = _wrap(("litsfx", const_suffix),
+                     lambda: wrap_literal(cv.expr, dt_col, lang_col))
+        return CompiledValue(full, valid, core=bare, suffix=const_suffix)
+    # per-row datatype/language column — not a plan constant, no memo
+    return CompiledValue(wrap_literal(cv.expr, dt_col, lang_col), valid)
 
 
 def _is_literal_position(tm: TermMap, position: str) -> bool:
@@ -500,7 +595,7 @@ def _is_literal_position(tm: TermMap, position: str) -> bool:
 def _compile_constant(tm: TermMap, position: str) -> CompiledValue:
     v = tm.value
     if position in ("datatype", "language"):
-        return CompiledValue(F.lit(v), F.lit(True))
+        return CompiledValue(_lit(v), _lit(True))
     if tm.constant_is_iri or position in ("subject", "predicate", "graph"):
         term = f"<{v}>"
     else:
@@ -514,5 +609,5 @@ def _compile_constant(tm: TermMap, position: str) -> CompiledValue:
             term = f'"{v}"'
     # a constant term is ALL suffix for narrow dedup — no reason to
     # carry its bytes through the shuffle when the entry index names it
-    return CompiledValue(F.lit(term), F.lit(True),
-                         core=F.lit(""), suffix=term)
+    return CompiledValue(_lit(term), _lit(True),
+                         core=_lit(""), suffix=term)
