@@ -73,7 +73,21 @@ def read_source(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         # instead of silently degrading
         for k, v in ls.options.items():
             reader = reader.option(k, v)
-        return reader.csv(ls.source)
+        # all-strings header schema is a pure function of the file bytes
+        # + separator: memoize on file stats (see _FILE_META_CACHE) so
+        # repeated builds skip the plan-time header read. header=True
+        # still skips the first line at scan time; the explicit schema
+        # only replaces the driver-side name inference.
+        skey = _stat_key("csv", ls.source)
+        key = (*skey, sep, tuple(sorted(ls.options.items()))) \
+            if skey is not None else None
+        schema = _FILE_META_CACHE.get(key) if key is not None else None
+        if schema is not None:
+            return reader.schema(schema).csv(ls.source)
+        df = reader.csv(ls.source)
+        if key is not None:
+            _FILE_META_CACHE[key] = df.schema
+        return df
     if fmt == "parquet":
         return read_parquet(spark, ls.source)
     if fmt == "json":
@@ -310,12 +324,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     with ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as LongType
     nanos, which we cast back to proper timestamps using the file footer
     schema (via pyarrow) to know which columns were nanos.
+
+    Scan METADATA — the Spark-inferred schema, the nanos column list,
+    the footer row-group stats — is a pure function of the file bytes,
+    so it is memoized on (path, mtime, size) like the JSON schema cache
+    (guide §1.2: repeated query builds over an unchanged source paid a
+    driver-side footer read + schema fetch per build). A memo hit passes
+    ``.schema(...)`` explicitly, skipping plan-time schema inference;
+    StructType is plain Python, so entries are session-independent. The
+    emitted plan is identical either way (same relation schema).
     """
     from .engine import tune_session
 
     tune_session(spark)
-    df = spark.read.parquet(path)
-    ns_cols = _nanos_timestamp_columns(path)
+    key = _stat_key("pq", path)
+    meta = _FILE_META_CACHE.get(key) if key is not None else None
+    if meta is not None:
+        schema, ns_cols, (rg, rows) = meta
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        ns_cols = _nanos_timestamp_columns(path)
+        rg, rows = _row_group_stats(path)
+        if key is not None:
+            _FILE_META_CACHE[key] = (df.schema, ns_cols, (rg, rows))
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             # integer division — double division loses precision for
@@ -329,11 +361,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # feed the cores, add an explicit round-robin exchange (a few MB of
     # shuffle buys full parallelism for the expensive string pipeline).
     # Well-chunked production data (row groups ≥ cores) skips this.
-    rg, rows = _row_group_stats(path)
     cores = spark.sparkContext.defaultParallelism
     if rows > 1000 and rg < max(cores // 2, 1):
         df = df.repartition(cores)
     return df
+
+
+# scan metadata keyed on file stats (same contract as _JSON_SCHEMA_CACHE):
+# csv/parquet schemas + parquet footer stats re-derive only when the file
+# changes. Glob/multi-file sources get no stat key and skip the memo.
+_FILE_META_CACHE: dict = {}
+
+
+def _stat_key(tag: str, path) -> tuple | None:
+    try:
+        if not os.path.isfile(path):
+            # directory/glob sources: a contained file can change without
+            # moving the directory mtime — no safe cheap token, no memo
+            return None
+        st = os.stat(path)
+        return (tag, str(path), st.st_mtime_ns, st.st_size)
+    except (OSError, TypeError, ValueError):
+        return None
 
 
 def _row_group_stats(path: str) -> tuple[int, int]:
