@@ -136,15 +136,18 @@ def asof_join(
     summaries = r_c.groupBy(*by, "__c").agg(
         pick("__p", F.col("__on")).alias("__chunk_best"))
     # every (key, chunk) that holds a LEFT row needs a carry-in defined,
-    # even when no right row shares the chunk
-    frame = (l_c.select(*by, "__c").distinct()
-             .unionByName(summaries.select(*by, "__c"))
-             .distinct())
+    # even when no right row shares the chunk. One FULL OUTER join gives
+    # exactly the union of both (key, chunk) sets with __chunk_best
+    # attached (summaries is unique per key by construction) — the old
+    # union+distinct+left-join shape re-shuffled the summary rows twice
+    # (guide §2.4); both sides here arrive already hash-partitioned on
+    # the join key (distinct / groupBy), so the join adds no exchange.
+    frame = l_c.select(*by, "__c").distinct()
     order_c = F.col("__c").asc() if backward else F.col("__c").desc()
     wc = (Window.partitionBy(*by).orderBy(order_c)
           .rowsBetween(Window.unboundedPreceding, -1))
     carries = (
-        frame.join(summaries, [*by, "__c"], "left")
+        frame.join(summaries, [*by, "__c"], "full_outer")
         .withColumn("__carry", F.last("__chunk_best", ignorenulls=True).over(wc))
         .where(F.col("__carry").isNotNull())
     )
