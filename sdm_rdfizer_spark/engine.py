@@ -52,6 +52,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     skip = {s for s in
             os.environ.get("SPARK_GRAFT_SKIP_TUNE_KEYS", "").split(",") if s}
+    # idempotent per session: callers invoke this defensively (every
+    # read_parquet, every stream build) and each conf.set is a py4j
+    # round trip — skip the ~10 of them when this session already ran
+    # with the same skip-set (r10; the set is tiny but per-query-build)
+    token = ("sdm_tuned", tuple(sorted(skip)))
+    if getattr(spark, "_sdm_tuned", None) == token:
+        return spark
     for k, v in {
         "spark.sql.analyzer.singlePassResolver.enabled": "false",
         "spark.sql.analyzer.singlePassResolver.enabledTentatively": "false",
@@ -115,6 +122,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    spark._sdm_tuned = token
     return spark
 
 
