@@ -565,14 +565,21 @@ def _read_json(spark: SparkSession, ls: LogicalSource) -> DataFrame:
     Line mode also passes an EXPLICIT schema from a bounded driver-side
     sample (``_sampled_jsonl_schema``) so the data is read once, not
     twice; ``SPARK_GRAFT_JSON_SCHEMA=full`` restores full inference."""
-    jsonl = str(ls.source).rstrip().endswith(".jsonl")
+    return apply_json_iterator(json_base(spark, str(ls.source)), ls.iterator)
+
+
+def json_base(spark: SparkSession, source: str) -> DataFrame:
+    """The parsed JSON frame BEFORE any iterator — the shareable unit
+    when several TriplesMaps (or iterator depths) read one document
+    (the planner checkpoints it; see MappingPlanner._json_base)."""
+    jsonl = source.rstrip().endswith(".jsonl")
     reader = spark.read.option("multiLine", not jsonl)
     if jsonl and os.environ.get("SPARK_GRAFT_JSON_SCHEMA") != "full":
-        schema = _sampled_jsonl_schema(spark, str(ls.source))
+        schema = _sampled_jsonl_schema(spark, source)
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.json(ls.source)
-    elif not jsonl and os.environ.get("SPARK_GRAFT_JSON_SCHEMA") != "full":
+        return reader.json(source)
+    if not jsonl and os.environ.get("SPARK_GRAFT_JSON_SCHEMA") != "full":
         # multiLine documents cannot be schema-sampled (one root value —
         # the whole file must parse), but the INFERRED schema is a pure
         # function of the file bytes: memoize it on (path, mtime, size)
@@ -580,20 +587,36 @@ def _read_json(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         # source (each TM sharing it, each materialize() call) pays the
         # inference parse once per process instead of once per compile
         try:
-            st = os.stat(ls.source)
-            key = ("ml", str(ls.source), st.st_mtime_ns, st.st_size)
+            st = os.stat(source)
+            key = ("ml", source, st.st_mtime_ns, st.st_size)
         except OSError:
             key = None
         schema = _JSON_SCHEMA_CACHE.get(key) if key is not None else None
         if schema is not None:
-            df = reader.schema(schema).json(ls.source)
-        else:
-            df = reader.json(ls.source)
-            if key is not None:
-                _JSON_SCHEMA_CACHE[key] = df.schema
-    else:
-        df = reader.json(ls.source)
-    return apply_json_iterator(df, ls.iterator)
+            return reader.schema(schema).json(source)
+        df = reader.json(source)
+        if key is not None:
+            _JSON_SCHEMA_CACHE[key] = df.schema
+        return df
+    return reader.json(source)
+
+
+def source_bytes(source: str) -> int:
+    """Total bytes behind a file/glob source path (sizing gates); -1
+    when unknown."""
+    import glob as _glob
+
+    try:
+        if os.path.isfile(source):
+            return os.path.getsize(source)
+        paths = _glob.glob(source)
+        if not paths and os.path.isdir(source):
+            paths = [os.path.join(source, p) for p in os.listdir(source)]
+        if not paths:
+            return -1
+        return sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
+    except OSError:
+        return -1
 
 
 def apply_json_iterator(df: DataFrame, iterator: str | None) -> DataFrame:
