@@ -868,9 +868,25 @@ def cap_candidates_per_doc(
     a total order, so the kept set is stable and SQL-replayable with two
     ``row_number()`` windows. Dropped pairs are COUNTED AND LOGGED
     (never silent — judge r6: a scale knob that silently truncates reads
-    as "covered everything"); ``log_drops=False`` skips the two count
-    actions for latency-critical paths. Input should be checkpointed —
-    the windows and the counts each re-read it.
+    as "covered everything"); ``log_drops=False`` skips the count
+    action for latency-critical paths.
+
+    One-pass accounting (r11, guide §2.4/§1.5): the sequential
+    keep/drop decision is computed as ANNOTATIONS over the full pair
+    frame instead of progressive filters — each window orders its
+    partition SURVIVORS-FIRST (cumulative keep flag descending, then
+    the real order), so a surviving row's ``row_number`` equals its
+    rank among the previous stage's survivors exactly (dropped rows all
+    sort after every survivor and cannot shift a survivor's rank; their
+    own inflated ranks are AND-masked by the cumulative flag). The
+    annotated frame is checkpointed ONCE and both the kept subset (a
+    filter over the blocks) and the drop accounting (one aggregate over
+    the same blocks) read it — the input subtree (typically an LSH
+    banding join) is computed exactly once, so callers no longer need
+    to pre-checkpoint a pair frame that only feeds this cap. The
+    per-trigger streaming caller previously recomputed the whole
+    candidate join once more inside the accounting count; that job is
+    gone.
 
     ``salt`` (judge r7 stretch #8, skew hatch): each exact window
     partitions by ONE doc id, so a doc with millions of surviving
@@ -888,51 +904,52 @@ def cap_candidates_per_doc(
     from pyspark.sql.window import Window
 
     order = (F.col(order_col).desc(),)
-    w_a = Window.partitionBy(a_col).orderBy(*order, F.col(b_col))
-    w_b = Window.partitionBy(b_col).orderBy(*order, F.col(a_col))
-    capped = pairs
+    # window stages in the sequential order the cap is defined in:
+    # (a-salt →) a-exact (→ b-salt) → b-exact. Each entry is
+    # (partition columns, tie-break partner column).
+    specs: list[tuple[list, str]] = []
     if salt is not None and salt > 1:
-        w_as = Window.partitionBy(
-            a_col, F.pmod(F.xxhash64(b_col), F.lit(salt))
-        ).orderBy(*order, F.col(b_col))
-        capped = (capped.withColumn("__ras", F.row_number().over(w_as))
-                  .where(F.col("__ras") <= cap).drop("__ras"))
-    capped = (
-        capped.withColumn("__ra", F.row_number().over(w_a))
-        .where(F.col("__ra") <= cap)
-        .drop("__ra")
-    )
+        specs.append(([F.col(a_col),
+                       F.pmod(F.xxhash64(b_col), F.lit(salt))], b_col))
+    specs.append(([F.col(a_col)], b_col))
     if salt is not None and salt > 1:
-        w_bs = Window.partitionBy(
-            b_col, F.pmod(F.xxhash64(a_col), F.lit(salt))
-        ).orderBy(*order, F.col(a_col))
-        capped = (capped.withColumn("__rbs", F.row_number().over(w_bs))
-                  .where(F.col("__rbs") <= cap).drop("__rbs"))
-    capped = (
-        capped.withColumn("__rb", F.row_number().over(w_b))
-        .where(F.col("__rb") <= cap)
-        .drop("__rb")
-    )
-    # lazy when drop accounting follows: the union-aggregate below scans
-    # `capped` in full, so it materializes the checkpoint blocks itself —
-    # one driver action instead of checkpoint-job + count-job (r10).
-    # Without the accounting pass the checkpoint must stay eager: the
-    # two downstream consumers (id semi-join, verify join) would race to
+        specs.append(([F.col(b_col),
+                       F.pmod(F.xxhash64(a_col), F.lit(salt))], a_col))
+    specs.append(([F.col(b_col)], a_col))
+    ann = pairs
+    keep_col: str | None = None
+    helpers: list[str] = []
+    for i, (part, tail) in enumerate(specs):
+        # survivors-first ordering: rows kept by every previous stage
+        # sort before all others, so row_number over this window equals
+        # the sequential-filter rank for exactly those rows (see
+        # docstring); the boolean flag is never NULL, so the order is
+        # total and the kept set is bit-identical to the filter chain.
+        ob = [*order, F.col(tail)]
+        if keep_col is not None:
+            ob = [F.col(keep_col).desc()] + ob
+        w = Window.partitionBy(*part).orderBy(*ob)
+        cond = F.row_number().over(w) <= cap
+        if keep_col is not None:
+            cond = F.col(keep_col) & cond
+        keep_col = f"__kcap{i}"
+        helpers.append(keep_col)
+        ann = ann.withColumn(keep_col, cond)
+    # ONE checkpoint serves both consumers: the kept subset (filter over
+    # the blocks) and, when requested, the drop accounting (aggregate
+    # over the same blocks). Lazy when the accounting action follows
+    # (it materializes the blocks itself); eager otherwise so the two
+    # downstream consumers (id semi-join, verify join) cannot race to
     # compute the window subtree.
     count_follows = log_drops or drop_sink is not None
-    capped = capped.localCheckpoint(eager=not count_follows)
+    ann = ann.localCheckpoint(eager=not count_follows)
+    capped = ann.where(F.col(keep_col)).drop(*helpers)
     if count_follows:
         import logging
 
-        # one action for both counts (both frames are checkpointed, so
-        # this union-aggregate scans two in-memory block sets): the
-        # streaming verify calls this once per trigger, where every
-        # extra driver action is a fixed latency tax
-        row = (pairs.select(F.lit(1).alias("__w"))
-               .unionAll(capped.select(F.lit(2).alias("__w")))
-               .agg(F.count(F.when(F.col("__w") == 1, 1)).alias("nb"),
-                    F.count(F.when(F.col("__w") == 2, 1)).alias("na"))
-               .first())
+        row = (ann.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.count(F.when(F.col(keep_col), 1)).alias("na")).first())
         n_before, n_after = row["nb"], row["na"]
         dropped = n_before - n_after
         if drop_sink is not None:
@@ -994,13 +1011,18 @@ def jaccard_verify_pairs(
         pairs = pairs.where(F.col("n_shared_bands") >= min_shared_bands)
     # the pair frame feeds the id semi-join (twice) AND the verify join
     # base — without cutting lineage the candidate-generation subtree
-    # (typically an LSH banding join) would recompute three times
-    pairs = pairs.localCheckpoint(eager=True)
+    # (typically an LSH banding join) would recompute three times. When
+    # the cap follows, its OWN single checkpoint is that barrier (the
+    # candidate subtree is computed exactly once into it and every
+    # consumer reads the capped filter over its blocks — r11), so a
+    # pre-checkpoint here would just add a redundant materialization job.
     if max_candidates_per_doc is not None:
         pairs = cap_candidates_per_doc(
             pairs, max_candidates_per_doc,
             log_context="jaccard_verify_pairs", log_drops=log_drops,
             salt=cap_salt)
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -1943,13 +1965,15 @@ def minhash_lsh_join(
     if threshold is None and max_candidates_per_doc is None:
         return cand
     # verify stage: candidate pairs feed two id semi-joins and the
-    # verify join base — checkpoint so the banding join runs once
-    cand = cand.localCheckpoint(eager=True)
+    # verify join base — checkpoint so the banding join runs once; when
+    # the cap follows, its own single checkpoint is that barrier (r11)
     if max_candidates_per_doc is not None:
         cand = cap_candidates_per_doc(
             cand, max_candidates_per_doc, a_col="left_id", b_col="right_id",
             log_context="minhash_lsh_join", log_drops=log_drops,
             salt=cap_salt)
+    else:
+        cand = cand.localCheckpoint(eager=True)
     if threshold is None:
         return cand
 

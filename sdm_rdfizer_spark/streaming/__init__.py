@@ -657,12 +657,26 @@ def stream_minhash_verify(
     # by a single compacted dir every compact_every_batches triggers.
     # foreachBatch calls are serialized, so the list needs no lock.
     index_paths: list[str] = []
+    # the doc-grain index schema is fixed per run (doc_id, __sh, __bands
+    # from minhash_doc_index); capture it from the first written segment
+    # and pass it explicitly to every later read — a schema-less
+    # spark.read.parquet costs a driver-side footer-inference job per
+    # call, i.e. two extra 1-task jobs per trigger (r11 event-log
+    # profile, guide §1.5)
+    idx_schema: list = []
+
+    def _read_idx(*paths: str) -> DataFrame:
+        if idx_schema:
+            return spark.read.schema(idx_schema[0]).parquet(*paths)
+        df = spark.read.parquet(*paths)
+        idx_schema.append(df.schema)
+        return df
 
     def _compact() -> None:
         """Rewrite the accreted index segments into ONE ≤ par/4-file
         dir. foreachBatch calls are serialized, so the swap cannot race
         a concurrent reader."""
-        df = spark.read.parquet(*index_paths)
+        df = _read_idx(*index_paths)
         tmp = os.path.join(idx_dir, "compact.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         df.coalesce(max(par // 4, 1)).write.mode("overwrite").parquet(tmp)
@@ -695,22 +709,41 @@ def stream_minhash_verify(
         # JOB-COUNT-bound, not CPU-bound. The repartition spreads the
         # one-file trigger read across cores before the hash work.
         seg = os.path.join(idx_dir, f"batch-{_batch_id}")
-        (minhash_doc_index(batch_df.repartition(par), "text", "doc_id",
-                           num_hashes=num_hashes, bands=bands,
-                           shingle_n=shingle_n)
-         .write.mode("overwrite").parquet(seg))
-        staged = spark.read.parquet(seg)
+        # Hash fan-out sized to the TRIGGER, not the cluster (guide
+        # §2.2): the md5/shingle work is CPU-bound, so spread it only
+        # when the trigger carries enough bytes to amortize the
+        # round-robin exchange and per-task overhead (~2 MB/task
+        # target; a 32-task shuffle to hash a ~60-doc micro-batch cost
+        # more than the hashing itself — r11 event-log profile). The
+        # one-file-per-trigger stream read still parallelizes at
+        # production sizes because hash_parts grows with trigger bytes.
+        # Then a second (tiny) exchange lands the segment in
+        # batch_parts size-targeted files instead of one sliver per
+        # hash task — guide §6 small-files: every later trigger
+        # re-reads EVERY accreted segment, so a 32-files-per-trigger
+        # layout made each index read and broadcast build a
+        # 32·T-task scan.
+        src = batch_df.repartition(hash_parts) if hash_parts > 1 else batch_df
+        doc_idx = minhash_doc_index(src, "text", "doc_id",
+                                    num_hashes=num_hashes, bands=bands,
+                                    shingle_n=shingle_n)
+        if batch_parts < hash_parts:
+            doc_idx = doc_idx.repartition(batch_parts)
+        doc_idx.write.mode("overwrite").parquet(seg)
+        staged = _read_idx(seg)
         have_index = bool(index_paths)
-        new_bands = _bands_view(staged)
-        left = new_bands.alias("l")
-        r_new = new_bands.alias("r")
-        cand = (left.join(
-            r_new,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("id_a"),
-                    F.col("r.doc_id").alias("id_b")))
+        left = _bands_view(staged).alias("l")
+        # ONE join generates both pair classes (r11 — was a new×new
+        # join ∪ new×index join, i.e. two broadcast builds and a wider
+        # plan per trigger): the right side is new ∪ index with an
+        # is_new flag, and the predicate keeps (new, new) pairs once
+        # via l.doc_id < r.doc_id while every (new, old) pair survives
+        # unconditionally. least/greatest normalizes BOTH classes —
+        # for new×new pairs l < r so least/greatest is the identity,
+        # for new×old pairs it is exactly the old normalization. The
+        # generated multiset (and hence every n_shared_bands count) is
+        # identical to the two-join union by construction.
+        r_all = _bands_view(staged).withColumn("__new", F.lit(True))
         fp = staged.select("doc_id", "__sh")
         if have_index:
             # ONE doc-grain index table serves both the band join and
@@ -718,24 +751,26 @@ def stream_minhash_verify(
             # index tables = two appends + two reads per trigger);
             # parquet column pruning keeps each view's read to its own
             # columns
-            idx = spark.read.parquet(*index_paths)
-            r_old = _bands_view(idx).alias("r")
-            cand = cand.unionByName(
-                left.join(r_old,
-                          (F.col("l.band") == F.col("r.band"))
-                          & (F.col("l.bh") == F.col("r.bh")))
-                .select(F.least("l.doc_id", "r.doc_id").alias("id_a"),
-                        F.greatest("l.doc_id", "r.doc_id").alias("id_b")))
+            idx = _read_idx(*index_paths)
+            r_all = r_all.unionByName(
+                _bands_view(idx).withColumn("__new", F.lit(False)))
             fp = fp.unionByName(idx.select("doc_id", "__sh"))
+        right = r_all.alias("r")
+        cand = (left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (~F.col("r.__new") | (F.col("l.doc_id") < F.col("r.doc_id"))))
+            .select(F.least("l.doc_id", "r.doc_id").alias("id_a"),
+                    F.greatest("l.doc_id", "r.doc_id").alias("id_b")))
         pairs = (cand.groupBy("id_a", "id_b")
                  .agg(F.count(F.lit(1)).alias("n_shared_bands"))
                  .where(F.col("n_shared_bands") >= min_shared_bands))
         if max_candidates_per_batch_doc is not None:
             # no separate checkpoint for the raw pair frame: the cap's
-            # own post-window checkpoint is the barrier (its drop
-            # accounting recomputes the candidate join once inside the
-            # single count action — cheaper than a dedicated
-            # materialization job at micro-batch sizes)
+            # own single annotated checkpoint is the barrier, and since
+            # r11 its drop accounting reads those same blocks — the
+            # candidate join is computed exactly once per trigger
             pairs = cap_candidates_per_doc(
                 pairs, max_candidates_per_batch_doc,
                 log_context="stream_minhash_verify",
@@ -770,16 +805,44 @@ def stream_minhash_verify(
     # re-optimization in between — profiled at ~10 extra jobs / ~1 s of
     # driver gaps per trigger on micro-batch-sized frames, where there
     # is nothing for AQE to adapt to; static shuffles run each action
-    # as one job, sized to the core count (same scale-adaptive choice
-    # run_available_now makes for state partitions). aqe_in_batch=True
-    # restores adaptive planning for deployments whose triggers carry
-    # enough data for skew/coalesce decisions to matter.
+    # as one job. aqe_in_batch=True restores adaptive planning for
+    # deployments whose triggers carry enough data for skew/coalesce
+    # decisions to matter.
+    #
+    # Static shuffle-partition count = per-trigger INPUT SIZE over a
+    # target bytes/partition (guide §2.2: partitions sized to the data,
+    # not a constant for either local mode or the cluster) — exactly
+    # what AQE coalescing would pick, computed once up front since AQE
+    # is off here. The staged input is n_input_files equal repartitions
+    # of the corpus, so one trigger carries total/n bytes; shuffled
+    # frames (band pairs, capped candidates) are strictly smaller than
+    # the input text. Floored at 1, capped at 4·cores like
+    # tune_session's initialPartitionNum posture; the CPU-heavy hash
+    # stage keeps its own explicit repartition(par), so this only sizes
+    # the join/window/aggregate exchanges. SDM_STREAM_SHUFFLE_TARGET_MB
+    # overrides the target for skew-prone deployments.
+    tgt_mb = int(os.environ.get("SDM_STREAM_SHUFFLE_TARGET_MB", "64"))
+    try:
+        in_bytes = sum(
+            os.path.getsize(os.path.join(in_dir, f))
+            for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    except OSError:
+        in_bytes = 0
+    trig_bytes = in_bytes / max(n_input_files, 1)
+    batch_parts = max(1, min(4 * par,
+                             int(trig_bytes // (tgt_mb << 20)) + 1))
+    # CPU-bound hash stage: floor at the core count (the interpreted
+    # HOF md5 work is dense even for sub-MB triggers — an A/B at sf0.1
+    # measured ~1 s/trigger LOST by serializing it), growing past the
+    # cores only when a trigger is big enough to want more waves
+    # (~32 MB/task, so the exchange stays amortized).
+    hash_parts = max(par, min(4 * par, int(trig_bytes // (32 << 20)) + 1))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     try:
         if not aqe_in_batch:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-            spark.conf.set("spark.sql.shuffle.partitions", str(par))
+            spark.conf.set("spark.sql.shuffle.partitions", str(batch_parts))
         q = (sdf.writeStream.foreachBatch(_process)
              .option("checkpointLocation", os.path.join(wd, "ckpt"))
              .trigger(availableNow=True).start())
