@@ -158,6 +158,7 @@ def run_available_now(
     name: str = "stream_result",
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with an available-now trigger into an
     in-memory table and return it as a batch DataFrame.
@@ -182,10 +183,26 @@ def run_available_now(
     query's lifetime and restores the session value afterwards.
     ``SDM_STREAM_STATE_PARTITIONS`` overrides for production jobs
     whose key volume wants more state shards than cores.
+
+    ``input_bytes`` (r11): when the caller knows the drained input's
+    size, small inputs get proportionally fewer state partitions
+    (~128 KB of input per partition, still capped at the core count) —
+    every state partition is one task per trigger carrying a state
+    store AND, for applyInPandasWithState, one Python worker whose
+    per-group state protocol is a round trip, so over-sharding a small
+    drain pays pure fixed cost (same-JVM A/B at sf0.1, 2 MB input:
+    the sessionize drain's measured optimum is ~16 partitions on 32
+    cores, and the driver's own 8-core run was FASTER than 32-core for
+    exactly this reason). Production streams with unbounded key volume
+    should size shards by key count via the env override instead.
     """
     spark = sdf.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    derived = par
+    if input_bytes is not None and input_bytes >= 0:
+        derived = max(1, min(par, int(input_bytes // (128 << 10)) + 1))
     state_parts = os.environ.get("SDM_STREAM_STATE_PARTITIONS") or str(
-        spark.sparkContext.defaultParallelism)
+        derived)
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     writer = (
         sdf.writeStream.format("memory")
@@ -203,6 +220,18 @@ def run_available_now(
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def _src_bytes(path: str) -> int | None:
+    """Input size for run_available_now's state-partition derivation
+    (file or directory); None when it cannot be cheaply determined."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs)
+    except OSError:
+        return None
 
 
 def windowed_event_stats(
@@ -265,7 +294,8 @@ def stream_events_window(
     # complete mode: every window is re-emitted on the final trigger, so
     # the memory table holds the full aggregation result
     name = "events_window_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(agg, name=name, output_mode="complete")
+    return run_available_now(agg, name=name, output_mode="complete",
+                             input_bytes=_src_bytes(path))
 
 
 def stream_dedup_exact(
@@ -292,7 +322,8 @@ def stream_dedup_exact(
     sdf = spark.readStream.schema(raw_schema).parquet(glob)
     deduped = sdf.select(*[F.col(c) for c in key_cols]).dropDuplicates(list(key_cols))
     name = "stream_dedup_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(deduped, name=name, output_mode="append")
+    return run_available_now(deduped, name=name, output_mode="append",
+                             input_bytes=_src_bytes(path))
 
 
 def stateful_sessionize_stream(
@@ -458,7 +489,8 @@ def stream_sessionize(
         sdf, gap_minutes=gap_minutes,
         max_sessions_per_key=max_sessions_per_key)
     name = "sessions_state_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(sessions, name=name, output_mode="append")
+    return run_available_now(sessions, name=name, output_mode="append",
+                             input_bytes=_src_bytes(path))
 
 
 def stream_events_sliding(
@@ -498,7 +530,8 @@ def stream_events_sliding(
             F.col("sum_value").cast("string").alias("sum_value"))
     )
     name = "events_sliding_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(agg, name=name, output_mode="complete")
+    return run_available_now(agg, name=name, output_mode="complete",
+                             input_bytes=_src_bytes(path))
 
 
 def stream_minhash_dedup(
@@ -548,7 +581,8 @@ def stream_minhash_dedup(
     sig = staged.select(F.md5(F.concat_ws("|", *mins)).alias("sig"))
     deduped = sig.dropDuplicates(["sig"])
     name = "stream_minhash_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(deduped, name=name, output_mode="append")
+    return run_available_now(deduped, name=name, output_mode="append",
+                             input_bytes=_src_bytes(path))
 
 
 def stream_minhash_verify(
@@ -912,7 +946,8 @@ def stream_bloom_decontaminate(
         sdf.where(F.col("source") != benchmark_source), bits,
         shingle_n=shingle_n, m_bits=m_bits, k_hashes=k_hashes)
     name = "stream_bloom_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(probed, name=name, output_mode="append")
+    return run_available_now(probed, name=name, output_mode="append",
+                             input_bytes=_src_bytes(path))
 
 
 def stream_dsir_weights(
@@ -953,4 +988,5 @@ def stream_dsir_weights(
         sdf = sdf.repartition(spark.sparkContext.defaultParallelism)
     scored = dsir_apply(sdf, model, floor, n_buckets=n_buckets)
     name = "stream_dsir_" + str(abs(hash(sf_dir)) % 10**8)
-    return run_available_now(scored, name=name, output_mode="append")
+    return run_available_now(scored, name=name, output_mode="append",
+                             input_bytes=_src_bytes(path))
