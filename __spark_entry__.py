@@ -2487,6 +2487,25 @@ FROM m
 """
 
 
+def _media_task_count(spark: SparkSession) -> int:
+    """Task count for the synthetic encode->decode media pipelines.
+
+    The chain runs TWO Python operators per task (the payload-encode
+    pandas UDF feeding the decode/sample mapInPandas), i.e. two Python
+    workers whose checkout + Arrow stream setup is a fixed per-task
+    cost that dwarfs the per-row work on a micro-corpus — same-JVM A/B
+    at sf0.1 on 32 cores: 32 tasks 0.8-0.9 s warm (3.3 s with cold
+    workers) vs 8 tasks 0.42 s, and the driver's r10 scaling block saw
+    the 8-core run beat the 32-core run 8x for exactly this reason
+    (guide §4.5/§2.2: fixed per-task Python cost, so size tasks to the
+    data, not the cluster). cores/4 (floor 2) keeps the probe latency
+    flat across driver core counts; production media pipelines read
+    payloads from storage with bytes-derived partitioning and one
+    decode stage, where this synthetic fan-out does not exist.
+    """
+    return max(2, spark.sparkContext.defaultParallelism // 4)
+
+
 def _make_gif_udf():
     """Pandas UDF producing REAL GIF89a payloads from media ids —
     dimensions/frame-count/delays/pixels derived from the id, image
@@ -2558,6 +2577,7 @@ def _q_multimodal_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf}/documents.parquet")
     media = (docs.where(F.col("doc_id") % 3 == 1)
              .select(F.col("doc_id").alias("media_id"))
+             .coalesce(_media_task_count(spark))
              .withColumn("payload", _make_avi_udf()("media_id")))
     return demux_avi_frames(media)
 
@@ -2600,6 +2620,7 @@ def _q_multimodal_avi_framesample(spark: SparkSession, sf: str) -> DataFrame:
     media = (docs.where(F.col("doc_id") % 3 == 1)
              .select(F.col("doc_id").alias("media_id"),
                      F.lit("video").alias("kind"))
+             .coalesce(_media_task_count(spark))
              .withColumn("payload", _make_avi_udf()("media_id")))
     return sample_frames(media, every_ms=30, codec="avi")
 
@@ -2641,6 +2662,7 @@ def _q_multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf}/documents.parquet")
     media = (docs.where(F.col("doc_id") % 3 == 2)
              .select(F.col("doc_id").alias("media_id"))
+             .coalesce(_media_task_count(spark))
              .withColumn("kind", F.lit("video"))
              .withColumn("payload", _make_gif_udf()("media_id")))
     return sample_frames(media, every_ms=20, codec="gif")
@@ -2659,6 +2681,7 @@ def _q_multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf}/documents.parquet")
     media = (docs.where(F.col("doc_id") % 3 == 2)
              .select(F.col("doc_id").alias("media_id"))
+             .coalesce(_media_task_count(spark))
              .withColumn("payload", _make_gif_udf()("media_id")))
     return decode_gif_frames(media)
 
