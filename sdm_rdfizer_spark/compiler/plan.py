@@ -40,9 +40,18 @@ from ..ir import (
 )
 from ..sources import read_source
 from .terms import (
-    CompiledValue, ExprLayers, canonical_string, compile_term_map,
-    compile_template, valid_value,
+    CompiledValue, ExprLayers, _col, _memo_tree, canonical_string,
+    compile_term_map, compile_template, valid_value,
 )
+
+
+def _tcol(name: str, alias: str):
+    """Memoized constant aliased column reference (``F.col(name)
+    .alias(alias)`` is two py4j round trips and the same pairs recur in
+    every TriplesMap's output projection — r11, same contract as
+    ``terms._col``)."""
+    return _memo_tree(("tcol", name, alias),
+                      lambda: F.col(name).alias(alias))
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -443,9 +452,17 @@ class MappingPlanner:
         base = self._scan_cache.get(bkey)
         if base is None:
             base = json_base(self.spark, src)
+            # count sharers by their STAGED path (ADVICE r10 #2): for
+            # http(s) sources the staged local path never equals the
+            # raw source string, so comparing against t.source.source
+            # undercounted exactly the multi-reader remote case the
+            # checkpoint gate targets (_stage_remote is a pass-through
+            # for local paths and an existence probe — never a second
+            # download — for already-staged URLs)
             n_readers = sum(
                 1 for t in self.tms
-                if t.source.fmt == "json" and str(t.source.source) == src)
+                if t.source.fmt == "json"
+                and _stage_remote(str(t.source.source)) == src)
             gate_mb = int(os.environ.get("SDM_JSON_CKPT_MAX_MB", "512"))
             nbytes = source_bytes(src)
             if n_readers > 1 and 0 <= nbytes <= gate_mb * (1 << 20):
@@ -1236,31 +1253,41 @@ class MappingPlanner:
             return self._narrow_entries(tm, base_df, entries, narrow_refs,
                                         subject_term)
         if entries:
+            # positional structs + ONE struct-level cast each (r11,
+            # guide §1.2 step 2): per-field .alias()/.cast() cost one
+            # py4j round trip each (~7 per entry × ~30 entries per wide
+            # TM); a positional struct plus a single named-struct cast
+            # is two calls and applies the identical field-wise string
+            # casts (Cast over struct<…> maps per field; identity casts
+            # are simplified away, so the optimized plan is the one the
+            # per-field form built). The cast also unifies the field
+            # NAMES, which array() requires across elements.
             def fields(p, o, g, v, tset, rule=None, osplit=None):
-                fs = [
-                    p.alias("p"),
-                    o.cast("string").alias("o"),
-                    g.cast("string").alias("g"),
-                    v.alias("v"),
-                ]
+                fs = [p, o, g, v]
                 if self.collect_targets:
-                    fs.append(_target_array(tset).alias("t"))
+                    fs.append(_target_array(tset))
                 if self.track_rules:
-                    fs.append(F.lit(rule).cast("string").alias("r"))
+                    fs.append(F.lit(rule))
                 return fs
 
-            structs = F.array(*[
-                F.struct(*fields(*entry)) for entry in entries
-            ])
-            out_cols = ["s", F.col("__t.p").alias("p"),
-                        F.col("__t.o").alias("o"), F.col("__t.g").alias("g")]
+            stype = "p:string,o:string,g:string,v:boolean"
             if self.collect_targets:
-                out_cols.append(F.col("__t.t").alias("__targets"))
+                stype += ",t:array<string>"
             if self.track_rules:
-                out_cols.append(F.col("__t.r").alias("__rule"))
+                stype += ",r:string"
+            st = f"struct<{stype}>"
+            structs = F.array(*[
+                F.struct(*fields(*entry)).cast(st) for entry in entries
+            ])
+            out_cols = ["s", _tcol("__t.p", "p"),
+                        _tcol("__t.o", "o"), _tcol("__t.g", "g")]
+            if self.collect_targets:
+                out_cols.append(_tcol("__t.t", "__targets"))
+            if self.track_rules:
+                out_cols.append(_tcol("__t.r", "__rule"))
             exploded = (
-                base_df.select(F.col("__s").alias("s"), F.explode(structs).alias("__t"))
-                .where(F.col("__t.v"))
+                base_df.select(_tcol("__s", "s"), F.explode(structs).alias("__t"))
+                .where(_col("__t.v"))
                 .select(*out_cols)
             )
             branches.insert(0, exploded)

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._memo import BoundedMemo
 from ..ir import CONSTANT, REFERENCE, TEMPLATE, TermMap, TT_BLANKNODE, TT_IRI, TT_LITERAL, TT_UNSAFE_IRI
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -53,7 +54,10 @@ _TEMPLATE_REF_RE = re.compile(r"(?<!\\)\{(.+?)(?<!\\)\}")
 # on purpose: two TriplesMaps may bind the same layer name to different
 # inputs, but the returned tree is the same unresolved-attribute tree either
 # way — resolution happens per-plan, not at construction.
-_TREE_MEMO: dict = {}
+# bounded (r11, ADVICE #4): every distinct constant literal/template
+# fragment ever compiled adds an entry, a slow leak in a long-lived
+# service; LRU eviction only costs rebuilding an identical tree
+_TREE_MEMO: dict = BoundedMemo(4096)
 
 
 def _memo_tree(key: tuple, build) -> Column:
@@ -67,6 +71,15 @@ def _lit(v) -> Column:
     """Memoized ``F.lit`` for plan-constant scalars (a multi-TM compile
     was measured issuing ~1,000 lit() round trips)."""
     return _memo_tree(("lit", type(v).__name__, v), lambda: F.lit(v))
+
+
+def _col(name: str) -> Column:
+    """Memoized ``F.col`` — every name-bound attribute reference is one
+    py4j round trip, and the same names (layer columns ``__x0_1``…,
+    struct fields ``__t.p``…) recur across TriplesMaps and compiles
+    (r11; the same unresolved-attribute reuse contract as the layer
+    trees in ``_TREE_MEMO``)."""
+    return _memo_tree(("col", name), lambda: F.col(name))
 
 
 def template_references(template: str) -> list[str]:
@@ -254,12 +267,12 @@ class ExprLayers:
     def add(self, level: int, key, col: Column) -> Column:
         memo_key = (level, key)
         if memo_key in self._memo:
-            return F.col(self._memo[memo_key])
+            return _col(self._memo[memo_key])
         self._n += 1
         name = f"__x{level}_{self._n}"
         self.layers[level][name] = col
         self._memo[memo_key] = name
-        return F.col(name)
+        return _col(name)
 
     def name_of(self, level: int, key) -> str | None:
         """Registered layer-column name for a key (the _TREE_MEMO key

@@ -28,15 +28,29 @@ def _sql_str(s: str) -> str:
 def lit_array(values, sql_type: str = "DOUBLE") -> Column:
     """One-round-trip literal array Column of ``sql_type`` elements.
 
-    ``sql_type``: 'DOUBLE' (values rendered via repr + CAST — bit-exact),
-    'STRING' (escaped quotes), or an integer type name ('INT'/'BIGINT').
+    ``sql_type``: 'DOUBLE' (values rendered via repr + CAST — bit-exact,
+    including non-finite values: Python renders them 'nan'/'inf', which
+    Java's Double.parseDouble would NULL out under the non-ANSI cast, so
+    they are special-cased to the 'NaN'/'Infinity' spellings the JVM
+    parses — ADVICE r10 #1), 'STRING' (escaped quotes), or an integer
+    type name ('INT'/'BIGINT').
     """
+    import math
+
     t = sql_type.upper()
     if not values:
         return F.expr(f"CAST(array() AS ARRAY<{t}>)")
     if t == "DOUBLE":
-        parts = [f"CAST({_sql_str(repr(float(v)))} AS DOUBLE)"
-                 for v in values]
+        def _d(v) -> str:
+            f = float(v)
+            if math.isnan(f):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(f):
+                return ("CAST('Infinity' AS DOUBLE)" if f > 0
+                        else "CAST('-Infinity' AS DOUBLE)")
+            return f"CAST({_sql_str(repr(f))} AS DOUBLE)"
+
+        parts = [_d(v) for v in values]
     elif t == "STRING":
         parts = [_sql_str(str(v)) for v in values]
     else:

@@ -384,9 +384,14 @@ def train_kmeans_centroids(
         # stream through two back-to-back shuffles (guide §2.3/§2.4 —
         # at 100 TB this is a dim× shuffle-byte reduction per Lloyd
         # iteration). Per-(cell,dim) addition sequence is unchanged
-        # within a partition; cross-partition merge order differs, a
-        # last-bit difference the round_grid snap absorbs by design
-        # (the SQL oracle's own sum order already differs).
+        # within a partition; cross-partition merge order differs, so
+        # the trained model is value-equivalent modulo fp merge order,
+        # not bit-pinned across partitionings: the round_grid snap
+        # collapses the last-bit drift EXCEPT for a sum landing exactly
+        # on a HALF_UP tie boundary (ADVICE r10 #3) — the same residual
+        # tolerance the pre-r10 distributed avg already had (the SQL
+        # oracle's own sum order differs too), not a new risk. Callers
+        # needing cross-run bit-stability should sort-reduce driver-side.
         sums = [F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)]
         rows = (
             # malformed vectors carry a NULL cell — they must not form a

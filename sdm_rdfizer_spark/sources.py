@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._memo import BoundedMemo
 from .ir import LogicalSource
 
 
@@ -370,7 +371,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # scan metadata keyed on file stats (same contract as _JSON_SCHEMA_CACHE):
 # csv/parquet schemas + parquet footer stats re-derive only when the file
 # changes. Glob/multi-file sources get no stat key and skip the memo.
-_FILE_META_CACHE: dict = {}
+# Bounded (r11, ADVICE #4): superseded (path, mtime, size) revisions
+# would otherwise accumulate for the process lifetime.
+_FILE_META_CACHE: dict = BoundedMemo(1024)
 
 
 def _stat_key(tag: str, path) -> tuple | None:
@@ -424,8 +427,9 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 # sampled line-JSON schemas, keyed on file stats — repeated scans of an
-# unchanged source (every TM sharing it, repeated bench runs) infer once
-_JSON_SCHEMA_CACHE: dict = {}
+# unchanged source (every TM sharing it, repeated bench runs) infer once.
+# Bounded (r11, ADVICE #4) like _FILE_META_CACHE.
+_JSON_SCHEMA_CACHE: dict = BoundedMemo(256)
 
 _JSON_SAMPLE_BYTES = 4 << 20      # total driver-side sample budget
 
@@ -571,7 +575,7 @@ def _read_json(spark: SparkSession, ls: LogicalSource) -> DataFrame:
 def json_base(spark: SparkSession, source: str) -> DataFrame:
     """The parsed JSON frame BEFORE any iterator — the shareable unit
     when several TriplesMaps (or iterator depths) read one document
-    (the planner checkpoints it; see MappingPlanner._json_base)."""
+    (the planner checkpoints it; see MappingPlanner._json_scan)."""
     jsonl = source.rstrip().endswith(".jsonl")
     reader = spark.read.option("multiLine", not jsonl)
     if jsonl and os.environ.get("SPARK_GRAFT_JSON_SCHEMA") != "full":

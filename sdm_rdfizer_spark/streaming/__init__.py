@@ -184,6 +184,14 @@ def run_available_now(
     ``SDM_STREAM_STATE_PARTITIONS`` overrides for production jobs
     whose key volume wants more state shards than cores.
 
+    Concurrency note (ADVICE r10 #5): the drain mutates the SESSION
+    conf (``spark.sql.shuffle.partitions``) for the query's lifetime —
+    a query concurrently built or run on the same SparkSession during
+    the drain inherits the micro-batch setting. The engine's drains are
+    single-query-at-a-time by construction (one drain per entry call);
+    callers embedding this in a multi-tenant session should serialize
+    drains or run them on ``spark.newSession()``.
+
     ``input_bytes`` (r11): when the caller knows the drained input's
     size, small inputs get proportionally fewer state partitions
     (~128 KB of input per partition, still capped at the core count) —
@@ -841,7 +849,10 @@ def stream_minhash_verify(
     # is nothing for AQE to adapt to; static shuffles run each action
     # as one job. aqe_in_batch=True restores adaptive planning for
     # deployments whose triggers carry enough data for skew/coalesce
-    # decisions to matter.
+    # decisions to matter. Like run_available_now, the override is
+    # SESSION-scoped for the drain's duration (single-query-at-a-time
+    # assumption — ADVICE r10 #5); concurrent builds on the same
+    # session should use spark.newSession().
     #
     # Static shuffle-partition count = per-trigger INPUT SIZE over a
     # target bytes/partition (guide §2.2: partitions sized to the data,

@@ -2190,3 +2190,72 @@ def test_dsir_target_cond_equals_two_frame_path(spark):
     m2, f2 = dsir_model(df, df.where(cond), n_buckets=64)
     m1, f1 = dsir_model(df, df, n_buckets=64, target_cond=cond)
     assert sorted(m1) == sorted(m2) and f1 == f2
+
+
+def test_cap_candidates_annotated_accounting(spark):
+    """r11: the one-pass annotated cap (survivors-first window ordering,
+    single checkpoint serving kept-set AND accounting) must keep exactly
+    the sequential a-then-b filter's set and report the true drop count,
+    with and without salt."""
+    import collections
+    import random
+
+    from sdm_rdfizer_spark.ops.dedup import cap_candidates_per_doc
+
+    rng = random.Random(11)
+    data = {}
+    for b in range(1, 101):                      # hot a-side doc 0
+        data[(0, b)] = rng.randrange(1, 5)
+    for _ in range(200):
+        data[(rng.randrange(1, 30), rng.randrange(30, 70))] = \
+            rng.randrange(1, 5)
+    pairs_py = [(a, b, n) for (a, b), n in data.items()]
+    cap = 5
+
+    def seq_cap(rows):
+        by_a = collections.defaultdict(list)
+        for r in rows:
+            by_a[r[0]].append(r)
+        surv = []
+        for ps in by_a.values():
+            ps.sort(key=lambda r: (-r[2], r[1]))
+            surv += ps[:cap]
+        by_b = collections.defaultdict(list)
+        for r in surv:
+            by_b[r[1]].append(r)
+        out = []
+        for ps in by_b.values():
+            ps.sort(key=lambda r: (-r[2], r[0]))
+            out += ps[:cap]
+        return sorted(out)
+
+    want = seq_cap(pairs_py)
+    assert 0 < len(want) < len(pairs_py)        # the cap must bind here
+    pairs = spark.createDataFrame(
+        pairs_py, "id_a long, id_b long, n_shared_bands long")
+    sink = []
+    got = sorted(map(tuple, cap_candidates_per_doc(
+        pairs, cap, log_drops=False, drop_sink=sink).collect()))
+    assert got == want
+    assert sink == [len(pairs_py) - len(want)]
+    sink2 = []
+    got2 = sorted(map(tuple, cap_candidates_per_doc(
+        pairs, cap, log_drops=False, drop_sink=sink2, salt=3).collect()))
+    assert got2 == want and sink2 == sink
+
+
+def test_lit_array_non_finite_doubles(spark):
+    """ADVICE r10 #1: repr renders non-finite floats 'nan'/'inf', which
+    the JVM string-to-double cast NULLs out — lit_array must emit the
+    'NaN'/'Infinity' spellings so the values survive bit-exactly."""
+    import math
+
+    from sdm_rdfizer_spark.ops._exprs import lit_array
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), -0.0]
+    [row] = spark.range(1).select(lit_array(vals).alias("a")).collect()
+    got = row["a"]
+    assert got[0] == 1.5
+    assert math.isnan(got[1])
+    assert got[2] == math.inf and got[3] == -math.inf
+    assert got[4] == 0.0 and math.copysign(1.0, got[4]) == -1.0
