@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..compiler.plan import MappingPlanner
 from ..ir import LogicalSource, TriplesMap
-from ..sources import read_source
+from ..sources import read_parquet, read_source
 
 
 def stream_scan(spark: SparkSession, ls: LogicalSource) -> DataFrame:
@@ -940,9 +940,14 @@ def stream_bloom_decontaminate(
     tune_session(spark)
     path = os.path.join(sf_dir, "documents.parquet")
     batch = spark.read.parquet(path)
-    bits = bloom_build(batch.where(F.col("source") == benchmark_source),
-                       shingle_n=shingle_n, m_bits=m_bits,
-                       k_hashes=k_hashes)
+    # train on read_parquet's frame: it fans an under-chunked file out
+    # across the cores (r11 — the raw single-row-group read ran the
+    # whole shingle explode in ONE task; see sources.read_parquet).
+    # `batch` stays the stream's schema donor (no fan-out column drift).
+    bits = bloom_build(
+        read_parquet(spark, path).where(
+            F.col("source") == benchmark_source),
+        shingle_n=shingle_n, m_bits=m_bits, k_hashes=k_hashes)
     raw_schema = batch.schema
     glob = path
     if os.path.isfile(path):
@@ -985,9 +990,14 @@ def stream_dsir_weights(
     path = os.path.join(sf_dir, "documents.parquet")
     batch = spark.read.parquet(path)
     # target_cond: one explode computes both distributions (the target
-    # counts are conditional sums on the same occurrence stream)
+    # counts are conditional sums on the same occurrence stream).
+    # Train on read_parquet's frame: it fans an under-chunked file out
+    # across the cores — the raw single-row-group read ran the whole
+    # interpreted bigram explode in ONE 3.8 s task (r11 event-log
+    # profile); `batch` stays the stream's schema donor.
+    train = read_parquet(spark, path)
     model, floor = dsir_model(
-        batch, batch, n_buckets=n_buckets,
+        train, train, n_buckets=n_buckets,
         target_cond=F.col("lang") == target_lang)
     raw_schema = batch.schema
     glob = path
