@@ -884,10 +884,21 @@ def stream_minhash_verify(
     hash_parts = max(par, min(4 * par, int(trig_bytes // (32 << 20)) + 1))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     try:
         if not aqe_in_batch:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             spark.conf.set("spark.sql.shuffle.partitions", str(batch_parts))
+            # no auto-broadcast inside the micro-batch body (r11): every
+            # BroadcastExchange runs as its own driver-scheduled job
+            # (plus a driver gap either side), and with batch_parts-sized
+            # static shuffles the equivalent shuffled join executes
+            # INSIDE the action's single job — profiled 2 broadcast-build
+            # jobs + ~0.6 s of gaps per trigger removed. Joins here are
+            # micro-frame×micro-frame, where the broadcast's win is
+            # latency-negative; production triggers with aqe_in_batch
+            # keep AQE's runtime broadcast decisions.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         q = (sdf.writeStream.foreachBatch(_process)
              .option("checkpointLocation", os.path.join(wd, "ckpt"))
              .trigger(availableNow=True).start())
@@ -897,6 +908,9 @@ def stream_minhash_verify(
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_bcast is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           prev_bcast)
     dropped = sum(cap_drops)
     if expect_cap_nonbinding and dropped:
         # the registered oracle replays BATCH-global cap semantics,
